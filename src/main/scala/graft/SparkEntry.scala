@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational,
+    EventWindows,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -21,11 +21,15 @@ object TextFunctions {
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
-  /** Word-level n-gram shingles as joined strings ("w1 w2 w3"). */
-  def shingles(tokens: Column, n: Int): Column = {
-    val idx = sequence(lit(1), greatest(size(tokens) - lit(n - 1), lit(0)))
-    transform(idx, i => array_join(slice(tokens, i, lit(n)), " "))
-  }
+  /** Word-level n-gram shingles as joined strings ("w1 w2 w3").
+    * Guarded: `sequence(1, 0)` in Spark DESCENDS, so short docs must
+    * short-circuit to an empty array explicitly.
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n, {
+      val idx = sequence(lit(1), size(tokens) - lit(n - 1))
+      transform(idx, i => array_join(slice(tokens, i, lit(n)), " "))
+    }).otherwise(array().cast("array<string>"))
 
   /** BPE-ish token count: words + standalone punctuation, the usual
     * cheap proxy for tokenizer cost in data-pipeline filtering.

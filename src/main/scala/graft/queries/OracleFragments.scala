@@ -1,0 +1,38 @@
+package graft.queries
+
+/** Reusable DuckDB SQL fragments that replay graft's portable hash /
+  * tokenization functions exactly (see `graft.functions.HashFunctions`,
+  * `graft.functions.TextFunctions`). Oracle-side only — never executed by
+  * Spark.
+  */
+object OracleFragments {
+
+  /** Unsigned 32-bit Java `String.hashCode` fold of a string expression:
+    * h = (h*31 + char) mod 2^32.
+    */
+  def javaHashU32(expr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       | list_transform(string_split($expr, ''), c -> ord(c)::BIGINT)),
+       | (a, c) -> (a * 31 + c) % 4294967296)""".stripMargin
+
+  /** Signed 32-bit `java.lang.String.hashCode` (matches
+    * `JavaStringHashCode` for ASCII/BMP input). Re-signing via
+    * `((u + 2^31) mod 2^32) - 2^31` evaluates the fold once.
+    */
+  def javaHash(expr: String): String =
+    s"(((${javaHashU32(expr)}) + 2147483648) % 4294967296 - 2147483648)"
+
+  /** pmod(javaHash(expr), m) — non-negative, matches Spark's pmod. */
+  def javaHashPmod(expr: String, m: Long): String =
+    s"(((${javaHash(expr)}) % $m + $m) % $m)"
+
+  /** Lowercase letter-run tokens, empties dropped — replays
+    * `TextFunctions.tokenize`.
+    */
+  def tokenize(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), w -> len(w) > 0)"
+
+  /** Whitespace tokens, empties dropped — replays `TextFunctions.wsTokens`. */
+  def wsTokens(expr: String): String =
+    s"list_filter(string_split_regex($expr, '\\s+'), w -> len(w) > 0)"
+}
