@@ -14,6 +14,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational,
     EventWindows,
+    TextAnalytics,
+    Dedup,
+    Similarity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Document deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here is O(n²) on the corpus. Candidate pairs
+  * always come from an equi-join on a blocking key (shingle / LSH band /
+  * SimHash band), so the shuffle is keyed on the block and the quadratic
+  * blowup is confined to same-block groups — the standard web-scale dedup
+  * shape. All hashes are the engine's portable integer hashes
+  * (`HashFunctions`), so every stage is oracle-reproducible.
+  */
+object Dedup extends QueryModule {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
+  private val NumPerm = 16
+  private val BandSize = 4 // => 4 bands
+
+  /** doc_id + distinct word-3-gram shingle set, hashed to u32. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(
+          TextFunctions.shingles(TextFunctions.wsTokens($"text"), 3)))
+          .as("shingle"))
+  }
+
+  /** Unsigned 32-bit Java hash of a string column. */
+  private def h32(c: Column): Column =
+    pmod(HashFunctions.javaStringHashCode(c).cast("long"), lit(4294967296L))
+
+  override def queries: Map[String, Q] = Map(
+    // D1: exact dedup via content hash; canonical row = min doc_id per
+    // group (pure hash-groupBy — one shuffle keyed on the digest).
+    "d1_exact_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text".cast("binary")).as("digest"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+    },
+
+    // D2: n-gram Jaccard near-dup pairs. Candidates from a self-join on
+    // shared shingles (blocking join, not a cross join); Jaccard from
+    // distinct-shingle counts; threshold 0.3.
+    "d2_jaccard_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingled(s, dir).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = sh.as("a")
+        .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
+          $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "doc_i")
+                   .withColumnRenamed("n_sh", "n_i"), "doc_i")
+        .join(sizes.withColumnRenamed("doc_id", "doc_j")
+                   .withColumnRenamed("n_sh", "n_j"), "doc_j")
+        .select($"doc_i", $"doc_j",
+          ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+            .as("jaccard"))
+        .filter($"jaccard" >= 0.3)
+    },
+
+    // D3a: MinHash signatures — NumPerm universal-hash permutations over
+    // the shingle set, min per permutation; banded into 4 LSH band keys.
+    // One shuffle (groupBy doc_id); signature fold is map-side combined.
+    "d3_minhash_sig" -> { (s, dir) =>
+      import s.implicits._
+      minhashSigs(s, dir)
+        .select($"doc_id" +:
+          array_join(transform($"sig", x => x.cast("string")), ",").as("sig") +:
+          (0 until NumPerm / BandSize).map(b =>
+            array_join(transform(slice($"sig", b * BandSize + 1, BandSize),
+              x => x.cast("string")), ",").as(s"band$b")): _*)
+    },
+
+    // D3b: LSH candidate pairs — docs agreeing on at least one full band.
+    // The join is keyed on (band index, band value): shuffle ∝ corpus,
+    // never O(n²).
+    "d3_lsh_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val bands = minhashSigs(s, dir)
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), lit(NumPerm / BandSize - 1)), b =>
+            array_join(transform(
+              slice($"sig", b * lit(BandSize) + lit(1), lit(BandSize)),
+              x => x.cast("string")), ","))))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+      bands.as("a")
+        .join(bands.as("b"),
+          $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
+        .distinct()
+    },
+
+    // D4a: 32-bit SimHash per document (token-frequency-weighted bit
+    // votes over Java-hashed tokens). Pure rowwise — no shuffle at all.
+    "d4_simhash" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select($"doc_id", simhash($"text").as("simhash"))
+    },
+
+    // D4b: SimHash near-dup pairs — block on any of four 8-bit bands
+    // (a pair within Hamming distance 3 must agree on >= 1 band), then
+    // exact Hamming filter via bit_count(xor).
+    "d4_simhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", simhash($"text").as("simhash"))
+      val bands = sh.select($"doc_id", $"simhash", posexplode(
+          array((0 until 4).map(b =>
+            shiftright($"simhash", b * 8).bitwiseAND(lit(255L))): _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+      bands.as("a")
+        .join(bands.as("b"),
+          $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
+        .filter($"hamming" <= 3)
+        .distinct()
+    },
+  )
+
+  /** doc_id, sig: array<long> of NumPerm minhash values. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perms = (0 until NumPerm).map { j =>
+      min(pmod(h32($"shingle") * lit(2L * j + 1) + lit(12345L * j + 1), lit(P)))
+        .as(s"m$j")
+    }
+    shingled(s, dir)
+      .groupBy($"doc_id")
+      .agg(perms.head, perms.tail: _*)
+      .select($"doc_id",
+        array((0 until NumPerm).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** 32-bit SimHash of whitespace tokens (with multiplicity): bit b of
+    * the result is set iff the sum over tokens of ±1 (sign = bit b of the
+    * token's u32 Java hash) is positive.
+    */
+  private def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.wsTokens(text),
+      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+        lit(4294967296L)))
+    val bits = (0 until 32).map { b =>
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def ws(e: String) = OracleFragments.wsTokens(e)
+
+  /** Distinct 3-gram shingles as a DuckDB list expression over `text`. */
+  private def shinglesSql: String =
+    s"""list_distinct(CASE WHEN len(${ws("text")}) >= 3 THEN
+       |  list_transform(generate_series(1, len(${ws("text")}) - 2),
+       |    i -> array_to_string(list_slice(${ws("text")}, i, i + 2), ' '))
+       |  ELSE []::VARCHAR[] END)""".stripMargin
+
+  private def minhashSql: String = {
+    val perms = (0 until NumPerm).map { j =>
+      s"""list_min(list_transform(hs,
+         |  h -> (h * ${2L * j + 1} + ${12345L * j + 1}) % $P)) AS m$j""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $perms
+       |FROM (SELECT doc_id,
+       |        list_transform($shinglesSql,
+       |          sgl -> ${OracleFragments.javaHashU32("sgl")}) AS hs
+       |      FROM documents)
+       |WHERE len(hs) > 0""".stripMargin // docs w/o shingles never enter the Spark agg
+  }
+
+  private def simhashSql: String = {
+    val bits = (0 until 32).map { b =>
+      s"""CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1
+         |    THEN 1::BIGINT ELSE -1::BIGINT END)),
+         |  (a, x) -> a + x) > 0 THEN ${1L << b}::BIGINT ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT doc_id, ($bits) AS simhash
+       |FROM (SELECT doc_id, list_transform(${ws("text")},
+       |        w -> ${OracleFragments.javaHashU32("w")}) AS hs
+       |      FROM documents)""".stripMargin
+  }
+
+  override def oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_jaccard_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |  n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) AS jaccard
+         |FROM common
+         |JOIN sz x ON doc_i = x.doc_id
+         |JOIN sz y ON doc_j = y.doc_id
+         |WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) >= 0.3""".stripMargin,
+
+    "d3_minhash_sig" -> {
+      val sigStr = (0 until NumPerm).map(j => s"m$j::VARCHAR").mkString(", ")
+      val bandCols = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize)
+          .map(j => s"m$j::VARCHAR").mkString(", ")
+        s"concat_ws(',', $cols) AS band$b"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, concat_ws(',', $sigStr) AS sig,
+         |  $bandCols
+         |FROM ($minhashSql)""".stripMargin
+    },
+
+    "d3_lsh_pairs" -> {
+      val bandRows = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize)
+          .map(j => s"m$j::VARCHAR").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sigs AS ($minhashSql),
+         |bands AS (
+         |  $bandRows)
+         |SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "d4_simhash" -> simhashSql,
+
+    "d4_simhash_pairs" ->
+      s"""WITH sh AS ($simhashSql),
+         |bands AS (
+         |  SELECT doc_id, simhash, unnest([0,1,2,3]) AS band_idx,
+         |    unnest([simhash & 255, (simhash >> 8) & 255,
+         |            (simhash >> 16) & 255, (simhash >> 24) & 255]) AS band_key
+         |  FROM sh)
+         |SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+  )
+}

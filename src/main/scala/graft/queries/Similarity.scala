@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * - `v1_knn_brute`: exact top-k cosine — the correctness baseline. The
+  *   small query set broadcasts; the corpus streams through one codegen'd
+  *   pass (never a shuffled cross join). At 100 TB this is the shape you
+  *   run for evaluation slices, not production lookup.
+  * - `v2_lsh_buckets` / `v3_knn_lsh`: random-hyperplane LSH — the scale
+  *   path. Bucket assignment is rowwise; the search join is keyed on the
+  *   bucket, so cost ∝ corpus + collisions, not corpus².
+  * - `d5_embed_neardup`: cosine near-duplicate pairs via bucket blocking.
+  *
+  * All vector math is `zip_with`/`aggregate` over doubles in index order
+  * (VectorFunctions) — deterministic, hence oracle-reproducible bit-for-bit.
+  */
+object Similarity extends QueryModule {
+
+  private val NumPlanes = 8
+  private val QuerySetSize = 20
+  private val K = 5
+
+  /** Pseudo-random-but-portable hyperplane component w(i,j) for plane i,
+    * dim j (1-based): knuth(i*64+j)/2^32 - 0.5 — reproducible in any SQL
+    * engine, no RNG state.
+    */
+  private def planeW(i: Int, j: org.apache.spark.sql.Column) =
+    pmod((lit(i * 64) + j) * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0) - lit(0.5)
+
+  /** Sign-bit LSH bucket of an embedding: bit i = [dot(w_i, e) >= 0]. */
+  private def lshBucket(e: org.apache.spark.sql.Column) =
+    (0 until NumPlanes).map { i =>
+      val proj = aggregate(
+        zip_with(e, sequence(lit(1), lit(64)),
+          (x, j) => x.cast("double") * planeW(i, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  override def queries: Map[String, Q] = Map(
+    // V1: exact brute-force top-k cosine for a fixed query slice.
+    "v1_knn_brute" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+      val queries = corpus.filter($"vec_id" < QuerySetSize)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("embedding", "q_emb")
+      val scored = corpus.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          VectorFunctions.cosine($"q_emb", $"embedding").as("sim"))
+      graft.operators.KeyedOps.topKPerKey(scored, Seq($"q_id"),
+          Seq($"sim".desc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"sim", $"rank")
+    },
+
+    // V2: LSH bucket assignment (rowwise, zero shuffle).
+    "v2_lsh_buckets" -> { (s, dir) =>
+      import s.implicits._
+      emb(s, dir).select($"vec_id", lshBucket($"embedding").as("bucket"))
+    },
+
+    // V3: approximate top-k — candidates restricted to the query's LSH
+    // bucket, exact cosine re-rank within it.
+    "v3_knn_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val withBucket = emb(s, dir)
+        .select($"vec_id", $"embedding", lshBucket($"embedding").as("bucket"))
+      val queries = withBucket.filter($"vec_id" < QuerySetSize)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+      val cands = withBucket.join(broadcast(queries), Seq("bucket"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          VectorFunctions.cosine($"q_emb", $"embedding").as("sim"))
+      graft.operators.KeyedOps.topKPerKey(cands, Seq($"q_id"),
+          Seq($"sim".desc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"sim", $"rank")
+    },
+
+    // D5: embedding near-duplicate pairs, cosine >= 0.4. Exact at test
+    // scale (documented cross join); the LSH-blocked variant above is the
+    // 100 TB path.
+    "d5_embed_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val a = emb(s, dir).select($"vec_id".as("id_a"), $"embedding".as("e_a"))
+      val b = emb(s, dir).select($"vec_id".as("id_b"), $"embedding".as("e_b"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          VectorFunctions.cosine($"e_a", $"e_b").as("sim"))
+        .filter($"sim" >= 0.4)
+    },
+  )
+
+  /** DuckDB replay of the vector ops: same double promotion, same
+    * index-order left fold => bit-identical doubles.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b),
+       |    p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform($a, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+
+  private def bucketSql(e: String): String =
+    (0 until NumPlanes).map { i =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(list_zip($e, generate_series(1, 64)),
+         |    p -> p[1]::DOUBLE *
+         |      ((((${i * 64} + p[2]) * 2654435761) % 4294967296)::DOUBLE
+         |        / 4294967296.0 - 0.5))),
+         |  (x, y) -> x + y) >= 0 THEN ${1L << i}::BIGINT ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  override def oracle: Map[String, String] = Map(
+    "v1_knn_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+
+    "v2_lsh_buckets" ->
+      s"SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings",
+
+    "v3_knn_lsh" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |cands AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |  FROM wb q JOIN wb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
+         |WHERE rank <= $K""".stripMargin,
+
+    "d5_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+  )
+}

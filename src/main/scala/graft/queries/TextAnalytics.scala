@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` corpus — the training-data-pipeline
+  * half of the engine (wordcount family from the reference: P1/P2/A1,
+  * `MinimalWordCount.scala:36-52`; TF-IDF diamond: J2/J3,
+  * `TfIdf.scala:241-297`; plus language-ID, quality scoring, token
+  * counting, and fingerprinting for corpus curation).
+  *
+  * Scale notes: every op is explode → hash-agg or join-on-key; the only
+  * shuffles are on (word) / (doc_id) and all tokenization stays inside
+  * WholeStageCodegen (no UDFs). At 100 TB the wordcount/TF-IDF shuffles
+  * carry (word, partial count) pairs after map-side combine — the vocab,
+  * not the corpus.
+  */
+object TextAnalytics extends QueryModule {
+
+  /** Per-language stopword profiles for the n-gram/token language-ID
+    * heuristic (tiny, broadcast as literals into codegen).
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "este", "una", "de"))
+
+  override def queries: Map[String, Q] = Map(
+    // P1+A1: the canonical wordcount (tokenize → per-element count).
+    "p1_wordcount" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokenize($"text")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // P2: formatted "word: count" output strings (reference
+    // `MinimalWordCount.scala:47-52`).
+    "p2_format" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokenize($"text")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .select(format_string("%s: %d", $"word", $"n").as("line"))
+    },
+
+    // P5: regex-match filter with matched/unmatched counters (reference
+    // `DebuggingWordCount.scala:66-87`) — counters surfaced as columns.
+    "p5_regex_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(sum(when($"text".rlike("merge|vector"), 1).otherwise(0))
+               .cast("bigint").as("matched"),
+             sum(when($"text".rlike("merge|vector"), 0).otherwise(1))
+               .cast("bigint").as("unmatched"))
+    },
+
+    // Token statistics: whitespace tokens, BPE-ish regex tokens, mean
+    // token length — the cheap tokenizer-cost proxies for corpus filtering.
+    "x1_token_stats" -> { (s, dir) =>
+      import s.implicits._
+      val toks = TextFunctions.wsTokens($"text")
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(toks).cast("bigint").as("n_tokens"),
+          TextFunctions.regexTokenCount($"text").cast("bigint").as("n_regex_tokens"),
+          (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
+            / size(toks)).as("mean_token_len"))
+    },
+
+    // Language-ID: stopword-profile hit counts per language, argmax with
+    // deterministic tiebreak (profile order).
+    "x2_langid" -> { (s, dir) =>
+      import s.implicits._
+      val toks = TextFunctions.wsTokens($"text")
+      val hits = langProfiles.map { case (lang, words) =>
+        lang -> size(filter(toks,
+          w => array_contains(array(words.map(lit): _*), w)))
+      }
+      val Seq(en, de, fr, es) = hits.map(_._2)
+      val pred = when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+      Tables.documents(s, dir)
+        .select($"doc_id", en.cast("bigint").as("en_hits"), de.cast("bigint").as("de_hits"),
+          fr.cast("bigint").as("fr_hits"), es.cast("bigint").as("es_hits"), pred.as("pred_lang"))
+    },
+
+    // Quality scoring: length/stopword/punctuation signals folded into a
+    // [0,1] score + keep flag — the standard pretraining-corpus filter.
+    "x3_quality" -> { (s, dir) =>
+      import s.implicits._
+      val toks = TextFunctions.wsTokens($"text")
+      val nTok = size(toks).cast("double")
+      val stop = TextFunctions.stopwordRatio(toks)
+      val punct = TextFunctions.punctRatio($"text")
+      val score = stop * lit(0.4) +
+        least(nTok / lit(80.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - punct) * lit(0.3)
+      Tables.documents(s, dir)
+        .select($"doc_id", size(toks).cast("bigint").as("n_tokens"),
+          stop.as("stop_ratio"), punct.as("punct_ratio"),
+          score.as("quality"),
+          (score >= 0.3).as("keep"))
+    },
+
+    // Document fingerprint: polynomial rolling hash over Java-hashed
+    // tokens (order-sensitive — reorderings get different fingerprints).
+    "x4_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val hashes = transform(TextFunctions.wsTokens($"text"),
+        w => HashFunctions.javaStringHashCode(w).cast("long"))
+      Tables.documents(s, dir)
+        .select($"doc_id", HashFunctions.polyFingerprint(hashes).as("fp"))
+    },
+
+    // J2: term frequency — (doc, word) counts joined with per-doc totals
+    // (reference `TfIdf.scala:241-266`). Both aggregates share one scan.
+    "j2_tf" -> { (s, dir) =>
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.tokenize($"text")).as("word"))
+      val counts = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      val totals = words.groupBy($"doc_id").agg(count(lit(1)).as("total"))
+      counts.join(totals, "doc_id")
+        .select($"doc_id", $"word", ($"n".cast("double") / $"total").as("tf"))
+    },
+
+    // J3: TF-IDF = tf * ln(D/df) (reference `TfIdf.scala:283-297,364-378`;
+    // doc-count D is the broadcast singleton side input J5).
+    "j3_tfidf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val words = docs
+        .select($"doc_id", explode(TextFunctions.tokenize($"text")).as("word"))
+      val counts = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      val totals = words.groupBy($"doc_id").agg(count(lit(1)).as("total"))
+      val docFreq = words.select($"doc_id", $"word").distinct()
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      val tf = counts.join(totals, "doc_id")
+        .select($"doc_id", $"word", ($"n".cast("double") / $"total").as("tf"))
+      tf.join(docFreq, "word")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .select($"doc_id", $"word",
+          // round to 6dp: JVM Math.log and libm log may differ 1 ulp
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
+    },
+  )
+
+  private def tok(e: String) = OracleFragments.tokenize(e)
+  private def ws(e: String) = OracleFragments.wsTokens(e)
+
+  override def oracle: Map[String, String] = Map(
+    "p1_wordcount" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest(${tok("text")}) AS word FROM documents)
+         |GROUP BY word""".stripMargin,
+
+    "p2_format" ->
+      s"""SELECT format('{}: {}', word, n) AS line
+         |FROM (SELECT word, count(*) AS n
+         |      FROM (SELECT unnest(${tok("text")}) AS word FROM documents)
+         |      GROUP BY word)""".stripMargin,
+
+    "p5_regex_filter" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN regexp_matches(text, 'merge|vector') THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  CAST(sum(CASE WHEN regexp_matches(text, 'merge|vector') THEN 0 ELSE 1 END) AS BIGINT) AS unmatched
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "x1_token_stats" ->
+      s"""SELECT doc_id,
+         |  len(${ws("text")}) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(${ws("text")}, w -> len(w)::BIGINT)),
+         |    (a, b) -> a + b)::DOUBLE / len(${ws("text")}) AS mean_token_len
+         |FROM documents""".stripMargin,
+
+    "x2_langid" -> {
+      val hits = langProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(${ws("text")}, w -> list_contains($lst, w))) AS ${lang}_hits"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |       WHEN fr_hits >= es_hits THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $hits
+         |FROM documents)""".stripMargin
+    },
+
+    "x3_quality" -> {
+      val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id, text, ${ws("text")} AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE
+         |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN len(text) > 0 THEN
+         |      (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |        / len(text)::DOUBLE ELSE 0.0 END AS punct_ratio
+         |  FROM f)
+         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+         |  stop_ratio * 0.4 + least(n_tokens::DOUBLE / 80.0, 1.0) * 0.3
+         |    + (1.0 - punct_ratio) * 0.3 AS quality,
+         |  (stop_ratio * 0.4 + least(n_tokens::DOUBLE / 80.0, 1.0) * 0.3
+         |    + (1.0 - punct_ratio) * 0.3) >= 0.3 AS keep
+         |FROM g""".stripMargin
+    },
+
+    "x4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(${ws("text")}, w -> ${OracleFragments.javaHash("w")})),
+         |    (acc, x) -> ((acc * 31 + x) % 1000000007 + 1000000007) % 1000000007) AS fp
+         |FROM documents""".stripMargin,
+
+    "j2_tf" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents)
+         |SELECT doc_id, word,
+         |  count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+         |FROM w GROUP BY doc_id, word""".stripMargin,
+
+    "j3_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents),
+         |tf AS (
+         |  SELECT doc_id, word,
+         |    count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+         |  FROM w GROUP BY doc_id, word),
+         |df AS (
+         |  SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+         |d AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, tf.word AS word, round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+         |FROM tf JOIN df ON tf.word = df.word CROSS JOIN d""".stripMargin,
+  )
+}
