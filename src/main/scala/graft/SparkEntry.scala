@@ -17,6 +17,7 @@ object SparkEntry {
     TextAnalytics,
     Dedup,
     Similarity,
+    Behavioral,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

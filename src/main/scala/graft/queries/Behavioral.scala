@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.HashFunctions
+import graft.operators.{KeyedOps, OrderedFold}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Gaming/traffic-shaped operators over the `events` stream table — the
+  * remaining batch rows of SURVEY §2 (P3/P8/P11/P15-P17, A3/A4/A6/A9/A10/
+  * A11/A12/A14/A16, T3). Streaming counterparts live in `graft.streaming`;
+  * these batch forms share the identical column expressions.
+  */
+object Behavioral extends QueryModule {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 6) =
+    sum(c.cast(s"decimal(22,$scale)")).cast("double")
+
+  override def queries: Map[String, Q] = Map(
+    // P3+A3: KV projection + per-key integer sum (reference UserScore,
+    // `UserScore.scala:171-175`). One shuffle, map-side combined.
+    "a3_sum_per_key" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", $"value")
+        .groupBy($"user_id")
+        .agg(dsum($"value").as("total_value"))
+    },
+
+    // A4: global sum (reference `Sum.longsGlobally`, `AutoComplete.scala:135-137`).
+    "a4_sum_global" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir).agg(dsum($"value").as("total"))
+    },
+
+    // A6: global mean (reference `Mean.globally`, `GameStats.scala:166`).
+    "a6_mean_global" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .agg((dsum($"value") / count(lit(1))).as("mean_value"))
+    },
+
+    // A9: collapse group to constant — session existence marker
+    // (reference `Combine.perKey(_ => 0)`, `GameStats.scala:155-157`).
+    "a9_session_marker" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+        .agg(lit(0).cast("int").as("marker"))
+        .select($"user_id", $"w.start".as("s_start"), $"marker")
+    },
+
+    // A10: full per-key grouping with downstream iteration (reference
+    // `GroupByKey` + ParDo, `TriggerExample.scala:313-336`) — sorted
+    // event-id list per user, deterministic under shuffle order.
+    "a10_group_collect" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(array_join(array_sort(collect_list($"event_id".cast("string"))), ",")
+          .as("event_ids"))
+    },
+
+    // A11: per-key ordered fold (reference TrafficRoutes slowdown
+    // detection, `TrafficRoutes.scala:207-250`): order a user's events by
+    // time, compare each value to the first-seen value for its event_type,
+    // count drops/rises, flag slowdown iff drops >= 2*rises. Typed
+    // mapGroups — the genuinely-imperative escape hatch.
+    "a11_ordered_fold" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type", $"value")
+        .as[(Long, Long, Long, String, Double)]
+      OrderedFold.foldSortedGroups(
+        ev, (r: (Long, Long, Long, String, Double)) => r._1,
+        Ordering.by((r: (Long, Long, Long, String, Double)) => (r._3, r._2))) {
+        (user, rows) =>
+          val firstSeen = scala.collection.mutable.Map.empty[String, Double]
+          var drops = 0L; var rises = 0L
+          rows.foreach { case (_, _, _, etype, v) =>
+            firstSeen.get(etype) match {
+              case None => firstSeen(etype) = v
+              case Some(f) =>
+                if (v < f) drops += 1 else if (v > f) rises += 1
+            }
+          }
+          (user, drops, rises, drops >= 2 * rises)
+      }.toDF("user_id", "n_drops", "n_rises", "slowdown")
+    },
+
+    // A12: post-group sum + count (reference `TriggerExample.scala:327-336`).
+    "a12_sum_count" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(dsum($"value").as("total"), count(lit(1)).as("n"))
+    },
+
+    // A14: keys projection (reference `Keys.create`, `TfIdf.scala:197`).
+    "a14_keys" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir).select($"user_id").distinct()
+    },
+
+    // A16: observability metrics (reference `Metrics.counter`,
+    // `WordCount.scala:73-76`) — df.observe side-channel; the observed
+    // values are also the query result so the oracle checks them.
+    "a16_metrics" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .observe("a16", count(lit(1)).as("n_events"),
+          sum(when($"value" < 0, 1).otherwise(0)).as("n_negative"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"value" < 0, 1).otherwise(0)).cast("bigint").as("n_negative"))
+    },
+
+    // P8: regex find-all + explode (reference hashtag extractor,
+    // `AutoComplete.scala:352-360`) — integer tokens mined from props.
+    "p8_extract_explode" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(explode(expr("regexp_extract_all(props, '(\\\\d+)', 1)"))
+          .as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // P11: multi-branch fan-out over one input (reference 4-variant
+    // trigger demo, `TriggerExample.scala:78-99`): one cached scan, four
+    // derived aggregates, unioned with a branch tag.
+    "p11_multibranch" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type", $"value")
+      val branches = Seq(
+        ("all", ev),
+        ("positive", ev.filter($"value" > 0)),
+        ("large", ev.filter($"value" > 100)),
+        ("clicks", ev.filter($"event_type" === "click")))
+      branches.map { case (tag, df) =>
+        df.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(tag).as("branch"), $"event_type", $"n")
+      }.reduce(_ unionAll _)
+    },
+
+    // P15: tiny hardwired lookup map joined broadcast-style (reference
+    // station→route map, `TrafficRoutes.scala:182-199,310-316`).
+    "p15_lookup_join" -> { (s, dir) =>
+      import s.implicits._
+      val lookup = s.createDataFrame(Seq(
+        ("click", "interactive"), ("view", "passive"),
+        ("purchase", "commerce"), ("login", "auth"))).toDF("event_type", "category")
+      Tables.events(s, dir)
+        .join(broadcast(lookup), Seq("event_type"), "left_outer")
+        .groupBy(coalesce($"category", lit("other")).as("category"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+    },
+
+    // P16: validity filtering (reference flow-record checks,
+    // `TriggerExample.scala:367-386`): structural + range predicates.
+    "p16_validity_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .filter($"value" > 0 && $"user_id".isNotNull &&
+          length($"event_type") > 0 && $"event_type" =!= "header")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_valid"))
+    },
+
+    // P17: deterministic late-data injection (reference random-delay DoFn,
+    // `TriggerExample.scala:388-410`, made reproducible via the portable
+    // hash): ~1/600 of events delayed by 5 minutes.
+    "p17_late_inject" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("is_late", HashFunctions.knuthHash($"event_id") % 600 === 0)
+        .withColumn("adj_ts",
+          when($"is_late", $"ts" - expr("INTERVAL 5 MINUTES")).otherwise($"ts"))
+        .groupBy(window($"adj_ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum($"is_late".cast("long")).as("n_late"))
+        .select($"w.start".as("w_start"), $"n", $"n_late")
+    },
+
+    // T3: AutoComplete prefix top-K (flat form; recursive-trie variant in
+    // `graft.operators.PrefixTopK` is plan-identical in results —
+    // reference `AutoComplete.scala:257-321`). Word counts → explode
+    // prefixes (len 1-4) → top-3 words per prefix.
+    "t3_prefix_topk" -> { (s, dir) =>
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokenize($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+      val prefixed = counts
+        .select(explode(transform(
+          sequence(lit(1), least(length($"word"), lit(4))),
+          i => $"word".substr(lit(1), i))).as("prefix"),
+          $"word", $"n")
+      KeyedOps.topKPerKey(prefixed, Seq($"prefix"),
+          Seq($"n".desc, $"word".desc), 3)
+        .select($"prefix", $"word", $"n", $"rank")
+    },
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "a3_sum_per_key" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a4_sum_global" ->
+      "SELECT CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total FROM events",
+
+    "a6_mean_global" ->
+      """SELECT CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / count(*)
+        |  AS mean_value FROM events""".stripMargin,
+
+    "a9_session_marker" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |grp AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS s_start, 0::INTEGER AS marker
+        |FROM grp GROUP BY user_id, g""".stripMargin,
+
+    "a10_group_collect" ->
+      """SELECT user_id,
+        |  string_agg(event_id::VARCHAR, ',' ORDER BY event_id::VARCHAR)
+        |    AS event_ids
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a11_ordered_fold" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, value,
+        |    first_value(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS first_v,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN rn > 1 AND value < first_v THEN 1 ELSE 0 END) AS BIGINT) AS n_drops,
+        |  CAST(sum(CASE WHEN rn > 1 AND value > first_v THEN 1 ELSE 0 END) AS BIGINT) AS n_rises,
+        |  sum(CASE WHEN rn > 1 AND value < first_v THEN 1 ELSE 0 END)
+        |    >= 2 * sum(CASE WHEN rn > 1 AND value > first_v THEN 1 ELSE 0 END) AS slowdown
+        |FROM seq GROUP BY user_id""".stripMargin,
+
+    "a12_sum_count" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a14_keys" -> "SELECT DISTINCT user_id FROM events",
+
+    "a16_metrics" ->
+      """SELECT count(*) AS n_events,
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM events""".stripMargin,
+
+    "p8_extract_explode" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(props, '(\d+)', 1)) AS token
+        |      FROM events)
+        |GROUP BY token""".stripMargin,
+
+    "p11_multibranch" ->
+      """SELECT 'all' AS branch, event_type, count(*) AS n FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'positive', event_type, count(*) FROM events WHERE value > 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'large', event_type, count(*) FROM events WHERE value > 100 GROUP BY 2
+        |UNION ALL
+        |SELECT 'clicks', event_type, count(*) FROM events WHERE event_type = 'click' GROUP BY 2""".stripMargin,
+
+    "p15_lookup_join" ->
+      """WITH lookup(event_type, category) AS (VALUES
+        |  ('click', 'interactive'), ('view', 'passive'),
+        |  ('purchase', 'commerce'), ('login', 'auth'))
+        |SELECT coalesce(category, 'other') AS category, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+        |FROM events LEFT OUTER JOIN lookup USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    "p16_validity_filter" ->
+      """SELECT event_type, count(*) AS n_valid FROM events
+        |WHERE value > 0 AND user_id IS NOT NULL
+        |  AND len(event_type) > 0 AND event_type <> 'header'
+        |GROUP BY event_type""".stripMargin,
+
+    "p17_late_inject" ->
+      """WITH adj AS (
+        |  SELECT *,
+        |    ((event_id * 2654435761) % 4294967296) % 600 = 0 AS is_late,
+        |    CASE WHEN ((event_id * 2654435761) % 4294967296) % 600 = 0
+        |         THEN ts - INTERVAL 5 MINUTE ELSE ts END AS adj_ts
+        |  FROM events)
+        |SELECT date_trunc('hour', adj_ts) AS w_start, count(*) AS n,
+        |  CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM adj GROUP BY 1""".stripMargin,
+
+    "t3_prefix_topk" -> {
+      val tok = OracleFragments.tokenize("text")
+      s"""WITH counts AS (
+         |  SELECT word, count(*) AS n
+         |  FROM (SELECT unnest($tok) AS word FROM documents) GROUP BY word),
+         |prefixed AS (
+         |  SELECT substring(word, 1, i) AS prefix, word, n
+         |  FROM counts
+         |  CROSS JOIN (SELECT unnest([1,2,3,4]) AS i)
+         |  WHERE i <= len(word))
+         |SELECT prefix, word, n, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY prefix
+         |        ORDER BY n DESC, word DESC) AS rank FROM prefixed)
+         |WHERE rank <= 3""".stripMargin
+    },
+  )
+}
