@@ -17,6 +17,13 @@ object TextFunctions {
   def tokenize(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), w => length(w) > 0)
 
+  /** Case-preserving tokenizer with the reference's exact split —
+    * `"[^\\p{L}]+"` on any-letter (`MinimalWordCount.scala:41`); the
+    * golden DebuggingWordCount fixture is case-sensitive ("Flourish").
+    */
+  def tokenizeCased(text: Column): Column =
+    filter(split(text, "[^\\p{L}]+"), w => length(w) > 0)
+
   /** Whitespace token array (for token counting / shingling). */
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)

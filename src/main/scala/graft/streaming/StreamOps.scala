@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators covering SURVEY §2.7 (W1-W16).
+  *
+  * Batch/stream symmetry is the design invariant (reference pipelines run
+  * both ways off one graph, `AutoComplete.scala:73-86`): every transform
+  * here is a plain `DataFrame => DataFrame` built from `window()` /
+  * `session_window()` / watermark, so the same function applies to
+  * `spark.read` and `spark.readStream` inputs. State-machine semantics
+  * that Spark aggregation cannot express (threshold crossings W15,
+  * pane-by-pane emission W13-W14) use `flatMapGroupsWithState` — scale
+  * contract: state is per-key in the state store (RocksDB at scale), one
+  * shuffle on the key, no driver involvement.
+  */
+object StreamOps {
+
+  /** W1+W8: tumbling-window per-key counts with watermark. In streaming
+    * append mode a window emits once the watermark passes its end (Beam's
+    * `AfterWatermark.pastEndOfWindow` default trigger, W9); rows later
+    * than `lateness` beyond the watermark are dropped (Beam
+    * `withAllowedLateness` expiry, `LeaderBoard.scala:106,180`).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col(keyCol), col("n"))
+
+  /** W2: sliding-window sum (reference TrafficMaxLaneFlow windows,
+    * `TrafficMaxLaneFlow.scala:99-103`).
+    */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 valCol: String, windowDur: String, slide: String,
+                 lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur, slide).as("w"), col(keyCol))
+      .agg(sum(col(valCol)).as("total"))
+      .select(col("w.start").as("w_start"), col(keyCol), col("total"))
+
+  /** W3: session windows per key (reference `Sessions.withGapDuration`,
+    * `GameStats.scala:152`).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col(keyCol), col("n"))
+
+  /** W6: re-window across stages (reference `GameStats.scala:147-175`):
+    * sessionize, stamp each session with its END as new event time
+    * (`TimestampCombiner.END_OF_WINDOW`), then tumbling mean duration.
+    */
+  def sessionDurationMeans(events: DataFrame, tsCol: String, keyCol: String,
+                           gap: String, bucket: String,
+                           lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.end").as("session_end"),
+        (unix_micros(col("w.end")) - unix_micros(col("w.start"))).as("dur_us"))
+      .withWatermark("session_end", lateness)
+      .groupBy(window(col("session_end"), bucket).as("d"))
+      .agg((sum(col("dur_us")).cast("double") / count(lit(1)) / 6.0e7)
+        .as("avg_session_min"))
+      .select(col("d.start").as("day"), col("avg_session_min"))
+
+  // ---------------------------------------------------------------------
+  // W15: per-key threshold crossings (reference StatefulTeamScore,
+  // `StatefulTeamScore.scala:117-168`).
+
+  case class ScoreEvent(key: String, score: Long)
+  case class Crossing(key: String, total: Long, threshold: Long)
+
+  /** Emits (key, runningTotal) each time the per-key cumulative score
+    * crosses a multiple of `threshold` — `oldTotal/t < newTotal/t`
+    * (`StatefulTeamScore.scala:164`). First-read state defaults to 0,
+    * fixing the reference port's NPE (SURVEY §7.4 risk 3;
+    * `StatefulTeamScore.scala:156`).
+    */
+  def thresholdCrossings(ds: Dataset[ScoreEvent], threshold: Long)
+                        (implicit spark: org.apache.spark.sql.SparkSession)
+      : Dataset[Crossing] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Crossing](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[ScoreEvent], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer.empty[Crossing]
+          events.foreach { e =>
+            val old = total
+            total += e.score
+            if (old / threshold < total / threshold)
+              out += Crossing(key, total, threshold)
+          }
+          state.update(total)
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // W13+W14: pane-by-pane emission with metadata (reference
+  // `TriggerExample.scala:313-360`): per (key, window) the op emits one
+  // row per trigger that saw data — carrying the per-pane delta
+  // (discarding-panes semantics), the running total (accumulating-panes
+  // semantics), the pane index, and EARLY/ON_TIME/LATE timing derived
+  // from the watermark, which Spark's native aggregation does not expose.
+
+  case class PaneState(total: Long, paneIndex: Int, firedOnTime: Boolean)
+  case class Pane(key: String, windowStart: Timestamp, delta: Long,
+                  cumulative: Long, paneIndex: Int, timing: String)
+
+  /** Count events per (key, tumbling window), emitting one pane per
+    * trigger with Beam-style pane metadata. Input df needs `key` and a
+    * timestamp column `ts`; the watermark (which drives the EARLY/
+    * ON_TIME/LATE labels) is `max(ts) - lateness` as of the previous
+    * trigger.
+    */
+  def panedCounts(df: DataFrame, windowMs: Long, lateness: String)
+                 (implicit spark: org.apache.spark.sql.SparkSession)
+      : Dataset[Pane] = {
+    import spark.implicits._
+    implicit val stateEnc: Encoder[PaneState] = Encoders.product[PaneState]
+    df.withWatermark("ts", lateness)
+      // the watermarked ts attribute must remain in the operator's child
+      // output or getCurrentWatermarkMs() has no watermark to read
+      .select(col("key"),
+        (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(windowMs)))
+          .as("win_start_ms"),
+        col("ts"))
+      .as[(String, Long, Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[PaneState, Pane](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (kw: (String, Long), rows: Iterator[(String, Long, Timestamp)],
+         state: GroupState[PaneState]) =>
+          val prev = state.getOption.getOrElse(PaneState(0L, 0, firedOnTime = false))
+          val delta = rows.size.toLong
+          val cum = prev.total + delta
+          val wm = state.getCurrentWatermarkMs()
+          val windowEnd = kw._2 + windowMs
+          val timing =
+            if (wm < windowEnd) "EARLY"
+            else if (!prev.firedOnTime) "ON_TIME"
+            else "LATE"
+          state.update(PaneState(cum, prev.paneIndex + 1,
+            prev.firedOnTime || timing != "EARLY"))
+          Iterator.single(Pane(kw._1, new Timestamp(kw._2), delta, cum,
+            prev.paneIndex, timing))
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // W16/J6: window-aligned spam filter (reference GameStats,
+  // `GameStats.scala:102-130,184-192`): per fixed window, users whose
+  // total score exceeds `mult` × the window's mean user-total are
+  // spammers; team scores are computed from NON-spammer events (the
+  // documented anti-join — the reference port's code inverted it, SURVEY
+  // §2.5 J6).
+
+  /** Pure DataFrame => DataFrame; run per-microbatch via `foreachBatch`
+    * in streaming (both aggregates derive from the same window of the
+    * same source, so batch alignment is exact) or directly in batch.
+    */
+  def spamFilteredTeamScores(events: DataFrame, tsCol: String,
+                             windowDur: String, mult: Double): DataFrame = {
+    val userWindowTotals = events
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("user_id"))
+      .agg(sum(col("value")).as("user_total"))
+    val spammers = userWindowTotals
+      .groupBy(col("w"))
+      .agg(avg(col("user_total")).as("mean_total"))
+      .join(userWindowTotals, "w")
+      .filter(col("user_total") > col("mean_total") * lit(mult))
+      .select(col("w"), col("user_id"))
+    events
+      .withColumn("w", window(col(tsCol), windowDur))
+      .join(spammers, Seq("w", "user_id"), "left_anti")
+      .groupBy(col("w"), col("team"))
+      .agg(sum(col("value")).as("team_total"))
+      .select(col("w.start").as("w_start"), col("team"), col("team_total"))
+  }
+}

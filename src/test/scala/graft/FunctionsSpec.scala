@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+class FunctionsSpec extends SparkSpec {
+
+  test("javaStringHashCode matches java.lang.String.hashCode (property)") {
+    import spark.implicits._
+    val strings = Gen.listOfN(50, Gen.asciiPrintableStr).sample.get :+
+      "" :+ "Flourish" :+ "ünïcödé" :+ "a" * 100
+    val df = strings.toDF("s")
+      .select($"s", HashFunctions.javaStringHashCode($"s").as("h"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getString(0).hashCode,
+        s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("javaStringHashCode survives codegen and interpreted paths equally") {
+    import spark.implicits._
+    val df = Seq("spark", "graft", "").toDF("s")
+    val expected = Seq("spark".hashCode, "graft".hashCode, "".hashCode)
+    assert(df.select(HashFunctions.javaStringHashCode($"s"))
+      .collect().map(_.getInt(0)).toSeq == expected)
+  }
+
+  test("tokenize lowercases, splits on non-letters, drops empties") {
+    import spark.implicits._
+    val out = Seq("Hello, World!  42 foo_bar").toDF("t")
+      .select(TextFunctions.tokenize($"t")).as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "foo", "bar"))
+  }
+
+  test("tokenizeCased preserves case (reference semantics)") {
+    import spark.implicits._
+    val out = Seq("Flourish! and stomach?").toDF("t")
+      .select(TextFunctions.tokenizeCased($"t")).as[Seq[String]].head()
+    assert(out == Seq("Flourish", "and", "stomach"))
+  }
+
+  test("shingles: n-grams joined by space; short docs give empty array") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.wsTokens($"t"), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty)
+  }
+
+  test("knuthHash is within [0, 2^32) and deterministic") {
+    import spark.implicits._
+    val vals = Seq(0L, 1L, 42L, Int.MaxValue.toLong).toDF("x")
+      .select(HashFunctions.knuthHash($"x")).as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < 4294967296L))
+    assert(vals(1) == 2654435761L % 4294967296L)
+  }
+
+  test("stopwordRatio and punctRatio bounds") {
+    import spark.implicits._
+    val r = Seq("the cat!!!").toDF("t")
+      .select(
+        TextFunctions.stopwordRatio(TextFunctions.wsTokens($"t")).as("s"),
+        TextFunctions.punctRatio($"t").as("p"))
+      .head()
+    assert(r.getDouble(0) == 0.5) // "the" of ["the","cat!!!"]
+    assert(r.getDouble(1) == 0.3) // 3 of 10 chars
+  }
+}

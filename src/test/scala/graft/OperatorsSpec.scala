@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{KeyedOps, OrderedFold, PrefixTopK}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("topKPerKey keeps exactly k rows per key in total order") {
+    import spark.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8), ("a", 5))
+      .toDF("k", "v")
+    val out = KeyedOps.topKPerKey(df, Seq($"k"), Seq($"v".desc), 2)
+      .select($"k", $"v").as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 5), ("a", 3), ("b", 9), ("b", 8)))
+  }
+
+  test("salted top-k equals plain top-k (salting is pure perf)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"k${i % 7}", i, i * 31 % 97)).toDF("k", "id", "v")
+    val plain = KeyedOps.topKPerKey(df, Seq($"k"), Seq($"v".desc, $"id".desc), 5)
+      .select($"k", $"id", $"v", $"rank").collect().toSet
+    val salted = KeyedOps.topKPerKeySalted(df, Seq($"k"), Seq($"v".desc, $"id".desc), 5, fanout = 4)
+      .select($"k", $"id", $"v", $"rank").collect().toSet
+    assert(plain == salted)
+  }
+
+  test("argMaxPerKey returns the full arg-max row, deterministic on ties") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0, 1L), ("a", 10.0, 2L), ("b", 5.0, 3L)).toDF("k", "v", "id")
+    val out = KeyedOps.argMaxPerKey(df, Seq($"k"),
+        ord = Seq($"v".as("__v"), $"id".as("__id")),
+        payload = Seq("v" -> $"v", "id" -> $"id"))
+      .select($"k", $"v", $"id").as[(String, Double, Long)].collect().toSet
+    assert(out == Set(("a", 10.0, 2L), ("b", 5.0, 3L))) // tie -> max id wins
+  }
+
+  test("recursive prefix top-k == flat prefix top-k") {
+    import spark.implicits._
+    val words = Seq("spark", "spare", "spoon", "spa", "sp", "s", "query",
+      "quern", "quest", "q").zipWithIndex
+      .map { case (w, i) => (w, (i * 7 % 5 + 1).toLong) }
+      .toDF("word", "n")
+    val flat = PrefixTopK.flat(words, maxLen = 4, k = 2)
+      .select($"prefix", $"word", $"n", $"rank").collect().toSet
+    val rec = PrefixTopK.recursive(words, maxLen = 4, k = 2)
+      .select($"prefix", $"word", $"n", $"rank").collect().toSet
+    assert(flat == rec)
+    assert(flat.nonEmpty)
+  }
+
+  test("orderedFold sorts each group before folding") {
+    import spark.implicits._
+    val ds = Seq((1L, 30L, "c"), (1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "z"))
+      .toDS()
+    val out = OrderedFold.foldSortedGroups(
+      ds, (r: (Long, Long, String)) => r._1,
+      Ordering.by((r: (Long, Long, String)) => r._2)) {
+      (k, rows) => (k, rows.map(_._3).mkString)
+    }.collect().toSet
+    assert(out == Set((1L, "abc"), (2L, "z")))
+  }
+
+  test("withGlobalAgg broadcasts a single-row aggregate to every row") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val out = KeyedOps.withGlobalAgg(df, avg($"v").as("m"))
+      .filter($"v" > $"m").as[(Double, Double)].collect().toSet
+    assert(out == Set((3.0, 2.5), (4.0, 2.5)))
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("W1/W8: windowed counts in append mode drop late rows past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = StreamOps.windowedCounts(
+      in.toDF().toDF("ts", "key"), "ts", "key", "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("w1_test")
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): two on-time events
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      // advance watermark past 10:10 + 5min lateness => first window closes
+      in.addData((ts(21), "a"))
+      q.processAllAvailable()
+      // this event is for the closed window -> dropped (beyond lateness)
+      in.addData((ts(4), "a"))
+      q.processAllAvailable()
+      // close everything out
+      in.addData((ts(59), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("w1_test")
+        .select($"w_start", $"key", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "a", 2L)),
+        s"late row must not inflate the closed window: $rows")
+      assert(rows.contains((ts(0), "b", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("W3: session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val sessions = StreamOps.sessionCounts(
+      in.toDF().toDF("ts", "key"), "ts", "key", "5 minutes", "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("w3_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "u"), (ts(3), "u"), (ts(20), "u"))
+      q.processAllAvailable()
+      in.addData((ts(40), "u")) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.table("w3_test")
+        .select($"s_start", $"s_end", $"n").as[(Timestamp, Timestamp, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), ts(8), 2L)), s"got $rows")  // 10:03 + 5min gap
+      assert(rows.contains((ts(20), ts(25), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("W15: threshold crossings emit once per multiple crossed, state survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.ScoreEvent]
+    val out = StreamOps.thresholdCrossings(in.toDS(), threshold = 10L)
+    val q = out.writeStream.format("memory").queryName("w15_test")
+      .outputMode("update").start()
+    try {
+      in.addData(StreamOps.ScoreEvent("red", 6), StreamOps.ScoreEvent("red", 6))
+      q.processAllAvailable() // total 12 -> crossed 10
+      in.addData(StreamOps.ScoreEvent("red", 3))
+      q.processAllAvailable() // total 15 -> no new multiple
+      in.addData(StreamOps.ScoreEvent("red", 7))
+      q.processAllAvailable() // total 22 -> crossed 20
+      val rows = spark.table("w15_test").as[StreamOps.Crossing]
+        .collect().map(c => (c.key, c.total)).toSet
+      assert(rows == Set(("red", 12L), ("red", 22L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("W13/W14: panes carry delta, cumulative, index and EARLY/ON_TIME/LATE timing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val panes = StreamOps.panedCounts(
+      in.toDF().toDF("ts", "key"), windowMs = 600000L, lateness = "0 seconds")
+    val q = panes.writeStream.format("memory").queryName("w13_test")
+      .outputMode("update").start()
+    try {
+      in.addData((ts(1), "k"), (ts(2), "k"))
+      q.processAllAvailable() // watermark still below window end -> EARLY
+      in.addData((ts(3), "k"))
+      q.processAllAvailable() // still EARLY, pane index 1
+      in.addData((ts(15), "x"))
+      q.processAllAvailable() // watermark -> 10:15 past end 10:10
+      in.addData((ts(5), "k"))
+      q.processAllAvailable() // first firing at/after watermark>end -> ON_TIME
+      in.addData((ts(6), "k"))
+      q.processAllAvailable() // subsequent -> LATE
+      val rows = spark.table("w13_test").as[StreamOps.Pane].collect()
+        .filter(_.key == "k")
+        .map(p => (p.delta, p.cumulative, p.paneIndex, p.timing)).toSet
+      assert(rows == Set(
+        (2L, 2L, 0, "EARLY"),
+        (1L, 3L, 1, "EARLY"),
+        (1L, 4L, 2, "ON_TIME"),
+        (1L, 5L, 3, "LATE")), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("W16/J6: spam filter excludes outlier users from team totals (anti-join)") {
+    import spark.implicits._
+    val events = Seq(
+      (ts(1), 1L, "red", 10.0), (ts(2), 2L, "red", 12.0),
+      (ts(3), 3L, "blue", 11.0), (ts(4), 4L, "blue", 500.0) // user 4 spams
+    ).toDF("ts", "user_id", "team", "value")
+    val out = StreamOps.spamFilteredTeamScores(events, "ts", "60 minutes", mult = 2.5)
+      .select($"team", $"team_total").as[(String, Double)].collect().toMap
+    assert(out == Map("red" -> 22.0, "blue" -> 11.0), s"got $out")
+  }
+
+  test("W6: session re-windowing produces daily mean session durations") {
+    import spark.implicits._
+    val events = Seq(
+      (ts(0), "u1"), (ts(4), "u1"),   // session: 10:00-10:09 (4min + 5 gap)
+      (ts(30), "u2")                   // session: 10:30-10:35
+    ).toDF("ts", "key")
+    val out = StreamOps.sessionDurationMeans(events, "ts", "key",
+        gap = "5 minutes", bucket = "1 day", lateness = "0 seconds")
+      .as[(Timestamp, Double)].collect().toSet
+    assert(out == Set((Timestamp.valueOf("2024-01-01 00:00:00"), 7.0)),
+      s"got $out") // (9 + 5)/2 = 7 minutes
+  }
+}

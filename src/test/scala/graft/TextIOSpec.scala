@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{Injector, TextIO}
+import org.apache.spark.sql.functions._
+
+class TextIOSpec extends SparkSpec {
+
+  test("S1/S2: write-read text roundtrip with sharding") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text").toString + "/out"
+    val lines = (1 to 100).map(i => s"line-$i")
+    TextIO.writeLines(lines.toDS(), dir, shards = 3)
+    val back = TextIO.readLines(spark, dir).collect().toSet
+    assert(back == lines.toSet)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".txt")) == 3)
+  }
+
+  test("S10: keyed-by-file read tags each line with its source uri") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_multi")
+    Files.write(base.resolve("a.txt"), "alpha\nbeta".getBytes)
+    Files.write(base.resolve("b.txt"), "gamma".getBytes)
+    val df = TextIO.readLinesKeyedByFile(spark, base.toString)
+    val rows = df.select(element_at(split($"uri", "/"), -1).as("f"), $"line")
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("a.txt", "alpha"), ("a.txt", "beta"), ("b.txt", "gamma")))
+  }
+
+  test("S4: windowed write creates one directory per window partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_win").toString + "/out"
+    val df = Seq(("2024-01-01 10:00:00", "x: 3"), ("2024-01-01 11:00:00", "y: 4"))
+      .toDF("w_start", "line")
+    TextIO.writeWindowedText(df, "w_start", dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(parts.exists(_.startsWith("w_start=2024-01-01 10")), s"got $parts")
+    assert(parts.size == 2)
+  }
+
+  test("S12: injector lateness model is deterministic") {
+    val ev = Injector.events(n = 20, keys = Seq("a", "b"), baseMs = 0L,
+      stepMs = 1000L, lateEvery = 5, delayMs = 60000L)
+    assert(ev.count(e => e.eventTimeMs != e.arrivalMs) == 4)
+    assert(ev == Injector.events(20, Seq("a", "b"), 0L, 1000L, 5, 60000L))
+  }
+}
