@@ -27,4 +27,21 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
+
+  /** JVM-side cosine with the IDENTICAL operation order as `cosine`
+    * (left-fold of double-promoted products, then dot/(normA*normB)) —
+    * bit-for-bit the same result, but JIT-compiled. Catalyst higher-order
+    * functions run interpreted per element, which dominates pairwise
+    * loops (N·M·dim); hot pairwise paths use this inside `mapPartitions`.
+    */
+  def cosineJvm(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

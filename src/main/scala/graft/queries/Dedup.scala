@@ -113,8 +113,11 @@ object Dedup extends QueryModule {
     // exact Hamming filter via bit_count(xor).
     "d4_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
+      // cache: the self-join would otherwise evaluate the (interpreted
+      // higher-order) simhash expression once per join side
       val sh = Tables.documents(s, dir)
         .select($"doc_id", simhash($"text").as("simhash"))
+        .cache()
       val bands = sh.select($"doc_id", $"simhash", posexplode(
           array((0 until 4).map(b =>
             shiftright($"simhash", b * 8).bitwiseAND(lit(255L))): _*)))
