@@ -1,0 +1,24 @@
+package graft
+
+/** Plan-inspection tool: prints the formatted physical plan of the named
+  * queries (default: the headline set) against an sf dir. Used to audit
+  * the scale contract — PushedFilters reaching the parquet scan, pruned
+  * ReadSchema, broadcast joins on dim sides, WholeStageCodegen spans.
+  *
+  * Usage: runMain graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q3_shipping", "q5_nation_revenue", "j1_left_outer",
+        "t1_topk_per_key", "p6_filter_project")
+    val spark = graft.core.GraftSession.local(8, "graft-explain")
+    names.foreach { q =>
+      println(s"===== $q =====")
+      SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -34,6 +34,17 @@ object TextIO {
   def writeLines(ds: Dataset[String], dir: String, shards: Int = 1): Unit =
     ds.repartition(shards).write.mode("overwrite").text(dir)
 
+  /** S3: CSV-formatted write / read with explicit schema (reference
+    * `TfIdf.scala:386-393` writes CSV text; schema-on-read is explicit —
+    * no runtime inference pass over 100 TB).
+    */
+  def writeCsv(df: DataFrame, dir: String, shards: Int = 1): Unit =
+    df.repartition(shards).write.mode("overwrite").option("header", "true").csv(dir)
+
+  def readCsv(spark: SparkSession, dir: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(dir)
+
   /** S4 batch: one output directory per window — `partitionBy` on the
     * window-start column (reference windowed `FilenamePolicy`,
     * `WriteOneFilePerWindow.java:46-116`).

@@ -40,6 +40,30 @@ class TextIOSpec extends SparkSpec {
     assert(parts.size == 2)
   }
 
+  test("S3: CSV write-read roundtrip with explicit schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "name", "v")
+    TextIO.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = TextIO.readCsv(spark, dir, schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", -0.25)))
+  }
+
+  test("S7: parquet table sink honors overwrite and append dispositions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pq").toString + "/t"
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    Seq((2L, "y")).toDF("k", "v").write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 2)
+    Seq((3L, "z")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((3L, "z")))
+  }
+
   test("S12: injector lateness model is deterministic") {
     val ev = Injector.events(n = 20, keys = Seq("a", "b"), baseMs = 0L,
       stepMs = 1000L, lateEvery = 5, delayMs = 60000L)
