@@ -93,7 +93,10 @@ object Relational extends QueryModule {
     "p13_parse_tolerant" -> { (s, dir) =>
       import s.implicits._
       Tables.events(s, dir)
-        .withColumn("k", regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int"))
+        // try_cast, not cast: ANSI mode (Spark 4 default) throws on ''
+        // from a non-matching regexp_extract — tolerance must be explicit
+        .withColumn("k", expr(
+          "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS INT)"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
              sum(when($"k".isNull, 1).otherwise(0)).cast("bigint").as("parse_errors"),

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.functions.HashFunctions
+import graft.operators.KeyedOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants (SURVEY §5): deterministic scalacheck
+  * generators (fixed seed — CI-reproducible), Spark-evaluated assertions.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  private val tsGen: Gen[Long] = // micros across ~3 days
+    Gen.chooseNum(0L, 3L * 86400 * 1000000)
+
+  test("tumbling windows partition the timeline: every event in exactly one window") {
+    import spark.implicits._
+    val events = sample(tsGen, 500).map(us => new Timestamp(us / 1000))
+      .toDF("ts")
+    val n = events.count()
+    val windowed = events.groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("c"))
+    assert(windowed.agg(sum($"c")).head.getLong(0) == n)
+    // window bounds actually contain their events
+    val bad = events.select($"ts", window($"ts", "1 hour").as("w"))
+      .filter($"ts" < $"w.start" || $"ts" >= $"w.end").count()
+    assert(bad == 0)
+  }
+
+  test("sliding windows assign exactly duration/slide windows per event") {
+    import spark.implicits._
+    val events = sample(tsGen, 300).map(us => new Timestamp(us / 1000))
+      .toDF("ts")
+    val n = events.count()
+    val windowed = events
+      .groupBy(window($"ts", "1 hour", "15 minutes")).agg(count(lit(1)).as("c"))
+    assert(windowed.agg(sum($"c")).head.getLong(0) == n * 4)
+  }
+
+  test("session windows partition events and sessions are gap-separated") {
+    import spark.implicits._
+    val events = sample(Gen.zip(Gen.chooseNum(1L, 5L), tsGen), 400)
+      .map { case (u, us) => (u, new Timestamp(us / 1000)) }
+      .toDF("user_id", "ts")
+    val n = events.count()
+    val sessions = events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("c"))
+    assert(sessions.agg(sum($"c")).head.getLong(0) == n)
+    // consecutive sessions of one user are >= gap apart
+    val gaps = sessions
+      .withColumn("prev_end", lag($"w.end", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"w.start")))
+      .filter($"prev_end".isNotNull &&
+        $"w.start" < $"prev_end")
+      .count()
+    assert(gaps == 0)
+  }
+
+  test("tolerant parsing never throws and classifies every row (P13)") {
+    import spark.implicits._
+    val junk = sample(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("{\"k\": 12}"),
+      Gen.const("{\"k\": }"), Gen.asciiPrintableStr), 500)
+    val df = junk.toDF("props")
+      .withColumn("k", expr(
+        "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS INT)"))
+    val total = df.count()
+    val classified = df.filter($"k".isNotNull).count() +
+      df.filter($"k".isNull).count()
+    assert(classified == total)
+  }
+
+  test("salted top-k == plain top-k on random skewed data") {
+    import spark.implicits._
+    val rows = sample(Gen.zip(Gen.oneOf("hot", "hot", "hot", "a", "b"),
+      Gen.chooseNum(0, 1000000)), 2000)
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("k", "v", "id")
+    val plain = KeyedOps.topKPerKey(rows, Seq($"k"), Seq($"v".desc, $"id".desc), 7)
+      .select($"k", $"id").collect().toSet
+    val salted = KeyedOps.topKPerKeySalted(rows, Seq($"k"),
+        Seq($"v".desc, $"id".desc), 7, fanout = 8)
+      .select($"k", $"id").collect().toSet
+    assert(plain == salted)
+  }
+
+  test("hash sampling rate concentrates near the target fraction") {
+    import spark.implicits._
+    val ids = (0L until 20000L).toDF("id")
+    val kept = ids.filter(HashFunctions.hashSample($"id", 0.1)).count()
+    assert(kept > 1600 && kept < 2400, s"kept $kept of 20000 at frac 0.1")
+  }
+
+  test("MinHash signature agreement estimates Jaccard (sanity bound)") {
+    import spark.implicits._
+    // identical sets -> identical signatures; disjoint sets -> (almost
+    // surely) different first components
+    val h = (c: org.apache.spark.sql.Column) =>
+      pmod(HashFunctions.javaStringHashCode(c).cast("long"), lit(4294967296L))
+    val df = Seq(
+      ("x", Seq("a b c", "b c d")), ("y", Seq("a b c", "b c d")),
+      ("z", Seq("p q r", "q r s"))).toDF("id", "shingles")
+    val sig2 = df.select($"id", explode($"shingles").as("s"))
+      .select($"id", h($"s").as("hs"))
+      .groupBy($"id").agg(min($"hs").as("m0"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sig2("x") == sig2("y"))
+    assert(sig2("x") != sig2("z"))
+  }
+}
