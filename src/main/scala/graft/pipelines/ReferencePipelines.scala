@@ -80,6 +80,26 @@ object ReferencePipelines {
     if (recursive) PrefixTopK.recursive(wordCounts, maxPrefix, k)
     else PrefixTopK.flat(wordCounts, maxPrefix, k)
 
+  /** UserScore CSV ingestion (`UserScore.scala:125-154`, FIXTURES.md §1):
+    * `user,team,score,timestamp_ms[,readable]` with malformed rows
+    * dropped and counted (observe metric `parse_errors`) — try_cast keeps
+    * tolerance explicit under ANSI mode.
+    */
+  def parseGameEvents(lines: Dataset[String]): DataFrame =
+    lines.select(split(col("value"), ",", -1).as("f"))
+      .select(
+        // try_element_at + try_cast: short/garbage rows yield NULLs (not
+        // ANSI runtime errors) and are counted + dropped below
+        trim(expr("try_element_at(f, 1)")).as("user"),
+        trim(expr("try_element_at(f, 2)")).as("team"),
+        expr("try_cast(try_element_at(f, 3) AS INT)").as("score"),
+        timestamp_millis(expr("try_cast(try_element_at(f, 4) AS BIGINT)")).as("ts"))
+      .observe("game_parse",
+        sum(when(col("score").isNull || col("ts").isNull, 1).otherwise(0))
+          .as("parse_errors"))
+      .filter(col("score").isNotNull && col("ts").isNotNull &&
+        length(col("user")) > 0)
+
   /** UserScore (`UserScore.scala:171-175`): events → per-user totals. */
   def userScore(events: DataFrame, keyCol: String = "user_id"): DataFrame =
     events.groupBy(col(keyCol)).agg(sum(col("value")).as("total_score"))

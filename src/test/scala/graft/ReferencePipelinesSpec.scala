@@ -85,6 +85,19 @@ class ReferencePipelinesSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == "s1" && r._3 == 10.0))
   }
 
+  test("parseGameEvents tolerates malformed CSV and counts errors (FIXTURES §1)") {
+    import spark.implicits._
+    val lines = Seq(
+      "user1_A,A,10,1445230923951,2015-11-02 09:09:28.224",
+      "user2_B,B,7,1445230923952",
+      "THIS IS NOT CSV",
+      "user3_C,C,notanumber,1445230923953",
+      "user4_D,D,3,alsobad").toDS()
+    val parsed = ReferencePipelines.parseGameEvents(lines)
+    val rows = parsed.select($"user", $"score").as[(String, Int)].collect().toSet
+    assert(rows == Set(("user1_A", 10), ("user2_B", 7)))
+  }
+
   test("SQL surface exposes java_string_hashcode via GraftExtensions") {
     val r = spark.sql("SELECT java_string_hashcode('Flourish') AS h")
       .collect().head.getInt(0)
