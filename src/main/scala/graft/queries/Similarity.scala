@@ -93,6 +93,42 @@ object Similarity extends QueryModule {
         .select($"q_id", $"vec_id", $"sim", $"rank")
     },
 
+    // V4: IVF-style ANN — coarse codebook (deterministic: the first 10
+    // vectors stand in for trained k-means centroids), every vector
+    // assigned to its nearest centroid (inverted lists), queries probe
+    // their nprobe=2 nearest lists and re-rank exactly within them. At
+    // 100 TB the inverted lists are the partition key: each probe touches
+    // corpus/n_centroids, not the corpus.
+    "v4_knn_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+      val cents = corpus.filter($"vec_id" < 10)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"))
+      // inverted-list assignment: nearest centroid per vector
+      val assign = graft.operators.KeyedOps.topKPerKey(
+          corpus.crossJoin(broadcast(cents))
+            .select($"vec_id", $"embedding", $"cid",
+              VectorFunctions.cosine($"embedding", $"c_emb").as("csim")),
+          Seq($"vec_id"), Seq($"csim".desc, $"cid"), 1, "crank")
+        .select($"vec_id", $"embedding", $"cid")
+      // queries probe their 2 nearest centroids
+      val probes = graft.operators.KeyedOps.topKPerKey(
+          corpus.filter($"vec_id" < QuerySetSize)
+            .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+            .crossJoin(broadcast(cents))
+            .select($"q_id", $"q_emb", $"cid",
+              VectorFunctions.cosine($"q_emb", $"c_emb").as("csim")),
+          Seq($"q_id"), Seq($"csim".desc, $"cid"), 2, "crank")
+        .select($"q_id", $"q_emb", $"cid")
+      val cands = assign.join(broadcast(probes), Seq("cid"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          VectorFunctions.cosine($"q_emb", $"embedding").as("sim"))
+      graft.operators.KeyedOps.topKPerKey(cands, Seq($"q_id"),
+          Seq($"sim".desc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"sim", $"rank")
+    },
+
     // D5: embedding near-duplicate pairs, cosine >= 0.4. Exact pairwise
     // with one side broadcast + JIT inner loop — the documented baseline;
     // the LSH-blocked variant (v3/d3) is the 100 TB path where neither
@@ -163,6 +199,35 @@ object Similarity extends QueryModule {
          |    ${cosineSql("q.embedding", "c.embedding")} AS sim
          |  FROM wb q JOIN wb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
+         |WHERE rank <= $K""".stripMargin,
+
+    "v4_knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 10),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crank = 1),
+         |probes AS (
+         |  SELECT q_id, q_emb, cid FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id < $QuerySetSize)
+         |  WHERE crank <= 2),
+         |cands AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    ${cosineSql("p.q_emb", "a.embedding")} AS sim
+         |  FROM assign a JOIN probes p ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.q_id)
          |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
