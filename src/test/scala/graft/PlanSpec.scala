@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-shape regression tests: the SCALE.md contract, asserted.
+  * These run against sf0.001 (plan shape is scale-invariant for these
+  * queries: dims are broadcast by explicit `broadcast()` hints, not by
+  * size estimation).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed into the parquet scan, schema pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate filter must reach the scan")
+    assert(!p.contains("l_partkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q3_shipping: all dims broadcast; fact side never shuffle-joins") {
+    val p = plan("q3_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "no shuffle join on the fact table")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "dim filter must push into the customer scan")
+  }
+
+  test("q5_nation_revenue: 4-way broadcast star join, single agg exchange") {
+    val p = plan("q5_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one shuffle: the final aggregation")
+  }
+
+  test("a7_argmax: ONE hash-agg shuffle, no window sort over the fact table") {
+    val p = plan("a7_argmax")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Window"), "argMax must not be a window function")
+    assert(p.contains("partial_max"), "map-side partial aggregation expected")
+  }
+
+  test("j1_left_outer: dim side broadcast") {
+    val p = plan("j1_left_outer")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
+  }
+
+  test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
+    // execute so AQE finalizes and codegen spans materialize in the plan
+    val df = SparkEntry.queries("a15_checksum")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan
+    assert("""\*\(\d+\) HashAggregate.*java_string_hashcode""".r
+      .findFirstIn(p).isDefined,
+      s"JavaStringHashCode must stay inside a codegen span:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "no UDFs in the hash path")
+  }
+}
