@@ -56,11 +56,11 @@ object Dedup extends QueryModule {
           $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
         .agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "doc_i")
-                   .withColumnRenamed("n_sh", "n_i"), "doc_i")
-        .join(sizes.withColumnRenamed("doc_id", "doc_j")
-                   .withColumnRenamed("n_sh", "n_j"), "doc_j")
+      common // broadcast the per-doc sizes: never shuffle the pair frame
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_i")
+                   .withColumnRenamed("n_sh", "n_i")), "doc_i")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_j")
+                   .withColumnRenamed("n_sh", "n_j")), "doc_j")
         .select($"doc_i", $"doc_j",
           ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
             .as("jaccard"))
