@@ -10,11 +10,21 @@ import org.apache.spark.sql.SparkSession
   * runtime, so oversizing is safe).
   */
 object GraftSession {
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  /** `rocksDbState = true` switches streaming state to the RocksDB
+    * provider — the production choice once per-key state exceeds heap
+    * (bounded memory, incremental checkpoints). Semantics identical;
+    * `StreamOpsSpec` exercises both providers.
+    */
+  def local(cores: Int = 32, appName: String = "graft",
+            rocksDbState: Boolean = false): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    if (rocksDbState) builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

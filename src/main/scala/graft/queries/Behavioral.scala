@@ -183,6 +183,21 @@ object Behavioral extends QueryModule {
         .select($"w.start".as("w_start"), $"n", $"n_late")
     },
 
+    // W2+A7 composite (the TrafficMaxLaneFlow shape end-to-end,
+    // `TrafficMaxLaneFlow.scala:99-103,245-308`): arg-max reading per
+    // (sliding window, event_type). Explodes each event into its 4
+    // windows BEFORE one hash agg — no window-function sort.
+    "q7_traffic_argmax" -> { (s, dir) =>
+      import s.implicits._
+      KeyedOps.argMaxPerKey(
+        Tables.events(s, dir)
+          .withColumn("w", window($"ts", "1 hour", "15 minutes")),
+        keys = Seq($"w.start".as("w_start"), $"event_type"),
+        ord = Seq($"value".as("__v"), $"event_id".as("__id")),
+        payload = Seq("value" -> $"value", "event_id" -> $"event_id"))
+        .select($"w_start", $"event_type", $"value", $"event_id")
+    },
+
     // T3: AutoComplete prefix top-K (flat form; recursive-trie variant in
     // `graft.operators.PrefixTopK` is plan-identical in results —
     // reference `AutoComplete.scala:257-321`). Word counts → explode
@@ -306,6 +321,18 @@ object Behavioral extends QueryModule {
         |SELECT date_trunc('hour', adj_ts) AS w_start, count(*) AS n,
         |  CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM adj GROUP BY 1""".stripMargin,
+
+    "q7_traffic_argmax" ->
+      """WITH slid AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i * INTERVAL 15 MINUTE
+        |      AS w_start,
+        |    event_type, value, event_id
+        |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i))
+        |SELECT w_start, event_type, value, event_id
+        |FROM (SELECT *, row_number() OVER (PARTITION BY w_start, event_type
+        |        ORDER BY value DESC, event_id DESC) AS rn
+        |      FROM slid)
+        |WHERE rn = 1""".stripMargin,
 
     "t3_prefix_topk" -> {
       val tok = OracleFragments.tokenize("text")

@@ -101,6 +101,33 @@ object Dedup extends QueryModule {
         .distinct()
     },
 
+    // D6: dedup MATERIALIZATION — the corpus with near-dups removed:
+    // drop any doc having a Jaccard>=0.5 partner with a smaller doc_id
+    // (deterministic one-pass keep rule; transitive closure would need
+    // iterative connected components — documented simplification, same
+    // rule the oracle applies). Anti-join on the pair set.
+    "d6_dedup_corpus" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingled(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val losers = sh.as("a")
+        .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
+          $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_i")
+          .withColumnRenamed("n_sh", "n_i")), "doc_i")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_j")
+          .withColumnRenamed("n_sh", "n_j")), "doc_j")
+        .filter($"n_common".cast("double") /
+          ($"n_i" + $"n_j" - $"n_common") >= 0.5)
+        .select($"doc_j".as("doc_id")).distinct()
+      Tables.documents(s, dir)
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"))
+    },
+
     // D4a: 32-bit SimHash per document (token-frequency-weighted bit
     // votes over Java-hashed tokens). Pure rowwise — no shuffle at all.
     "d4_simhash" -> { (s, dir) =>
@@ -247,6 +274,22 @@ object Dedup extends QueryModule {
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id""".stripMargin
     },
+
+    "d6_dedup_corpus" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |losers AS (
+         |  SELECT DISTINCT doc_j AS doc_id FROM (
+         |    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) c
+         |  JOIN sz x ON c.doc_i = x.doc_id
+         |  JOIN sz y ON c.doc_j = y.doc_id
+         |  WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) >= 0.5)
+         |SELECT lang, count(*) AS n_kept FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY lang""".stripMargin,
 
     "d4_simhash" -> simhashSql,
 

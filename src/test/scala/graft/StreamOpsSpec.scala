@@ -112,6 +112,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W15 under RocksDB state store: identical semantics to the default provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamOps.ScoreEvent]
+      val out = StreamOps.thresholdCrossings(in.toDS(), threshold = 10L)
+      val q = out.writeStream.format("memory").queryName("w15_rocks")
+        .outputMode("update").start()
+      try {
+        in.addData(StreamOps.ScoreEvent("red", 6), StreamOps.ScoreEvent("red", 6))
+        q.processAllAvailable()
+        in.addData(StreamOps.ScoreEvent("red", 9))
+        q.processAllAvailable() // total 21 -> crossed 20
+        val rows = spark.table("w15_rocks").as[StreamOps.Crossing]
+          .collect().map(c => (c.key, c.total)).toSet
+        assert(rows == Set(("red", 12L), ("red", 21L)), s"got $rows")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("W16/J6: spam filter excludes outlier users from team totals (anti-join)") {
     import spark.implicits._
     val events = Seq(
