@@ -145,6 +145,22 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Map("red" -> 22.0, "blue" -> 11.0), s"got $out")
   }
 
+  test("GameStats composed: spam report + filtered team scores agree") {
+    import spark.implicits._
+    val events = Seq(
+      (ts(1), 1L, "red", 10.0), (ts(2), 2L, "red", 12.0),
+      (ts(3), 3L, "blue", 11.0), (ts(4), 4L, "blue", 500.0)
+    ).toDF("ts", "user_id", "team", "value")
+    val spammers = graft.streaming.GameStats
+      .spammerReport(events, "60 minutes", 2.5)
+      .select($"user_id").as[Long].collect().toSet
+    assert(spammers == Set(4L))
+    val teams = graft.streaming.GameStats
+      .teamScores(events, "60 minutes", 2.5)
+      .select($"team", $"team_total").as[(String, Double)].collect().toMap
+    assert(teams == Map("red" -> 22.0, "blue" -> 11.0))
+  }
+
   test("W6: session re-windowing produces daily mean session durations") {
     import spark.implicits._
     val events = Seq(
