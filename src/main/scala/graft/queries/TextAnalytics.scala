@@ -137,8 +137,11 @@ object TextAnalytics extends QueryModule {
     "j3_tfidf" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
+      // the diamond DAG reads `words` 3x (counts/totals/df) — cache the
+      // exploded base once (reference caches the base PCollection, §3.3)
       val words = docs
         .select($"doc_id", explode(TextFunctions.tokenize($"text")).as("word"))
+        .cache()
       val counts = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
       val totals = words.groupBy($"doc_id").agg(count(lit(1)).as("total"))
       val docFreq = words.select($"doc_id", $"word").distinct()
