@@ -129,6 +129,23 @@ object Similarity extends QueryModule {
         .select($"q_id", $"vec_id", $"sim", $"rank")
     },
 
+    // V5: per-label centroid (element-wise mean embedding) — grouped
+    // VECTOR aggregation: posexplode to (label, dim) then ONE hash agg;
+    // decimal accumulation keeps the float sum order-insensitive (exact),
+    // so the result is reproducible under any partitioning. Long-form
+    // output (label, pos, m) — at 100 TB this is the shuffle-friendly
+    // shape (centroid assembly is a trivial downstream collect_list).
+    "v5_label_centroids" -> { (s, dir) =>
+      import s.implicits._
+      emb(s, dir)
+        .select($"label", posexplode($"embedding"))
+        .groupBy($"label", $"pos")
+        .agg((sum($"col".cast("double").cast("decimal(22,8)")).cast("double")
+          / count(lit(1))).as("m"))
+        .select($"label".cast("bigint").as("label"),
+          $"pos".cast("bigint").as("pos"), $"m")
+    },
+
     // D5: embedding near-duplicate pairs, cosine >= 0.4. Exact pairwise
     // with one side broadcast + JIT inner loop — the documented baseline;
     // the LSH-blocked variant (v3/d3) is the 100 TB path where neither
@@ -232,6 +249,13 @@ object Similarity extends QueryModule {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
          |WHERE rank <= $K""".stripMargin,
+
+    "v5_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, i - 1 AS pos,
+        |  CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(22,8))) AS DOUBLE)
+        |    / count(*) AS m
+        |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -134,6 +134,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("W15 state survives a query restart from checkpoint (retry safety)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_w15_ckpt").toString
+    val in = MemoryStream[StreamOps.ScoreEvent]
+    // memory sinks don't support checkpoint recovery; foreachBatch does
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+    def start() = StreamOps.thresholdCrossings(in.toDS(), threshold = 10L)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.Crossing], _: Long) =>
+        batch.collect().foreach(c => got.add((c.key, c.total)))
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(StreamOps.ScoreEvent("red", 6), StreamOps.ScoreEvent("red", 6))
+      q1.processAllAvailable() // total 12 -> emits crossing 12
+    } finally q1.stop()
+    val q2 = start() // restart from checkpoint: state must resume at 12
+    try {
+      in.addData(StreamOps.ScoreEvent("red", 9))
+      q2.processAllAvailable() // 12 + 9 = 21 -> crossed 20
+      val rows = { import scala.jdk.CollectionConverters._; got.asScala.toSet }
+      assert(rows.contains(("red", 21L)),
+        s"restarted state must continue from 12: $rows")
+      assert(!rows.contains(("red", 9L)), "state must not reset on restart")
+    } finally q2.stop()
+  }
+
   test("W16/J6: spam filter excludes outlier users from team totals (anti-join)") {
     import spark.implicits._
     val events = Seq(
