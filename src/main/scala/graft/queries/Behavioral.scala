@@ -183,6 +183,26 @@ object Behavioral extends QueryModule {
         .select($"w.start".as("w_start"), $"n", $"n_late")
     },
 
+    // J6/W16 window-aligned map side input, oracle-checked batch form
+    // (reference GameStats spam filter, `GameStats.scala:102-130,184-192`,
+    // documented anti-join semantics): per hourly window, users above
+    // 2.5x the window's mean user-total are excluded from per-type totals.
+    "j6w_windowed_anti" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .withColumn("w", window($"ts", "1 hour"))
+      val userTotals = ev.groupBy($"w", $"user_id")
+        .agg(dsum($"value").as("user_total"))
+      val spammers = userTotals.groupBy($"w")
+        .agg((dsum($"user_total") / count(lit(1))).as("mean_total"))
+        .join(userTotals, "w")
+        .filter($"user_total" > $"mean_total" * 2.5)
+        .select($"w", $"user_id")
+      ev.join(spammers, Seq("w", "user_id"), "left_anti")
+        .groupBy($"w.start".as("w_start"), $"event_type")
+        .agg(dsum($"value").as("type_total"), count(lit(1)).as("n"))
+    },
+
     // W2+A7 composite (the TrafficMaxLaneFlow shape end-to-end,
     // `TrafficMaxLaneFlow.scala:99-103,245-308`): arg-max reading per
     // (sliding window, event_type). Explodes each event into its 4
@@ -321,6 +341,28 @@ object Behavioral extends QueryModule {
         |SELECT date_trunc('hour', adj_ts) AS w_start, count(*) AS n,
         |  CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM adj GROUP BY 1""".stripMargin,
+
+    "j6w_windowed_anti" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS w, user_id, event_type, value
+        |  FROM events),
+        |ut AS (
+        |  SELECT w, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS user_total
+        |  FROM ev GROUP BY 1, 2),
+        |mt AS (
+        |  SELECT w,
+        |    CAST(sum(CAST(user_total AS DECIMAL(22,6))) AS DOUBLE) / count(*)
+        |      AS mean_total
+        |  FROM ut GROUP BY 1),
+        |spam AS (
+        |  SELECT ut.w, ut.user_id FROM ut JOIN mt ON ut.w = mt.w
+        |  WHERE user_total > mean_total * 2.5)
+        |SELECT ev.w AS w_start, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS type_total,
+        |  count(*) AS n
+        |FROM ev ANTI JOIN spam ON ev.w = spam.w AND ev.user_id = spam.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q7_traffic_argmax" ->
       """WITH slid AS (
