@@ -39,4 +39,28 @@ class WordCountGoldenSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(counts == Map("Flourish" -> 3L, "stomach" -> 1L))
   }
+
+  /** The reference's second golden instrument (`AutoComplete.scala:134-139,
+    * 362-370`): an order-insensitive checksum over the top-K result —
+    * per row `key.hashCode + Σ candidate.hashCode`, summed globally —
+    * computed distributed via the codegen'd JavaStringHashCode and
+    * cross-checked against a driver-side replay.
+    */
+  test("autocomplete checksum matches a JVM replay (order-insensitive)") {
+    import graft.functions.HashFunctions
+    import graft.operators.PrefixTopK
+    import spark.implicits._
+    val words = lear.toDF("line")
+      .select(explode(TextFunctions.tokenizeCased($"line")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+    val top = PrefixTopK.recursive(words, maxLen = 3, k = 2)
+    val engineChecksum = top
+      .select((HashFunctions.javaStringHashCode($"prefix").cast("long") +
+        HashFunctions.javaStringHashCode($"word").cast("long")).as("h"))
+      .agg(sum($"h")).as[Long].head()
+    val replay = top.select($"prefix", $"word").as[(String, String)]
+      .collect()
+      .map { case (p, w) => p.hashCode.toLong + w.hashCode.toLong }.sum
+    assert(engineChecksum == replay && engineChecksum != 0L)
+  }
 }
