@@ -128,6 +128,33 @@ object Dedup extends QueryModule {
         .agg(count(lit(1)).as("n_kept"))
     },
 
+    // D7: TRANSITIVE near-dup clusters — connected components over the
+    // Jaccard>=0.5 pair graph (a one-pass keep rule misses chains
+    // a~b~c where a!~c; D6 documents that simplification, this closes
+    // it). Iterative min-label propagation; oracle = recursive CTE.
+    "d7_dup_components" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingled(s, dir).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
+          $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_i")
+          .withColumnRenamed("n_sh", "n_i")), "doc_i")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_j")
+          .withColumnRenamed("n_sh", "n_j")), "doc_j")
+        .filter($"n_common".cast("double") /
+          ($"n_i" + $"n_j" - $"n_common") >= 0.5)
+        .select($"doc_i".as("src"), $"doc_j".as("dst"))
+      val comp = graft.operators.ConnectedComponents.run(
+        Tables.documents(s, dir).select($"doc_id".as("id")), pairs)
+      comp.groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" > 1) // non-trivial clusters
+    },
+
     // D4a: 32-bit SimHash per document (token-frequency-weighted bit
     // votes over Java-hashed tokens). Pure rowwise — no shuffle at all.
     "d4_simhash" -> { (s, dir) =>
@@ -290,6 +317,31 @@ object Dedup extends QueryModule {
          |SELECT lang, count(*) AS n_kept FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |GROUP BY lang""".stripMargin,
+
+    "d7_dup_components" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT doc_i AS src, doc_j AS dst FROM (
+         |    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) c
+         |  JOIN sz x ON c.doc_i = x.doc_id
+         |  JOIN sz y ON c.doc_j = y.doc_id
+         |  WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) >= 0.5),
+         |edges AS (
+         |  SELECT src, dst FROM pairs
+         |  UNION SELECT dst, src FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.label
+         |  FROM reach r JOIN edges e ON r.id = e.src)
+         |SELECT component, count(*) AS n_docs FROM (
+         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |GROUP BY component
+         |HAVING count(*) > 1""".stripMargin,
 
     "d4_simhash" -> simhashSql,
 

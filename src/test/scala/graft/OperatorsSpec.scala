@@ -60,6 +60,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, "abc"), (2L, "z")))
   }
 
+  test("connectedComponents: chains, cliques and singletons get min-id labels") {
+    import spark.implicits._
+    val nodes = (1L to 8L).toDF("id")
+    // chain 1-2-3, clique 4-5-6, edge 7-? none, 8 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val comp = graft.operators.ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("withGlobalAgg broadcasts a single-row aggregate to every row") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
