@@ -62,6 +62,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W2: sliding windows aggregate each event into duration/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val slid = StreamOps.slidingAgg(
+      in.toDF().toDF("ts", "key", "v"), "ts", "key", "v",
+      "30 minutes", "10 minutes", "0 seconds")
+    val q = slid.writeStream.format("memory").queryName("w2_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(15), "a", 2.0))
+      q.processAllAvailable()
+      in.addData((ts(59), "z", 1.0)) // advance watermark, close a-windows
+      q.processAllAvailable()
+      val rows = spark.table("w2_test")
+        .filter($"key" === "a")
+        .select($"w_start", $"total").as[(Timestamp, Double)].collect().toSet
+      // 10:15 lands in [09:50,10:20) [10:00,10:30) [10:10,10:40)
+      assert(rows == Set(
+        (Timestamp.valueOf("2024-01-01 09:50:00"), 2.0),
+        (ts(0), 2.0), (ts(10), 2.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("W15: threshold crossings emit once per multiple crossed, state survives batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
