@@ -21,6 +21,12 @@ object TextAnalytics extends QueryModule {
   /** Per-language stopword profiles for the n-gram/token language-ID
     * heuristic (tiny, broadcast as literals into codegen).
     */
+  /** Char-trigram profiles for the n-gram language-ID variant. */
+  private val charProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", " th", "er "),
+    "de" -> Seq("der", "ein", "sch", "und", "ich"),
+    "fr" -> Seq("les", "ent", "que", "ion", "eau"))
+
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
@@ -90,6 +96,29 @@ object TextAnalytics extends QueryModule {
       Tables.documents(s, dir)
         .select($"doc_id", en.cast("bigint").as("en_hits"), de.cast("bigint").as("de_hits"),
           fr.cast("bigint").as("fr_hits"), es.cast("bigint").as("es_hits"), pred.as("pred_lang"))
+    },
+
+    // Language-ID, character-n-gram variant: score = how many of the
+    // text's char-trigrams appear in each language's trigram profile
+    // (the classic n-gram-profile heuristic, rowwise, zero shuffle).
+    "x5_langid_ngram" -> { (s, dir) =>
+      import s.implicits._
+      // sequence(1,0) DESCENDS — guard texts shorter than 3 chars
+      val trigrams = when(length($"text") >= 3,
+        transform(sequence(lit(1), length($"text") - 2),
+          i => $"text".substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      val scores = charProfiles.map { case (lang, grams) =>
+        lang -> size(filter(trigrams,
+          g => array_contains(array(grams.map(lit): _*), g)))
+      }
+      val Seq(en, de, fr) = scores.map(_._2)
+      val pred = when(en >= de && en >= fr, "en")
+        .when(de >= fr, "de").otherwise("fr")
+      Tables.documents(s, dir)
+        .select($"doc_id", en.cast("bigint").as("en_score"),
+          de.cast("bigint").as("de_score"), fr.cast("bigint").as("fr_score"),
+          pred.as("pred_lang"))
     },
 
     // Quality scoring: length/stopword/punctuation signals folded into a
@@ -198,6 +227,26 @@ object TextAnalytics extends QueryModule {
          |       ELSE 'es' END AS pred_lang
          |FROM (SELECT doc_id,
          |  $hits
+         |FROM documents)""".stripMargin
+    },
+
+    "x5_langid_ngram" -> {
+      val scores = charProfiles.map { case (lang, grams) =>
+        val lst = grams.map(g => s"'${g.replace("'", "''")}'")
+          .mkString("[", ", ", "]")
+        s"""len(list_filter(
+           |  CASE WHEN len(text) >= 3 THEN
+           |    list_transform(generate_series(1, len(text) - 2),
+           |      i -> substring(text, i, 3))
+           |  ELSE []::VARCHAR[] END,
+           |  g -> list_contains($lst, g))) AS ${lang}_score""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, en_score, de_score, fr_score,
+         |  CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+         |       WHEN de_score >= fr_score THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $scores
          |FROM documents)""".stripMargin
     },
 
