@@ -167,24 +167,45 @@ object Dedup extends QueryModule {
     // exact Hamming filter via bit_count(xor).
     "d4_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      // cache: the self-join would otherwise evaluate the (interpreted
-      // higher-order) simhash expression once per join side
-      val sh = Tables.documents(s, dir)
+      // Canonicalize BEFORE pairing: docs collapse onto distinct simhash
+      // values (heavily duplicated corpora collapse a lot), the band join
+      // runs on distinct hashes only, and doc pairs are expanded back
+      // from the hash groups afterwards. Identical result set to the
+      // naive doc-level band join (same oracle), with join cost scaled
+      // by the dedup factor squared.
+      val groups = Tables.documents(s, dir)
         .select($"doc_id", simhash($"text").as("simhash"))
+        .groupBy($"simhash")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
         .cache()
-      val bands = sh.select($"doc_id", $"simhash", posexplode(
+      // intra-group pairs: identical simhash => hamming 0
+      val intra = groups
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"""
+            .stripMargin)).as("p"))
+        .select($"p.x".as("doc_i"), $"p.y".as("doc_j"),
+          lit(0L).as("hamming"))
+      // inter-group: band-blocked join on DISTINCT hashes, then expand
+      val bands = groups.select($"simhash", $"ids", posexplode(
           array((0 until 4).map(b =>
             shiftright($"simhash", b * 8).bitwiseAND(lit(255L))): _*)))
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_key")
-      bands.as("a")
+      val hashPairs = bands.as("a")
         .join(bands.as("b"),
           $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"),
+          $"a.simhash" < $"b.simhash")
+        .select($"a.ids".as("ids_a"), $"b.ids".as("ids_b"),
           expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
         .filter($"hamming" <= 3)
         .distinct()
+      val inter = hashPairs
+        .select(explode($"ids_a").as("x"), $"ids_b", $"hamming")
+        .select($"x", explode($"ids_b").as("y"), $"hamming")
+        .select(least($"x", $"y").as("doc_i"),
+          greatest($"x", $"y").as("doc_j"), $"hamming")
+      intra.unionAll(inter)
     },
   )
 
