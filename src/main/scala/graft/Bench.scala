@@ -12,8 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen + parquet footers for the three fact tables
-    Seq("q1_agg", "p1_wordcount", "w1_tumbling").foreach { q =>
+    // untimed warmup: JVM/codegen + parquet footers for every table family
+    Seq("q1_agg", "p1_wordcount", "w1_tumbling", "a5_max_per_key",
+        "j1_left_outer", "v2_lsh_buckets").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
