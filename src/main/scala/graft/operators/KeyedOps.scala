@@ -29,8 +29,9 @@ object KeyedOps {
     * take local top-K per (key, salt), then re-rank the <= k*fanout
     * survivors per key. This bounds the per-task sort group for a hot key
     * at ~1/fanout of its rows (no single executor sorts the whole key);
-    * for a shuffle-volume cap use a bounded-buffer Aggregator (see
-    * `graft.pipelines.AutoComplete.TopKCandidates`).
+    * for a hard shuffle-volume cap use the bounded-buffer
+    * [[graft.operators.TopKAggregator]] (≤ K rows per key per map
+    * partition cross the exchange).
     */
   def topKPerKeySalted(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                        k: Int, fanout: Int, rankCol: String = "rank"): DataFrame = {

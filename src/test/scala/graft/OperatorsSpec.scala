@@ -60,6 +60,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, "abc"), (2L, "z")))
   }
 
+  test("bounded-buffer TopKAggregator == rank-window top-k") {
+    import graft.operators.{Scored, TopKAggregator}
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (s"k${i % 5}", Scored((i * 37 % 101).toDouble, i.toLong)))
+    val ds = rows.toDS()
+    val viaAgg = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(4).toColumn.name("top"))
+      .flatMap { case (k, top) => top.map(s => (k, s.score, s.id)) }
+      .collect().toSet
+    val df = rows.map { case (k, s) => (k, s.score, s.id) }.toDF("k", "score", "id")
+    val viaWindow = KeyedOps.topKPerKey(df, Seq($"k"),
+        Seq($"score".desc, $"id".desc), 4)
+      .select($"k", $"score", $"id").as[(String, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow && viaAgg.size == 20)
+  }
+
   test("connectedComponents: chains, cliques and singletons get min-id labels") {
     import spark.implicits._
     val nodes = (1L to 8L).toDF("id")
