@@ -222,6 +222,27 @@ object Relational extends QueryModule {
         .select($"month", $"user_id", $"n_events")
     },
 
+    // T2b: third top-K formulation — bounded-buffer typed Aggregator
+    // (map-side combine caps the shuffle at K rows per key per map
+    // partition). Same oracle as t1/t2: all three strategies are
+    // result-identical, they differ only in shuffle volume.
+    "t5_topk_bounded" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Scored, TopKAggregator}
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => Scored(r._2, r._3))
+        .agg(new TopKAggregator(3).toColumn.name("top"))
+        .flatMap { case (cust, top) =>
+          top.zipWithIndex.map { case (sc, i) =>
+            (cust, sc.id, sc.score, i + 1)
+          }
+        }
+        .toDF("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    },
+
     // J1: left-outer lookup join with default for misses (reference
     // CoGroupByKey + getOnly(tag, "none"), `JoinExamples.scala:71-102`).
     // Dim side broadcast (customer ≪ orders at scale).
@@ -422,6 +443,14 @@ object Relational extends QueryModule {
         |              count(*) AS n_events
         |            FROM events GROUP BY 1, 2))
         |WHERE rn = 1""".stripMargin,
+
+    "t5_topk_bounded" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+        |      FROM orders)
+        |WHERE rank <= 3""".stripMargin,
 
     "j1_left_outer" ->
       """SELECT o_orderkey, coalesce(c_name, 'none') AS customer_name, o_totalprice
