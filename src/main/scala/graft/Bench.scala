@@ -1,5 +1,7 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,15 +20,24 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // (name, seconds, succeeded). A failing query is reported as -1 and
+    // listed in "failed" — never silently folded into the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f3(v) else "-1")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    // ONE short JSON line, last on stdout (timings at ms resolution keep
+    // it well inside the driver's output-tail buffer).
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

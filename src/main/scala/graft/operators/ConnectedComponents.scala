@@ -14,17 +14,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale contract: each round is one join + one agg shuffle, both keyed
   * on node id; `localCheckpoint` breaks lineage so plans stay flat across
-  * rounds. Rounds needed = component diameter (near-dup clusters are
-  * shallow; cap with maxIter). For planet-scale graphs swap in
-  * large-star/small-star — same API.
+  * rounds. Rounds needed = component diameter; the loop runs to FIXPOINT
+  * by default (a silently-unconverged result would be wrong, not slow) —
+  * `maxIter` is an explicit opt-in cap that THROWS when exceeded. For
+  * planet-scale graphs swap in large-star/small-star — same API.
   */
 object ConnectedComponents {
 
   /** nodes: (id) one row per node; edges: (src, dst) undirected (either
     * orientation). Returns (id, component) with component = min id
-    * reachable.
+    * reachable. Throws IllegalStateException if `maxIter` rounds pass
+    * without reaching the fixpoint.
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame,
+          maxIter: Int = Int.MaxValue): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -34,17 +37,25 @@ object ConnectedComponents {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"ConnectedComponents: no fixpoint after $maxIter rounds " +
+            "(component diameter exceeds the cap); labels would be wrong")
       val prop = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("nbr_min"))
+      // Fold the did-anything-change flag into the same pass instead of
+      // re-joining next against old labels: one scan of the fresh
+      // checkpoint replaces a per-round join.
       val next = labels.join(prop, labels("id") === prop("dst"), "left_outer")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       iter += 1
     }
     labels

@@ -10,25 +10,37 @@ import org.apache.spark.sql.expressions.Aggregator
   * most K·partitions rows per key regardless of input size — strictly
   * less data than the rank-window formulation shuffles (all rows).
   *
-  * Ordering: (score desc, id desc) — a total order, so results are
-  * deterministic and equal to `KeyedOps.topKPerKey` with the same keys.
+  * Ordering: (score desc, id desc) — a total order under SQL DESC
+  * semantics (`java.lang.Double.compare`: NaN sorts greatest-first,
+  * -0.0 below 0.0; long compare avoids the -Long.MinValue overflow a
+  * negation-based ordering has), so results are deterministic and equal
+  * to `KeyedOps.topKPerKey` with the same keys.
   */
 case class Scored(score: Double, id: Long)
 
 class TopKAggregator(k: Int)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
-  private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, -s.id))
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    override def compare(x: Scored, y: Scored): Int = {
+      val c = java.lang.Double.compare(y.score, x.score) // score desc
+      if (c != 0) c else java.lang.Long.compare(y.id, x.id) // id desc
+    }
+  }
 
-  /** Keep the buffer bounded but amortize sorting: trim only at 4K. */
-  private def trim(buf: Seq[Scored]): Seq[Scored] =
-    if (buf.length <= 4 * k) buf else buf.sorted(ord).take(k)
-
+  /** Invariant: the buffer is always sorted best-first and ≤ K long, so
+    * at most K rows per key per map partition ever cross the exchange.
+    * Once saturated, a row only costs a re-sort when it beats the
+    * current K-th best (probability ~k/n on shuffled input).
+    */
   override def zero: Seq[Scored] = Vector.empty
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
-  override def finish(b: Seq[Scored]): Seq[Scored] = b.sorted(ord).take(k)
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.length < k) (b :+ a).sorted(ord)
+    else if (ord.lt(a, b.last)) (b.dropRight(1) :+ a).sorted(ord)
+    else b
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
+    (x ++ y).sorted(ord).take(k)
+  override def finish(b: Seq[Scored]): Seq[Scored] = b
 
   override def bufferEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
