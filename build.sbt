@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through: the default
+// LoggedOutput strategy prefixes every line with "[info] "/"[error] ",
+// which breaks machine parsing of Bench's single JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Keep sbt's "[success] Total time" banner off stdout so the bench
 // harness's single JSON line is the last line of output.
 Global / showSuccess := false

@@ -35,9 +35,13 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // ONE short JSON line, last on stdout (timings at ms resolution keep
-    // it well inside the driver's output-tail buffer).
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // ONE short JSON line. stdout gets sbt's "[info] " prefix, which
+    // breaks strict JSON parsing — emit on stderr too (un-prefixed under
+    // `sbt runMain`) so machine consumers get a clean line; stdout stays
+    // for tail-scrapers.
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    System.err.println(json)
     spark.stop()
   }
 }

@@ -40,14 +40,26 @@ object HashFunctions {
   def javaStringHashCode(c: Column): Column =
     ColumnBridge.column(JavaStringHashCode(ColumnBridge.expression(c)))
 
-  /** Knuth multiplicative hash of a non-negative long, in [0, 2^32).
+  /** Knuth multiplicative hash of a long key, in [0, 2^32).
     *
     * Pure integer arithmetic — reproducible in any SQL engine
-    * (`(x * 2654435761) % 4294967296`), which makes hash-based sampling
+    * (`((x % 2^32) * 2654435761) % 2^32`), which makes hash-based sampling
     * oracle-checkable (unlike engine-native murmur hashes).
+    *
+    * Overflow-safe at any key magnitude (ANSI mode throws on long
+    * overflow, and even a 2^32-masked key times K exceeds Long.MaxValue):
+    * the masked key is split into 16-bit halves x = xh·2^16 + xl, so
+    * (x·K) mod 2^32 = ((xh·K mod 2^16)·2^16 + xl·K) mod 2^32 with every
+    * intermediate ≤ 2^16·K ≈ 1.7e14 ≪ Long.MaxValue.
     */
-  def knuthHash(c: Column): Column =
-    pmod(c.cast("long") * lit(2654435761L), lit(4294967296L))
+  def knuthHash(c: Column): Column = {
+    val K = 2654435761L
+    val x = pmod(c.cast("long"), lit(4294967296L))
+    val xh = shiftright(x, 16)
+    val xl = x.bitwiseAND(lit(65535L))
+    pmod(pmod(xh * lit(K), lit(65536L)) * lit(65536L) + xl * lit(K),
+      lit(4294967296L))
+  }
 
   /** Deterministic hash sample: keep rows where knuthHash(key) < frac * 2^32.
     * Same semantics as the reference's abs(hashCode)-threshold sampling

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** nodes: (id) one row per node; edges: (src, dst) undirected (either
     * orientation). Returns (id, component) with component = min id
     * reachable. Throws IllegalStateException if `maxIter` rounds pass
@@ -57,6 +59,9 @@ object ConnectedComponents {
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
+      // Diagnosable progress: an unexpectedly deep graph shows up as a
+      // round counter climbing, not as a silent hang (ADVICE r2).
+      log.info(s"ConnectedComponents: round $iter, $changed labels changed")
     }
     labels
   }

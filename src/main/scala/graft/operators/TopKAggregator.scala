@@ -35,7 +35,8 @@ class TopKAggregator(k: Int)
     */
   override def zero: Seq[Scored] = Vector.empty
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-    if (b.length < k) (b :+ a).sorted(ord)
+    if (k <= 0) b // degenerate top-0: empty result, never touch b.last
+    else if (b.length < k) (b :+ a).sorted(ord)
     else if (ord.lt(a, b.last)) (b.dropRight(1) :+ a).sorted(ord)
     else b
   override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =

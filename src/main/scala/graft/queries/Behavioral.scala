@@ -334,8 +334,8 @@ object Behavioral extends QueryModule {
     "p17_late_inject" ->
       """WITH adj AS (
         |  SELECT *,
-        |    ((event_id * 2654435761) % 4294967296) % 600 = 0 AS is_late,
-        |    CASE WHEN ((event_id * 2654435761) % 4294967296) % 600 = 0
+        |    (((event_id % 4294967296) * 2654435761) % 4294967296) % 600 = 0 AS is_late,
+        |    CASE WHEN (((event_id % 4294967296) * 2654435761) % 4294967296) % 600 = 0
         |         THEN ts - INTERVAL 5 MINUTE ELSE ts END AS adj_ts
         |  FROM events)
         |SELECT date_trunc('hour', adj_ts) AS w_start, count(*) AS n,

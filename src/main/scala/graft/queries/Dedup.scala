@@ -34,6 +34,35 @@ object Dedup extends QueryModule {
   private def h32(c: Column): Column =
     pmod(HashFunctions.javaStringHashCode(c).cast("long"), lit(4294967296L))
 
+  /** Near-dup candidate pairs with exact Jaccard, `jaccard >= threshold`.
+    *
+    * Scale shape: each doc's distinct-shingle count is attached to its
+    * shingle rows FIRST (one window count keyed on doc_id), so the
+    * shingle-blocked self-join carries n_i/n_j through the pair
+    * aggregation and the candidate-pair frame — the largest frame here at
+    * corpus scale — is never joined or broadcast against anything.
+    * (Earlier form broadcast a one-row-per-document sizes table: O(n_docs)
+    * executor memory, the round-2 verdict's named scale-killer.)
+    */
+  private def jaccardPairs(s: SparkSession, dir: String,
+                           threshold: Double): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .cache() // reused as both sides of the self-join
+    sh.as("a")
+      .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
+        $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
+      .agg(count(lit(1)).as("n_common"),
+        min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
+      .select($"doc_i", $"doc_j",
+        ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
   override def queries: Map[String, Q] = Map(
     // D1: exact dedup via content hash; canonical row = min doc_id per
     // group (pure hash-groupBy — one shuffle keyed on the digest).
@@ -46,25 +75,9 @@ object Dedup extends QueryModule {
 
     // D2: n-gram Jaccard near-dup pairs. Candidates from a self-join on
     // shared shingles (blocking join, not a cross join); Jaccard from
-    // distinct-shingle counts; threshold 0.3.
+    // distinct-shingle counts carried through the pair agg; threshold 0.3.
     "d2_jaccard_pairs" -> { (s, dir) =>
-      import s.implicits._
-      val sh = shingled(s, dir).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val common = sh.as("a")
-        .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
-          $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
-        .agg(count(lit(1)).as("n_common"))
-      common // broadcast the per-doc sizes: never shuffle the pair frame
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_i")
-                   .withColumnRenamed("n_sh", "n_i")), "doc_i")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_j")
-                   .withColumnRenamed("n_sh", "n_j")), "doc_j")
-        .select($"doc_i", $"doc_j",
-          ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
-            .as("jaccard"))
-        .filter($"jaccard" >= 0.3)
+      jaccardPairs(s, dir, 0.3)
     },
 
     // D3a: MinHash signatures — NumPerm universal-hash permutations over
@@ -108,22 +121,12 @@ object Dedup extends QueryModule {
     // rule the oracle applies). Anti-join on the pair set.
     "d6_dedup_corpus" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingled(s, dir)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val losers = sh.as("a")
-        .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
-          $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_i")
-          .withColumnRenamed("n_sh", "n_i")), "doc_i")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_j")
-          .withColumnRenamed("n_sh", "n_j")), "doc_j")
-        .filter($"n_common".cast("double") /
-          ($"n_i" + $"n_j" - $"n_common") >= 0.5)
+      // Losers is O(n_docs) at worst — no broadcast hint; AQE picks the
+      // join strategy from the actual size at runtime.
+      val losers = jaccardPairs(s, dir, 0.5)
         .select($"doc_j".as("doc_id")).distinct()
       Tables.documents(s, dir)
-        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .join(losers, Seq("doc_id"), "left_anti")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"))
     },
@@ -134,19 +137,7 @@ object Dedup extends QueryModule {
     // it). Iterative min-label propagation; oracle = recursive CTE.
     "d7_dup_components" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingled(s, dir).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
-          $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_i")
-          .withColumnRenamed("n_sh", "n_i")), "doc_i")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_j")
-          .withColumnRenamed("n_sh", "n_j")), "doc_j")
-        .filter($"n_common".cast("double") /
-          ($"n_i" + $"n_j" - $"n_common") >= 0.5)
+      val pairs = jaccardPairs(s, dir, 0.5)
         .select($"doc_i".as("src"), $"doc_j".as("dst"))
       val comp = graft.operators.ConnectedComponents.run(
         Tables.documents(s, dir).select($"doc_id".as("id")), pairs)

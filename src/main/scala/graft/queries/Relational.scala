@@ -354,7 +354,7 @@ object Relational extends QueryModule {
 
     "p9_hash_sample" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE (c_custkey * 2654435761) % 4294967296 < 429496729""".stripMargin,
+        |WHERE ((c_custkey % 4294967296) * 2654435761) % 4294967296 < 429496729""".stripMargin,
 
     "p10_partition_split" ->
       """SELECT CASE WHEN p_size <= 25 THEN 'small' ELSE 'large' END AS bucket,

@@ -57,6 +57,24 @@ class FunctionsSpec extends SparkSpec {
     assert(vals(1) == 2654435761L % 4294967296L)
   }
 
+  test("knuthHash matches BigInt reference and never overflows under ANSI") {
+    import spark.implicits._
+    // keys past ~3.46e9 made the old single-multiply form overflow long
+    // (ANSI throws); the split-multiply form must agree with exact BigInt
+    // arithmetic across the full range, including Long.MaxValue.
+    val keys = Seq(0L, 1L, 3456789012L, 4000000000L, 4294967295L,
+      4294967296L, 8589934592L + 7L, Long.MaxValue) ++
+      Gen.listOfN(50, Gen.chooseNum(0L, Long.MaxValue)).sample.get
+    def ref(x: Long): Long =
+      ((BigInt(x) % 4294967296L) * 2654435761L % 4294967296L).toLong
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "this regression test must run under ANSI mode")
+    val got = keys.toDF("x")
+      .select($"x", HashFunctions.knuthHash($"x").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach(k => assert(got(k) == ref(k), s"knuthHash($k)"))
+  }
+
   test("stopwordRatio and punctRatio bounds") {
     import spark.implicits._
     val r = Seq("the cat!!!").toDF("t")

@@ -76,6 +76,18 @@ class OperatorsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.size == 20)
   }
 
+  test("TopKAggregator with k=0 yields empty results, not an exception") {
+    import graft.operators.{Scored, TopKAggregator}
+    import spark.implicits._
+    // regression (ADVICE r2): with k<=0 the buffer never fills, so reduce
+    // used to hit ord.lt(a, b.last) on an empty Vector
+    val out = Seq(("a", Scored(1.0, 1L)), ("a", Scored(2.0, 2L)))
+      .toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(0).toColumn.name("top"))
+      .collect()
+    assert(out.toSeq == Seq(("a", Seq.empty[Scored])))
+  }
+
   test("connectedComponents: chains, cliques and singletons get min-id labels") {
     import spark.implicits._
     val nodes = (1L to 8L).toDF("id")

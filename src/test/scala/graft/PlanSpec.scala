@@ -47,6 +47,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
   }
 
+  test("d2/d6/d7-pairgen: no broadcast HINT — per-doc sizes attached via window") {
+    // Round-2 verdict scale-killer: sizes (one row per document) was
+    // broadcast()-hinted onto the candidate-pair frame, forcing O(n_docs)
+    // executor memory at ANY scale. Now the shingle frame carries n_sh
+    // through the pair agg and NOTHING is hinted: the analyzed plan must
+    // hold zero ResolvedHints. (Catalyst/AQE may still pick a broadcast
+    // from ACTUAL sizes at small SF — that is the desired size-based
+    // behavior, so the physical plan is deliberately not constrained.)
+    Seq("d2_jaccard_pairs", "d6_dedup_corpus").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      assert(!qe.analyzed.toString.contains("ResolvedHint"),
+        s"$q must not carry a join-strategy hint")
+      assert(qe.executedPlan.toString.contains("Window"),
+        s"$q should attach n_sh via window count")
+    }
+    // sanity: the check distinguishes — q3 DOES hint its dims
+    assert(SparkEntry.queries("q3_shipping")(spark, dir)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
+    // The block frames aggregate to B=16 rows each; the grid join of two
+    // 16-row frames is the ONLY join. Corpus-sized data moves through one
+    // hash-agg exchange (groupBy blk), never to the driver.
+    val p = plan("d5_embed_neardup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"corpus should move through the blk hash-agg only:\n$p")
+    assert(p.contains("SerializeFromObject"), "JIT flatMap stage expected")
+  }
+
   test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
     // execute so AQE finalizes and codegen spans materialize in the plan
     val df = SparkEntry.queries("a15_checksum")(spark, dir)
