@@ -1,0 +1,205 @@
+package graft.pipelines
+
+import graft.io.TextIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-style CLI option handling (`WordCount.scala:38-56`,
+  * `UserScore.scala:53-92`): `--key=value` args, defaults, and
+  * required-option validation that fails fast with a usage line — the
+  * Spark-side stand-in for Beam's `PipelineOptionsFactory.fromArgs(...)
+  * .withValidation()`.
+  */
+final case class Opts(name: String, values: Map[String, String]) {
+  def apply(key: String): String = values(key)
+  def int(key: String): Int = values(key).toInt
+  def bool(key: String): Boolean = values(key).toBoolean
+}
+
+object Opts {
+  def parse(name: String, args: Array[String],
+            defaults: Map[String, String],
+            required: Seq[String]): Opts = {
+    val parsed = args.map { a =>
+      if (!a.startsWith("--") || !a.contains('='))
+        usageError(name, defaults, required, s"unrecognized argument '$a'")
+      val Array(k, v) = a.drop(2).split("=", 2)
+      k -> v
+    }.toMap
+    val unknown = parsed.keySet -- defaults.keySet -- required
+    if (unknown.nonEmpty)
+      usageError(name, defaults, required, s"unknown option(s) ${unknown.mkString(", ")}")
+    val missing = required.filterNot(parsed.contains)
+    if (missing.nonEmpty)
+      usageError(name, defaults, required,
+        s"missing required option(s) ${missing.map("--" + _).mkString(", ")}")
+    Opts(name, defaults ++ parsed)
+  }
+
+  private def usageError(name: String, defaults: Map[String, String],
+                         required: Seq[String], msg: String): Nothing = {
+    val req = required.map(k => s"--$k=<value>")
+    val opt = defaults.toSeq.sortBy(_._1).map { case (k, v) => s"[--$k=$v]" }
+    throw new IllegalArgumentException(
+      s"$msg\nusage: $name ${(req ++ opt).mkString(" ")}")
+  }
+
+  /** Shared session factory for every main: local by default (tests,
+    * laptops), master overridable for cluster submit; shuffle parallelism
+    * sized by SPARK_GRAFT_CPUS like Verify/Bench.
+    */
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+  }
+}
+
+/** WordCount (`WordCount.scala:36-67`): text file → "word: n" lines. */
+object WordCountMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("WordCountMain", args, Map.empty,
+      required = Seq("inputFile", "output"))
+    val spark = Opts.session("graft-wordcount")
+    import spark.implicits._
+    val counts = ReferencePipelines.wordCount(
+      TextIO.readLines(spark, o("inputFile")))
+    TextIO.writeLines(
+      counts.select(concat($"word", lit(": "), $"n")).as[String],
+      o("output"))
+  }
+}
+
+/** DebuggingWordCount (`DebuggingWordCount.scala:66-103`): wordCount
+  * restricted to a regex; matched/unmatched counters printed like the
+  * reference's assert-on-counters instrumentation.
+  */
+object DebuggingWordCountMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("DebuggingWordCountMain", args,
+      Map("filterPattern" -> "Flourish|stomach"),
+      required = Seq("inputFile", "output"))
+    val spark = Opts.session("graft-debugging-wordcount")
+    import spark.implicits._
+    val observed = new org.apache.spark.sql.Observation("debug_wc_cli")
+    val counts = ReferencePipelines
+      .wordCount(TextIO.readLines(spark, o("inputFile")))
+      .observe(observed,
+        sum(when($"word".rlike(o("filterPattern")), 1).otherwise(0)).as("matched"),
+        sum(when($"word".rlike(o("filterPattern")), 0).otherwise(1)).as("unmatched"))
+      .filter($"word".rlike(o("filterPattern")))
+    TextIO.writeLines(
+      counts.select(concat($"word", lit(": "), $"n")).as[String],
+      o("output"))
+    println(s"debug_wc matched=${observed.get("matched")} " +
+      s"unmatched=${observed.get("unmatched")}")
+  }
+}
+
+/** WindowedWordCount (`WindowedWordCount.scala:58-108`): lines get
+  * deterministic event times spread across `numWindows` fixed windows
+  * (the reference scatters with a random timestamp, `AddTimestampFn`;
+  * a content-hash scatter keeps runs reproducible), then per-window word
+  * counts land one directory per window (S4 sink).
+  */
+object WindowedWordCountMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("WindowedWordCountMain", args,
+      Map("windowSize" -> "10", "numWindows" -> "3",
+        "baseTs" -> "2026-01-01 00:00:00"),
+      required = Seq("inputFile", "output"))
+    val spark = Opts.session("graft-windowed-wordcount")
+    import spark.implicits._
+    val windowMs = o.int("windowSize").toLong * 60000L
+    val spanMs = windowMs * o.int("numWindows")
+    val lines = TextIO.readLines(spark, o("inputFile"))
+      .select($"value".as("line"),
+        timestamp_millis(unix_millis(lit(o("baseTs")).cast("timestamp")) +
+          pmod(graft.functions.HashFunctions.javaStringHashCode($"value")
+            .cast("long"), lit(spanMs))).as("ts"))
+    val counts = ReferencePipelines
+      .windowedWordCount(lines, s"${o.int("windowSize")} minutes")
+      .select(date_format($"w_start", "yyyy-MM-dd HH:mm").as("w"),
+        concat($"word", lit(": "), $"n").as("value"))
+    TextIO.writeWindowedText(counts, "w", o("output"))
+  }
+}
+
+/** TfIdf (`TfIdf.scala:130-197,386-393`): directory of text files →
+  * (uri, word, tfidf) CSV, uris keyed by source file from ONE scan.
+  */
+object TfIdfMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("TfIdfMain", args, Map.empty,
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-tfidf")
+    import spark.implicits._
+    val docs = TextIO.readLinesKeyedByFile(spark, o("input"))
+      .withColumn("uri", regexp_extract($"uri", "([^/]+)$", 1))
+    TextIO.writeCsv(ReferencePipelines.tfIdf(docs), o("output"))
+  }
+}
+
+/** AutoComplete batch mode (`AutoComplete.scala:221-321`): text →
+  * per-prefix top-K completion lists, recursive trie evaluation by
+  * default exactly like the reference's `--recursive` flag.
+  */
+object AutoCompleteMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("AutoCompleteMain", args,
+      Map("maxPrefix" -> "10", "k" -> "10", "recursive" -> "true"),
+      required = Seq("inputFile", "output"))
+    val spark = Opts.session("graft-autocomplete")
+    import spark.implicits._
+    val words = ReferencePipelines.wordCount(
+      TextIO.readLines(spark, o("inputFile")))
+    val top = ReferencePipelines.autoComplete(
+      words, o.int("maxPrefix"), o.int("k"), o.bool("recursive"))
+    TextIO.writeCsv(top.select($"prefix", $"word", $"n"), o("output"))
+  }
+}
+
+/** UserScore (`UserScore.scala:53-75,171-175`): game-event CSV → per-user
+  * score totals as "user: total" text; malformed rows counted and dropped.
+  */
+object UserScoreMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("UserScoreMain", args, Map.empty,
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-userscore")
+    import spark.implicits._
+    val events = ReferencePipelines
+      .parseGameEvents(TextIO.readLines(spark, o("input")))
+      .select($"user".as("user_id"), $"score".as("value"))
+    TextIO.writeLines(
+      ReferencePipelines.userScore(events)
+        .select(concat($"user_id", lit(": "), $"total_score")).as[String],
+      o("output"))
+  }
+}
+
+/** HourlyTeamScore (`HourlyTeamScore.scala:59-112`): game-event CSV →
+  * hourly per-team totals inside [startTs, stopTs), one CSV row per
+  * (window, team) — the reference's windowed batch variant of UserScore.
+  */
+object HourlyTeamScoreMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("HourlyTeamScoreMain", args,
+      Map("startTs" -> "1970-01-01 00:00:00", "stopTs" -> "2100-01-01 00:00:00"),
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-hourly-team-score")
+    import spark.implicits._
+    val events = ReferencePipelines
+      .parseGameEvents(TextIO.readLines(spark, o("input")))
+      .select($"team", $"score".as("value"), $"ts")
+    val hourly = ReferencePipelines
+      .hourlyTeamScore(events, o("startTs"), o("stopTs"))
+      .select(date_format($"w_start", "yyyy-MM-dd HH:mm").as("window_start"),
+        $"team", $"total_score")
+    TextIO.writeCsv(hourly, o("output"))
+  }
+}
