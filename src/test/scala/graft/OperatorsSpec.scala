@@ -100,6 +100,49 @@ class OperatorsSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("runStar == run on random graphs, chains and cliques (property)") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // Deterministic seeded graphs: both algorithms must produce identical
+    // (id, component) maps. The 40-node path is the high-diameter case
+    // runStar exists for (label-prop needs 39 rounds; star is O(log)).
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (1L to 40L).map(i => (i, i + 1)).dropRight(1),            // path
+      (1L to 6L).flatMap(i => (i + 1 to 6L).map((i, _))),       // clique
+      Seq.empty[(Long, Long)],                                  // isolated
+      Seq.fill(60)((rnd.nextInt(30) + 1L, rnd.nextInt(30) + 1L)) // random
+        .filter { case (a, b) => a != b })
+    cases.foreach { es =>
+      val n = (es.flatMap(e => Seq(e._1, e._2)) :+ 1L).max
+      val nodes = (1L to n).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val viaProp = ConnectedComponents.run(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = ConnectedComponents.runStar(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"star disagrees with label-prop on $es")
+    }
+    // maxIter contract matches run(): throws instead of wrong labels
+    val nodes = (1L to 40L).toDF("id")
+    val path = (1L to 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException](
+      ConnectedComponents.runStar(nodes, path, maxIter = 1))
+  }
+
+  test("Subprocess.pipePartitions streams rows through an external binary") {
+    import graft.operators.Subprocess
+    import spark.implicits._
+    val in = (1 to 500).map(i => s"row$i").toDS().repartition(4)
+    val out = Subprocess.pipePartitions(in, Seq("tr", "a-z", "A-Z"))
+      .collect().sorted
+    assert(out.toSeq == (1 to 500).map(i => s"ROW$i").sorted)
+    // a failing command fails the task with the exit code, not silence
+    val err = intercept[org.apache.spark.SparkException](
+      Subprocess.pipePartitions(in, Seq("false")).collect())
+    assert(err.getMessage.contains("exited") || err.getCause != null)
+  }
+
   test("withGlobalAgg broadcasts a single-row aggregate to every row") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
