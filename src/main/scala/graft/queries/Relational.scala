@@ -87,6 +87,17 @@ object Relational extends QueryModule {
       Tables.nation(s, dir).select($"n_nationkey", upper($"n_name").as("n_name_upper"))
     },
 
+    // P18: external-binary ParDo (reference `subprocess/ExampleEchoPipeline
+    // .scala:20-28`) — pipe rows through a line-oriented subprocess, one
+    // process per partition. `tr` upper-cases ASCII, so plain SQL upper()
+    // oracles the whole exec-feed-collect plumbing.
+    "p18_subprocess_upper" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Subprocess.pipePartitions(
+        Tables.customer(s, dir).select($"c_name").as[String],
+        Seq("tr", "a-z", "A-Z")).toDF("name_upper")
+    },
+
     // P13/§2.6 JSON: tolerant parse of a JSON-ish props column via
     // regexp_extract + null-on-failure cast (reference `UserScore.scala:130-154`
     // parse-with-Try; `TopWikipediaSessions.scala:99-109` JSON ingest).
@@ -364,6 +375,9 @@ object Relational extends QueryModule {
 
     "p12_upper" ->
       "SELECT n_nationkey, upper(n_name) AS n_name_upper FROM nation",
+
+    "p18_subprocess_upper" ->
+      "SELECT upper(c_name) AS name_upper FROM customer",
 
     "p13_parse_tolerant" ->
       """SELECT event_type, count(*) AS n,
