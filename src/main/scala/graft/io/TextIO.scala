@@ -56,6 +56,64 @@ object TextIO {
       .partitionBy(windowStartCol)
       .text(dir)
 
+  /** S4 with the reference's exact FILENAME policy
+    * (`WriteOneFilePerWindow.java:85-110`): flat files named
+    * `{prefix}-{HH:mm winStart}-{HH:mm winEnd}-{shard}-of-{numShards}`.
+    *
+    * Input df: (`w_start` timestamp, `w_end` timestamp, `value` string).
+    * The data pass is fully distributed — one shuffle keyed on
+    * (window, shard) then a partitioned text write; the renames that
+    * flatten Spark's `dir/part-*` layout into the reference's filenames
+    * are driver-side METADATA ops, O(#windows · shards) per call and
+    * independent of data volume (cheap on HDFS; on object stores rename
+    * is copy — keep the directory layout (`writeWindowedText`) there).
+    * Shards with no rows produce no file, so a sparse window yields
+    * fewer than `shards` files (N in `-of-N` is the actual file count,
+    * exactly like Beam runners that drop empty shards).
+    */
+  def writeOneFilePerWindow(df: DataFrame, dir: String, prefix: String,
+                            shards: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val outDir = new Path(dir)
+    val staging = new Path(outDir, s".staging-${java.util.UUID.randomUUID}")
+    df.select(date_format(col("w_start"), "HH:mm").as("ws"),
+        date_format(col("w_end"), "HH:mm").as("we"), col("value"))
+      .repartition(col("ws"), col("we"),
+        pmod(hash(col("value")), lit(math.max(shards, 1))))
+      .write.mode("overwrite").partitionBy("ws", "we").text(staging.toString)
+    val fs = outDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The local ChecksumFileSystem derives ".<name>.crc" sibling Paths
+    // during rename, which re-trips Path's colon-as-scheme parsing; the
+    // raw FS renames the data file only (stale staging crcs are deleted
+    // with the staging dir).
+    val renFs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    fs.mkdirs(outDir)
+    def decode(part: String): String = // "ws=00%3A10" → "00:10"
+      java.net.URLDecoder.decode(part.split("=", 2)(1), "UTF-8")
+    for (wsDir <- fs.listStatus(staging) if wsDir.getPath.getName.startsWith("ws=");
+         weDir <- fs.listStatus(wsDir.getPath) if weDir.getPath.getName.startsWith("we=")) {
+      val ws = decode(wsDir.getPath.getName)
+      val we = decode(weDir.getPath.getName)
+      val parts = fs.listStatus(weDir.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        // Path(parent, child) parses a ':' in the child as a URI scheme;
+        // a scheme-less URI keeps the reference's HH:mm filename intact
+        // (legal on POSIX/local FS; object stores allow ':' too).
+        val base = fs.makeQualified(outDir).toUri.getPath
+        renFs.rename(p.getPath, new Path(new java.net.URI(
+          null, null, s"$base/$prefix-$ws-$we-$i-of-${parts.length}", null)))
+      }
+    }
+    fs.delete(staging, true)
+    ()
+  }
+
   /** S4 streaming: per-window directories via foreachBatch + partitionBy
     * (append as windows close under the watermark).
     */

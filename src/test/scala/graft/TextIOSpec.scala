@@ -40,6 +40,32 @@ class TextIOSpec extends SparkSpec {
     assert(parts.size == 2)
   }
 
+  test("S4: writeOneFilePerWindow matches the reference filename policy") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wofpw").toString + "/out"
+    val df = Seq(
+      ("2024-01-01 10:00:00", "2024-01-01 10:10:00", "a: 1"),
+      ("2024-01-01 10:00:00", "2024-01-01 10:10:00", "b: 2"),
+      ("2024-01-01 10:10:00", "2024-01-01 10:20:00", "c: 3"))
+      .toDF("ws", "we", "value")
+      .select($"ws".cast("timestamp").as("w_start"),
+        $"we".cast("timestamp").as("w_end"), $"value")
+    TextIO.writeOneFilePerWindow(df, dir, "output", shards = 2)
+    val files = new java.io.File(dir).listFiles().filter(_.isFile)
+      .map(_.getName).toSet
+    // prefix-<HH:mm start>-<HH:mm end>-<shard>-of-<N>, per WriteOneFilePerWindow.java:85-110
+    val pat = """output-\d\d:\d\d-\d\d:\d\d-\d+-of-\d+""".r
+    assert(files.nonEmpty && files.forall(f => pat.matches(f)), s"got $files")
+    assert(files.exists(_.startsWith("output-10:00-10:10-")) &&
+      files.exists(_.startsWith("output-10:10-10:20-")), s"got $files")
+    // all rows land exactly once across the window's shard files
+    val lines = new java.io.File(dir).listFiles().filter(_.isFile)
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq.sorted
+    assert(lines == Seq("a: 1", "b: 2", "c: 3"))
+    // no staging leftovers
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
+  }
+
   test("S3: CSV write-read roundtrip with explicit schema") {
     import org.apache.spark.sql.types._
     import spark.implicits._
