@@ -47,20 +47,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
   }
 
-  test("d2/d6/d7-pairgen: no broadcast HINT — per-doc sizes attached via window") {
+  test("d2/d6/d7-pairgen: no broadcast HINT — per-doc sizes computed rowwise") {
     // Round-2 verdict scale-killer: sizes (one row per document) was
     // broadcast()-hinted onto the candidate-pair frame, forcing O(n_docs)
-    // executor memory at ANY scale. Now the shingle frame carries n_sh
-    // through the pair agg and NOTHING is hinted: the analyzed plan must
-    // hold zero ResolvedHints. (Catalyst/AQE may still pick a broadcast
-    // from ACTUAL sizes at small SF — that is the desired size-based
-    // behavior, so the physical plan is deliberately not constrained.)
+    // executor memory at ANY scale. Now n_sh = size(array_distinct(...))
+    // is computed rowwise BEFORE the explode — no sizes table, no hint,
+    // and no window shuffle either: the analyzed plan must hold zero
+    // ResolvedHints and the physical plan zero Window nodes. (Catalyst/
+    // AQE may still pick a broadcast from ACTUAL runtime sizes at small
+    // SF — that is the desired size-based behavior.)
     Seq("d2_jaccard_pairs", "d6_dedup_corpus").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, dir).queryExecution
       assert(!qe.analyzed.toString.contains("ResolvedHint"),
         s"$q must not carry a join-strategy hint")
-      assert(qe.executedPlan.toString.contains("Window"),
-        s"$q should attach n_sh via window count")
+      assert(!qe.executedPlan.toString.contains("Window"),
+        s"$q should compute n_sh rowwise pre-explode, not via window")
     }
     // sanity: the check distinguishes — q3 DOES hint its dims
     assert(SparkEntry.queries("q3_shipping")(spark, dir)
