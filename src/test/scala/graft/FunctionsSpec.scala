@@ -49,6 +49,38 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1) == Seq.empty)
   }
 
+  test("hashedShingles matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.HashedShinglesExpr
+    // independent reference: regex tokenize, Java string hash, BigInt fold
+    def ref(text: String, n: Int): Seq[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map { w =>
+        w.map(t => BigInt(t.hashCode) mod BigInt(4294967296L))
+          .reduceLeft((g, h) => (g * 1000003 + h) mod BigInt(4294967296L))
+          .toLong
+      }.toSeq.distinct.sorted
+    }
+    val docs = Seq(
+      "a b c d e", "a b", "", "  padded   spacing\tand\ttabs  ",
+      "dup dup dup dup dup", "Ünïcode tökens überall here ok",
+      "x y z x y z x y z")
+    val got = docs.toDF("t")
+      .select(HashedShinglesExpr.hashedShingles($"t", 3).as("sh"))
+      .as[Seq[Long]].collect()
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d, 3), s"mismatch for '$d'")
+      assert(g.forall(v => v >= 0 && v < 4294967296L))
+    }
+    // n=1 degenerates to distinct token hashes
+    val one = Seq("b a b").toDF("t")
+      .select(HashedShinglesExpr.hashedShingles($"t", 1).as("sh"))
+      .as[Seq[Long]].head()
+    assert(one == Seq("a", "b").map(t =>
+      BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong).sorted)
+  }
+
   test("knuthHash is within [0, 2^32) and deterministic") {
     import spark.implicits._
     val vals = Seq(0L, 1L, 42L, Int.MaxValue.toLong).toDF("x")
