@@ -223,20 +223,11 @@ object Dedup extends QueryModule {
 
   /** 32-bit SimHash of whitespace tokens (with multiplicity): bit b of
     * the result is set iff the sum over tokens of ±1 (sign = bit b of the
-    * token's u32 Java hash) is positive.
+    * token's u32 Java hash) is positive. Fused codegen'd expression —
+    * see `SimHashExpr` for why the composed HOF form was replaced.
     */
-  private def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.wsTokens(text),
-      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
-        lit(4294967296L)))
-    val bits = (0 until 32).map { b =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  private def simhash(text: Column): Column =
+    graft.functions.SimHashExpr.simhash32(text)
 
   private def ws(e: String) = OracleFragments.wsTokens(e)
 

@@ -81,6 +81,33 @@ class FunctionsSpec extends SparkSpec {
       BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong).sorted)
   }
 
+  test("simhash32 matches the composed Catalyst bit-vote form") {
+    import spark.implicits._
+    import graft.functions.SimHashExpr
+    // the exact HOF pipeline SimHashExpr replaced
+    def composed(text: org.apache.spark.sql.Column) = {
+      val hashes = transform(TextFunctions.wsTokens(text),
+        w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+          lit(4294967296L)))
+      (0 until 32).map { b =>
+        val votes = aggregate(hashes, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L))
+        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val docs = Seq("the quick brown fox", "", "one", "a a a b",
+      "tabs\tand  runs of   space", "Ünïcode tökens")
+    val rows = docs.toDF("t")
+      .select(SimHashExpr.simhash32($"t").as("f"), composed($"t").as("c"))
+      .as[(Long, Long)].collect()
+    docs.zip(rows).foreach { case (d, (f, c)) =>
+      assert(f == c, s"simhash mismatch for '$d'")
+      assert(f >= 0 && f < 4294967296L)
+    }
+    assert(rows(1)._1 == 0L) // zero-token doc
+  }
+
   test("knuthHash is within [0, 2^32) and deterministic") {
     import spark.implicits._
     val vals = Seq(0L, 1L, 42L, Int.MaxValue.toLong).toDF("x")
