@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SerializeFromObject"), "JIT flatMap stage expected")
   }
 
+  test("d2/d4: fused shingle + simhash exprs stay inside codegen spans") {
+    // d2's shingle generation must be the single fused expression inside
+    // a WholeStageCodegen projection — not a chain of interpreted
+    // higher-order functions (transform/array_join/slice/array_distinct).
+    val d2 = SparkEntry.queries("d2_jaccard_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)[\s\S]*?hashed_shingles""".r.findFirstIn(d2).isDefined,
+      s"hashed_shingles must sit in a codegen span:\n$d2")
+    assert(!d2.contains("array_join") && !d2.contains("array_distinct"),
+      "no interpreted string-shingle pipeline in the d2 plan")
+    val d4 = SparkEntry.queries("d4_simhash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)[\s\S]*?simhash32""".r.findFirstIn(d4).isDefined,
+      s"simhash32 must sit in a codegen span:\n$d4")
+    assert(!d4.contains("aggregate(") && !d4.contains("ScalaUDF"),
+      "no interpreted bit-vote pipeline in the d4 plan")
+  }
+
   test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
     // execute so AQE finalizes and codegen spans materialize in the plan
     val df = SparkEntry.queries("a15_checksum")(spark, dir)

@@ -114,4 +114,61 @@ class PropertySpec extends SparkSpec {
     assert(sig2("x") == sig2("y"))
     assert(sig2("x") != sig2("z"))
   }
+
+  // random "documents": word runs with varied whitespace separators,
+  // occasional unicode and empty/degenerate shapes
+  private val docGen: Gen[String] = {
+    val word = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+      Gen.oneOf("a", "b", "the", "Ünï", "x1", "!?#"))
+    val sep = Gen.nonEmptyListOf(Gen.oneOf(' ', ' ', ' ', '\t', '\n', '\u000B', '\f', '\r'))
+      .map(_.mkString)
+    for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n + 1, sep)
+    } yield (ss.head +: ws.zip(ss.tail).flatMap { case (w, s) => Seq(w, s) })
+      .mkString
+  }
+
+  test("hashedShingles: fused expr == reference fold on random docs") {
+    import spark.implicits._
+    import graft.functions.HashedShinglesExpr
+    def ref(text: String, n: Int): Seq[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.map(t =>
+        BigInt(t.hashCode) mod BigInt(4294967296L))
+        .reduceLeft((g, h) => (g * 1000003 + h) mod BigInt(4294967296L))
+        .toLong).toSeq.distinct.sorted
+    }
+    val docs = sample(docGen, 300)
+    Seq(1, 2, 3, 5).foreach { n =>
+      val got = docs.toDF("t")
+        .select(HashedShinglesExpr.hashedShingles($"t", n).as("sh"))
+        .as[Seq[Long]].collect()
+      docs.zip(got).foreach { case (d, g) =>
+        assert(g == ref(d, n), s"n=$n doc=${d.replace("\n", "\\n")}")
+      }
+    }
+  }
+
+  test("simhash32: fused expr == reference bit-vote on random docs") {
+    import spark.implicits._
+    import graft.functions.SimHashExpr
+    def ref(text: String): Long = {
+      val hs = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong)
+      (0 until 32).map { b =>
+        val votes = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    }
+    val docs = sample(docGen, 300)
+    val got = docs.toDF("t")
+      .select(SimHashExpr.simhash32($"t")).as[Long].collect()
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d), s"doc=${d.replace("\n", "\\n")}")
+    }
+  }
 }
