@@ -1,20 +1,22 @@
 package graft.core
 
-import graft.functions.JavaStringHashCode
+import graft.functions.{HashedShinglesExpr, JavaStringHashCode, SimHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Engine extensions registered via `SparkSessionExtensions` — the
   * supported Spark extension point (enable with
   * `.config("spark.sql.extensions", "graft.core.GraftExtensions")` or
   * `GraftSession.local`, which wires it in).
   *
-  * Currently injects the SQL function `java_string_hashcode(str)`
-  * (codegen'd `JavaStringHashCode` expression) so SQL-surface users get
-  * the same hash-parity primitive as the Scala API (SURVEY §4:
-  * engine-level sugar belongs in the FunctionRegistry, not a custom
-  * strategy).
+  * Injects the engine's codegen'd text/hash primitives into the SQL
+  * surface so SQL users get the same parity-checked functions as the
+  * Scala API (SURVEY §4: engine-level sugar belongs in the
+  * FunctionRegistry, not a custom strategy):
+  *   - `java_string_hashcode(str)` — Java `String.hashCode`;
+  *   - `hashed_shingles(str, n)` — distinct hashed word n-gram shingles;
+  *   - `simhash32(str)` — 32-bit token-vote SimHash.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JavaStringHashCode].getName,
         "java_string_hashcode"),
       (children: Seq[Expression]) => JavaStringHashCode(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShinglesExpr].getName,
+        "hashed_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, _)) => HashedShinglesExpr(text, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: hashed_shingles(text, <int literal n>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHashExpr(children.head)))
   }
 }

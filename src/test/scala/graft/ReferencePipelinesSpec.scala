@@ -103,4 +103,22 @@ class ReferencePipelinesSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(r == "Flourish".hashCode)
   }
+
+  test("SQL surface exposes hashed_shingles and simhash32") {
+    val sh = spark.sql("SELECT hashed_shingles('a b c d', 3) AS sh")
+      .collect().head.getSeq[Long](0)
+    def u32(s: String) = BigInt(s.hashCode).mod(BigInt(4294967296L))
+    def fold(ws: Seq[String]) = ws.map(u32)
+      .reduceLeft((g, h) => (g * 1000003 + h) mod BigInt(4294967296L)).toLong
+    assert(sh.sorted == Seq(fold(Seq("a", "b", "c")),
+      fold(Seq("b", "c", "d"))).sorted)
+    assert(sh == sh.sorted) // expression contract: sorted distinct
+    val sim = spark.sql("SELECT simhash32('a') AS s").collect().head.getLong(0)
+    assert(sim == u32("a").toLong) // single token: bits = its own hash
+    // non-literal n is rejected with a usable message
+    val err = intercept[Exception](
+      spark.sql("SELECT hashed_shingles('a b c', length('xy')) AS sh")
+        .collect())
+    assert(err.getMessage.contains("hashed_shingles"))
+  }
 }
