@@ -256,11 +256,13 @@ object Relational extends QueryModule {
 
     // J1: left-outer lookup join with default for misses (reference
     // CoGroupByKey + getOnly(tag, "none"), `JoinExamples.scala:71-102`).
-    // Dim side broadcast (customer ≪ orders at scale).
+    // customer scales with SF, so no broadcast HINT: size-based selection
+    // (static stats / AQE) broadcasts it while it fits and shuffle-joins
+    // past that — the 100 TB-safe shape.
     "j1_left_outer" -> { (s, dir) =>
       import s.implicits._
       val o = Tables.orders(s, dir)
-      val c = broadcast(Tables.customer(s, dir))
+      val c = Tables.customer(s, dir)
       o.join(c, $"o_custkey" === $"c_custkey", "left_outer")
         .select($"o_orderkey",
                 coalesce($"c_name", lit("none")).as("customer_name"),
@@ -287,8 +289,10 @@ object Relational extends QueryModule {
         .groupBy($"o_custkey").agg(dsum($"o_totalprice").as("spent"))
         .filter($"spent" > 300000.0)
         .select($"o_custkey".as("c_custkey"))
+      // bigSpenders is aggregate-derived and unbounded at scale — no
+      // hint; the planner broadcasts it from its actual size.
       Tables.customer(s, dir)
-        .join(broadcast(bigSpenders), Seq("c_custkey"), "left_semi")
+        .join(bigSpenders, Seq("c_custkey"), "left_semi")
         .select($"c_custkey", $"c_name")
     },
 
@@ -301,12 +305,14 @@ object Relational extends QueryModule {
         .filter($"spent" > 300000.0)
         .select($"o_custkey".as("c_custkey"))
       Tables.customer(s, dir)
-        .join(broadcast(bigSpenders), Seq("c_custkey"), "left_anti")
+        .join(bigSpenders, Seq("c_custkey"), "left_anti")
         .select($"c_custkey", $"c_name")
     },
 
-    // Headline 3-table join (TPC-H Q3 shape): pruned scans, broadcast
-    // customer dim, single shuffle agg on orderkey, deterministic top-10.
+    // Headline 3-table join (TPC-H Q3 shape): pruned scans, single
+    // shuffle agg on orderkey, deterministic top-10. The filtered
+    // customer side carries no broadcast HINT (customer scales with SF);
+    // size-based selection broadcasts it while it fits.
     "q3_shipping" -> { (s, dir) =>
       import s.implicits._
       val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
@@ -315,7 +321,7 @@ object Relational extends QueryModule {
       val l = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"o_orderkey", $"o_orderdate")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
         .orderBy($"revenue".desc, $"o_orderkey")
@@ -323,7 +329,8 @@ object Relational extends QueryModule {
     },
 
     // Headline star join (TPC-H Q5 shape): revenue by customer nation;
-    // nation+region broadcast, one shuffle for the final agg.
+    // fixed-cardinality nation+region are HINTED broadcast, SF-scaling
+    // customer is left to size-based selection, one shuffle final agg.
     "q5_nation_revenue" -> { (s, dir) =>
       import s.implicits._
       val l = Tables.lineitem(s, dir)
@@ -333,7 +340,7 @@ object Relational extends QueryModule {
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")

@@ -1,9 +1,11 @@
 package graft
 
 /** Plan-shape regression tests: the SCALE.md contract, asserted.
-  * These run against sf0.001 (plan shape is scale-invariant for these
-  * queries: dims are broadcast by explicit `broadcast()` hints, not by
-  * size estimation).
+  * These run against sf0.001. Hint policy under test: only
+  * fixed-cardinality frames (nation=25, region=5, literal lookup maps)
+  * carry `broadcast()` hints; SF-scaling frames (customer, derived
+  * aggregates) are left to size-based selection so the same code
+  * broadcast-joins at small SF and shuffle-joins at 100 TB.
   */
 class PlanSpec extends SparkSpec {
 
@@ -19,7 +21,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"), "unused columns must be pruned from the scan")
   }
 
-  test("q3_shipping: all dims broadcast; fact side never shuffle-joins") {
+  test("q3_shipping: dims broadcast by size, fact side never shuffle-joins") {
     val p = plan("q3_shipping")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.linesIterator.take(30).mkString("\n"))
     assert(!p.contains("SortMergeJoin"), "no shuffle join on the fact table")
@@ -63,8 +65,8 @@ class PlanSpec extends SparkSpec {
       assert(!qe.executedPlan.toString.contains("Window"),
         s"$q should compute n_sh rowwise pre-explode, not via window")
     }
-    // sanity: the check distinguishes — q3 DOES hint its dims
-    assert(SparkEntry.queries("q3_shipping")(spark, dir)
+    // sanity: the check distinguishes — q5 DOES hint its bounded dims
+    assert(SparkEntry.queries("q5_nation_revenue")(spark, dir)
       .queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
