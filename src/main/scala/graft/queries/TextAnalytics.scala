@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` corpus — the training-data-pipeline
@@ -33,7 +34,56 @@ object TextAnalytics extends QueryModule {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
     "es" -> Seq("el", "los", "las", "y", "es", "este", "una", "de"))
 
+  /** x2's stopword-profile language prediction as a reusable column
+    * (argmax with deterministic profile-order tiebreak).
+    */
+  private def predLangCol: Column = {
+    val toks = TextFunctions.wsTokens(col("text"))
+    val Seq(en, de, fr, es) = langProfiles.map { case (_, words) =>
+      size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
+    }
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** x3's composite [0,1] quality score as a reusable column. */
+  private def qualityCol: Column = {
+    val toks = TextFunctions.wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    TextFunctions.stopwordRatio(toks) * lit(0.4) +
+      least(nTok / lit(80.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - TextFunctions.punctRatio(col("text"))) * lit(0.3)
+  }
+
   override def queries: Map[String, Q] = Map(
+    // D8: the composed curation funnel a pretraining pipeline actually
+    // runs — quality-filter, then exact-dedup the survivors (keep the
+    // min doc_id per content digest), then per-predicted-language corpus
+    // stats. One rowwise scoring pass and two hash-agg shuffles (digest,
+    // then pred_lang); both keys are data-parallel at any corpus size.
+    // lang/quality are functions of the text, so min() over a digest
+    // group is exact (all members identical) — no nondeterministic
+    // first()/any_value() in the keep rule.
+    "d8_corpus_curation" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text",
+          predLangCol.as("pred_lang"), qualityCol.as("quality"))
+        .filter($"quality" >= 0.3)
+        .groupBy(md5($"text".cast("binary")).as("digest"))
+        .agg(min($"doc_id").as("keeper"), min($"lang").as("lang"),
+          min($"pred_lang").as("pred_lang"), min($"quality").as("quality"))
+        .groupBy($"lang", $"pred_lang") // labeled-vs-predicted matrix
+        .agg(count(lit(1)).as("n_docs"),
+          // decimal accumulation (package.scala parity note); scale 6
+          // matches the engine-wide dsum convention
+          sum($"quality".cast("decimal(22,6)")).cast("double").as("sq"))
+        .select($"lang", $"pred_lang", $"n_docs",
+          ($"sq" / $"n_docs").as("mean_quality"))
+    },
+
     // P1+A1: the canonical wordcount (tokenize → per-element count).
     "p1_wordcount" -> { (s, dir) =>
       import s.implicits._
@@ -189,6 +239,45 @@ object TextAnalytics extends QueryModule {
   private def ws(e: String) = OracleFragments.wsTokens(e)
 
   override def oracle: Map[String, String] = Map(
+    "d8_corpus_curation" -> {
+      val hits = langProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, w -> list_contains($lst, w))) AS ${lang}_hits"
+      }.mkString(",\n    ")
+      val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, text, ${ws("text")} AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         |    $hits,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE
+         |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN len(text) > 0 THEN
+         |      (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |        / len(text)::DOUBLE ELSE 0.0 END AS punct_ratio
+         |  FROM f),
+         |scored AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |         WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |         WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS pred_lang,
+         |    stop_ratio * 0.4 + least(n_tokens::DOUBLE / 80.0, 1.0) * 0.3
+         |      + (1.0 - punct_ratio) * 0.3 AS quality
+         |  FROM g),
+         |dedup AS (
+         |  SELECT md5(text) AS digest, min(doc_id) AS keeper,
+         |    min(lang) AS lang, min(pred_lang) AS pred_lang,
+         |    min(quality) AS quality
+         |  FROM scored WHERE quality >= 0.3 GROUP BY 1)
+         |SELECT lang, pred_lang, count(*) AS n_docs,
+         |  CAST(sum(CAST(quality AS DECIMAL(22,6))) AS DOUBLE) / count(*)
+         |    AS mean_quality
+         |FROM dedup GROUP BY 1, 2""".stripMargin
+    },
+
     "p1_wordcount" ->
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest(${tok("text")}) AS word FROM documents)

@@ -194,4 +194,24 @@ object StreamOps {
       .agg(sum(col("value")).as("team_total"))
       .select(col("w.start").as("w_start"), col("team"), col("team_total"))
   }
+
+  /** Continuous exact dedup over an unbounded document stream — the
+    * ingest-side twin of the batch d1/d8 keep rule. The first document
+    * with a given content digest passes; later copies are dropped as
+    * long as they arrive within `horizon` of the watermark. State is one
+    * (digest, first-seen ts) entry per distinct document inside the
+    * horizon, expired by the watermark — bounded regardless of stream
+    * length, shuffled only on the digest (RocksDB state store at scale).
+    *
+    * Exactly Spark's `dropDuplicatesWithinWatermark` contract: duplicates
+    * separated by more than the horizon are NOT deduped (by design —
+    * unbounded lookback would mean unbounded state); batch d1 is the
+    * periodic full-corpus pass that catches those.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     horizon: String): DataFrame =
+    docs
+      .withWatermark(tsCol, horizon)
+      .withColumn("digest", md5(col(textCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("digest")
 }

@@ -228,4 +228,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Set((Timestamp.valueOf("2024-01-01 00:00:00"), 7.0)),
       s"got $out") // (9 + 5)/2 = 7 minutes
   }
+
+  test("streaming dedup: first copy passes, in-horizon dups drop, state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingDedup(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdedup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: first copy of A and B pass; same-batch dup of A drops
+      in.addData((ts(0), 1L, "doc A"), (ts(1), 2L, "doc A"),
+        (ts(2), 3L, "doc B"))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup inside the horizon drops
+      in.addData((ts(5), 4L, "doc A"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far past ts(5)+10min so A's state
+      // expires, then batch 4: A re-admitted (documented horizon contract)
+      in.addData((ts(40), 5L, "doc C"))
+      q.processAllAvailable()
+      in.addData((ts(45), 6L, "doc A"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_test").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L, 6L),
+        s"expected first copies + horizon-expired readmission, got $ids")
+    } finally q.stop()
+  }
 }
