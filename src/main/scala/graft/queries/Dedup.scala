@@ -51,10 +51,13 @@ object Dedup extends QueryModule {
   private def jaccardPairs(s: SparkSession, dir: String,
                            threshold: Double): DataFrame = {
     import s.implicits._
+    // Both self-join sides recompute the shingle frame rather than
+    // cache() it: the fused expression makes recompute cheaper than a
+    // cache round-trip at test SF, and at 100 TB a corpus-sized cache
+    // would pin executor storage memory for no plan benefit.
     val sh = shingleArr(s, dir)
       .select($"doc_id", size($"arr").cast("long").as("n_sh"),
         explode($"arr").as("shingle"))
-      .cache() // reused as both sides of the self-join
     sh.as("a")
       .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
         $"a.doc_id" < $"b.doc_id")
@@ -168,11 +171,12 @@ object Dedup extends QueryModule {
       // from the hash groups afterwards. Identical result set to the
       // naive doc-level band join (same oracle), with join cost scaled
       // by the dedup factor squared.
+      // recomputed per use, not cache()d — same rationale as d2's
+      // shingle frame (cheap fused hash; no storage-memory pinning)
       val groups = Tables.documents(s, dir)
         .select($"doc_id", simhash($"text").as("simhash"))
         .groupBy($"simhash")
         .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .cache()
       // intra-group pairs: identical simhash => hamming 0
       val intra = groups
         .select(explode(expr(

@@ -84,8 +84,10 @@ class PlanSpec extends SparkSpec {
     // d2's shingle generation must be the single fused expression inside
     // a WholeStageCodegen projection — not a chain of interpreted
     // higher-order functions (transform/array_join/slice/array_distinct).
-    val d2 = SparkEntry.queries("d2_jaccard_pairs")(spark, dir)
-      .queryExecution.executedPlan.toString
+    // execute so AQE finalizes and codegen spans materialize in the plan
+    val d2df = SparkEntry.queries("d2_jaccard_pairs")(spark, dir)
+    d2df.collect()
+    val d2 = d2df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\)[\s\S]*?hashed_shingles""".r.findFirstIn(d2).isDefined,
       s"hashed_shingles must sit in a codegen span:\n$d2")
     assert(!d2.contains("array_join") && !d2.contains("array_distinct"),
