@@ -25,6 +25,7 @@ object Similarity extends QueryModule {
   private val NumPlanes = 8
   private val QuerySetSize = 20
   private val K = 5
+  private val KmK = 8 // k-means cluster count (v6)
 
   /** Pseudo-random-but-portable hyperplane component w(i,j) for plane i,
     * dim j (1-based): knuth(i*64+j)/2^32 - 0.5 — reproducible in any SQL
@@ -128,6 +129,39 @@ object Similarity extends QueryModule {
       graft.operators.KeyedOps.topKPerKey(cands, Seq($"q_id"),
           Seq($"sim".desc, $"vec_id"), K)
         .select($"q_id", $"vec_id", $"sim", $"rank")
+    },
+
+    // V6: k-means clustering (two deterministic unrolled Lloyd rounds) —
+    // the corpus-bucketing / diversity-sampling op of a curation
+    // pipeline. Init = first KmK vectors (the v4 codebook convention);
+    // each round is one broadcast cross join against the K-row centroid
+    // frame + one argmax shuffle on vec_id, then a decimal-exact
+    // per-(cid, dim) mean (v5 pattern) reassembled into centroid arrays.
+    // Every step is deterministic (cosine ties break on cid), so the
+    // DuckDB oracle replays both rounds bit-for-bit. At 100 TB: rounds
+    // are argmax shuffles ∝ corpus×K with map-side combine; centroids
+    // stay K rows regardless of corpus size.
+    "v6_kmeans" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+      val cents0 = corpus.filter($"vec_id" < KmK)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"))
+      def assignTo(cents: DataFrame): DataFrame =
+        graft.operators.KeyedOps.topKPerKey(
+            corpus.crossJoin(broadcast(cents))
+              .select($"vec_id", $"embedding", $"cid",
+                VectorFunctions.cosine($"embedding", $"c_emb").as("csim")),
+            Seq($"vec_id"), Seq($"csim".desc, $"cid"), 1, "crank")
+          .select($"vec_id", $"embedding", $"cid")
+      val cents1 = assignTo(cents0)
+        .select($"cid", posexplode($"embedding"))
+        .groupBy($"cid", $"pos")
+        .agg((sum($"col".cast("double").cast("decimal(22,8)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cid", transform($"pm", x => x("m")).as("c_emb"))
+      assignTo(cents1).select($"vec_id", $"cid".cast("bigint").as("cid"))
     },
 
     // V5: per-label centroid (element-wise mean embedding) — grouped
@@ -286,6 +320,32 @@ object Similarity extends QueryModule {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
          |WHERE rank <= $K""".stripMargin,
+
+    "v6_kmeans" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < $KmK),
+         |a0 AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+         |    FROM embeddings e CROSS JOIN cents0 c)
+         |  WHERE crank = 1),
+         |dimmean AS (
+         |  SELECT cid, i,
+         |    CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(22,8))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         |  GROUP BY 1, 2),
+         |cents1 AS (
+         |  SELECT cid, list(m ORDER BY i) AS c_emb FROM dimmean GROUP BY cid)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+         |  FROM embeddings e CROSS JOIN cents1 c)
+         |WHERE crank = 1""".stripMargin,
 
     "v5_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, i - 1 AS pos,
