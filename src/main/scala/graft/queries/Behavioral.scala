@@ -171,6 +171,27 @@ object Behavioral extends QueryModule {
     // P17: deterministic late-data injection (reference random-delay DoFn,
     // `TriggerExample.scala:388-410`, made reproducible via the portable
     // hash): ~1/600 of events delayed by 5 minutes.
+    // J7: left AS-OF join — for every click, the user's latest purchase
+    // at or before it (classic attribution). Spark has no native as-of
+    // join; `operators/AsOfJoin` composes it from a union + ONE window
+    // pass per key (the merge-scan shape a native implementation runs).
+    // The right side is pre-aggregated to one row per (user, ts) so the
+    // match is well-defined; oracle = DuckDB's native ASOF LEFT JOIN.
+    "j7_asof_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOf(
+          clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"), $"asof_ts".as("purchase_ts"),
+          $"asof_purchase_value".as("purchase_value"))
+    },
+
     "p17_late_inject" -> { (s, dir) =>
       import s.implicits._
       Tables.events(s, dir)
@@ -330,6 +351,18 @@ object Behavioral extends QueryModule {
         |WHERE value > 0 AND user_id IS NOT NULL
         |  AND len(event_type) > 0 AND event_type <> 'header'
         |GROUP BY event_type""".stripMargin,
+
+    "j7_asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  p.ts AS purchase_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "p17_late_inject" ->
       """WITH adj AS (

@@ -150,4 +150,31 @@ class OperatorsSpec extends SparkSpec {
       .filter($"v" > $"m").as[(Double, Double)].collect().toSet
     assert(out == Set((3.0, 2.5), (4.0, 2.5)))
   }
+
+  test("AsOfJoin: latest right at-or-before each left, null when none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val clicks = Seq(
+      (1L, t(10), 100L), // after purchases at 5 -> matches 5
+      (1L, t(20), 101L), // equal ts as purchase at 20 -> INCLUSIVE match
+      (1L, t(3), 102L),  // before any purchase -> null
+      (2L, t(50), 200L)  // user with no purchases -> null
+    ).toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, t(5), 7.0),
+      (1L, t(20), 9.0),
+      (1L, t(30), 11.0) // after every click -> never matched
+    ).toDF("user_id", "ts", "purchase_value")
+    val out = graft.operators.AsOfJoin.leftAsOf(
+        clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      .select($"event_id", $"asof_ts", $"asof_purchase_value")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2.map(_.getTime / 1000), r._3))).toMap
+    assert(out(100L) == ((Some(5L), Some(7.0))))
+    assert(out(101L) == ((Some(20L), Some(9.0)))) // inclusive boundary
+    assert(out(102L) == ((None, None)))
+    assert(out(200L) == ((None, None)))
+    assert(out.size == 4) // every left row survives exactly once
+  }
 }
