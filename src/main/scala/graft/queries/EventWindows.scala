@@ -84,12 +84,50 @@ object EventWindows extends QueryModule {
              count(lit(1)).as("n_sessions"))
         .select($"d.start".as("day"), $"avg_session_min", $"n_sessions")
     },
+
+    // J8: range join — purchases attributed to global error-burst
+    // ("outage") intervals, with NO equi key. Intervals = keyless session
+    // windows over error events (gap 2 min); the containment join runs
+    // through `operators/RangeJoin` as a binned equi-join (Spark would
+    // otherwise plan a BroadcastNestedLoopJoin for a pure inequality
+    // join). Oracle = DuckDB gaps-and-islands + a plain range join.
+    "j8_range_outage" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val outages = ev.filter($"event_type" === "error")
+        .groupBy(session_window($"ts", "2 minutes").as("w"))
+        .agg(count(lit(1)).as("n_errors"))
+        .select($"w.start".as("o_start"), $"w.end".as("o_end"), $"n_errors")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"ts", $"value")
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, "ts", outages, "o_start", "o_end", binWidthSec = 300)
+        .select($"event_id", $"ts", $"o_start", $"o_end", $"n_errors")
+    },
   )
 
   // DuckDB oracles. Epoch arithmetic (`TIMESTAMP '1970-01-01' + k seconds`)
   // avoids DuckDB's TIMESTAMPTZ local-zone coercion; Spark windows are
   // epoch-aligned so integer floor reproduces window()'s assignment exactly.
   override def oracle: Map[String, String] = Map(
+    "j8_range_outage" ->
+      """WITH marked AS (
+        |  SELECT ts, CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+        |      OR ts >= lag(ts) OVER (ORDER BY ts) + INTERVAL 2 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE event_type = 'error'),
+        |grp AS (
+        |  SELECT ts, sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM marked),
+        |outages AS (
+        |  SELECT min(ts) AS o_start, max(ts) + INTERVAL 2 MINUTE AS o_end,
+        |    count(*) AS n_errors
+        |  FROM grp GROUP BY g)
+        |SELECT e.event_id, e.ts, o.o_start, o.o_end, o.n_errors
+        |FROM events e JOIN outages o
+        |  ON e.ts >= o.o_start AND e.ts < o.o_end
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+
     "w1_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,

@@ -177,4 +177,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(200L) == ((None, None)))
     assert(out.size == 4) // every left row survives exactly once
   }
+
+  test("RangeJoin: containment across bin boundaries, [start,end) exclusive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // bin width 10s; interval spans 3 bins; one interval inside one bin
+    val intervals = Seq(
+      (t(5), t(27), "long"),   // covers bins 0,1,2
+      (t(42), t(44), "short")  // inside bin 4
+    ).toDF("o_start", "o_end", "name")
+    val points = Seq(
+      (1L, t(5)),   // == start -> in
+      (2L, t(26)),  // just under end, different bin than start -> in
+      (3L, t(27)),  // == end -> OUT (exclusive)
+      (4L, t(43)),  // inside short
+      (5L, t(41)),  // same bin as short but before start -> OUT
+      (6L, t(100))  // no interval
+    ).toDF("event_id", "ts")
+    val out = graft.operators.RangeJoin.pointInInterval(
+        points, "ts", intervals, "o_start", "o_end", binWidthSec = 10)
+      .select($"event_id", $"name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "long"), (2L, "long"), (4L, "short")))
+  }
 }
