@@ -84,6 +84,23 @@ object TextAnalytics extends QueryModule {
           ($"sq" / $"n_docs").as("mean_quality"))
     },
 
+    // X6: exact per-language token-count quantiles — the corpus length
+    // profile a curation pipeline reports. Exact interpolated percentile
+    // (not approx_percentile): one hash-agg shuffle on lang; DuckDB
+    // quantile_cont uses the same rank = q*(n-1) linear interpolation,
+    // so the doubles match bit-for-bit.
+    "x6_length_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang",
+          size(TextFunctions.wsTokens($"text")).cast("bigint").as("n_tokens"))
+        .groupBy($"lang")
+        .agg(percentile($"n_tokens", lit(0.5)).as("p50"),
+          percentile($"n_tokens", lit(0.9)).as("p90"),
+          percentile($"n_tokens", lit(0.99)).as("p99"),
+          count(lit(1)).as("n_docs"))
+    },
+
     // P1+A1: the canonical wordcount (tokenize → per-element count).
     "p1_wordcount" -> { (s, dir) =>
       import s.implicits._
@@ -277,6 +294,15 @@ object TextAnalytics extends QueryModule {
          |    AS mean_quality
          |FROM dedup GROUP BY 1, 2""".stripMargin
     },
+
+    "x6_length_quantiles" ->
+      s"""SELECT lang, quantile_cont(n_tokens, 0.5) AS p50,
+         |  quantile_cont(n_tokens, 0.9) AS p90,
+         |  quantile_cont(n_tokens, 0.99) AS p99,
+         |  count(*) AS n_docs
+         |FROM (SELECT lang, len(${ws("text")})::BIGINT AS n_tokens
+         |      FROM documents)
+         |GROUP BY lang""".stripMargin,
 
     "p1_wordcount" ->
       s"""SELECT word, count(*) AS n
