@@ -100,6 +100,19 @@ class PlanSpec extends SparkSpec {
       "no interpreted bit-vote pipeline in the d4 plan")
   }
 
+  test("j7_asof: one window pass, no join operator at all") {
+    val p = plan("j7_asof_attribution")
+    assert(p.contains("Window"), "as-of must run as a window scan")
+    assert(!p.contains("Join"), s"as-of must not plan any join:\n$p")
+  }
+
+  test("j8_range_outage: binned equi-join, never BroadcastNestedLoop") {
+    val p = plan("j8_range_outage")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not fall back to the O(n*m) plan:\n$p")
+    assert(p.contains("Join"), "bin equi-join expected")
+  }
+
   test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
     // execute so AQE finalizes and codegen spans materialize in the plan
     val df = SparkEntry.queries("a15_checksum")(spark, dir)
