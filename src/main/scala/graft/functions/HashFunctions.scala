@@ -42,8 +42,9 @@ object HashFunctions {
 
   /** Knuth multiplicative hash of a long key, in [0, 2^32).
     *
-    * Pure integer arithmetic — reproducible in any SQL engine
-    * (`((x % 2^32) * 2654435761) % 2^32`), which makes hash-based sampling
+    * Pure integer arithmetic — reproducible in any SQL engine with
+    * 128-bit (or split) multiplication, e.g. DuckDB HUGEINT
+    * (`OracleFragments.knuthU32`); makes hash-based sampling
     * oracle-checkable (unlike engine-native murmur hashes).
     *
     * Overflow-safe at any key magnitude (ANSI mode throws on long

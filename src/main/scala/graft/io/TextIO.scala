@@ -106,8 +106,15 @@ object TextIO {
         // a scheme-less URI keeps the reference's HH:mm filename intact
         // (legal on POSIX/local FS; object stores allow ':' too).
         val base = fs.makeQualified(outDir).toUri.getPath
-        renFs.rename(p.getPath, new Path(new java.net.URI(
-          null, null, s"$base/$prefix-$ws-$we-$i-of-${parts.length}", null)))
+        val dest = new Path(new java.net.URI(
+          null, null, s"$base/$prefix-$ws-$we-$i-of-${parts.length}", null))
+        // HDFS rename returns false (no throw) when e.g. the destination
+        // already exists; staging is deleted below, so an unchecked false
+        // would silently discard this part's rows.
+        if (!renFs.rename(p.getPath, dest))
+          throw new java.io.IOException(
+            s"windowed sink: rename ${p.getPath} -> $dest failed " +
+              "(destination exists?); staging retained")
       }
     }
     fs.delete(staging, true)

@@ -32,7 +32,11 @@ object AsOfJoin {
   def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String]): DataFrame = {
     val pStruct = struct((tsCol +: payload).map(right(_)): _*)
+    // A null right timestamp must match nothing (ASOF `l.ts >= NULL` is
+    // no-match) — unfiltered it would sort nulls-first and become a
+    // universal fallback payload for otherwise-unmatched left rows.
     val r2 = right
+      .filter(right(tsCol).isNotNull)
       .select(keys.map(right(_)) ++
         Seq(right(tsCol), pStruct.as("_asof")): _*)
       .withColumn("_side", lit(0))

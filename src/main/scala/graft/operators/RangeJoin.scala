@@ -29,10 +29,16 @@ object RangeJoin {
                       endCol: String, binWidthSec: Long): DataFrame = {
     val w = binWidthSec * 1000000L // micros
     // integer `div`, never `/`: double division of epoch-micros can land
-    // a hair under the bin boundary and floor into the wrong bin
-    val iv = intervals.withColumn("_bin", explode(sequence(
-      expr(s"unix_micros($startCol) div ${w}L"),
-      expr(s"(unix_micros($endCol) - 1) div ${w}L"))))
+    // a hair under the bin boundary and floor into the wrong bin.
+    // Empty/inverted intervals (end <= start) match nothing and are
+    // dropped BEFORE the bin explode — Spark's sequence() DESCENDS when
+    // start > stop, so one dirty interval row would otherwise explode
+    // into an arbitrarily long bin array.
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bin", explode(sequence(
+        expr(s"unix_micros($startCol) div ${w}L"),
+        expr(s"(unix_micros($endCol) - 1) div ${w}L"))))
     val pt = points.withColumn("_bin", expr(s"unix_micros($tsCol) div ${w}L"))
     pt.join(iv, Seq("_bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))

@@ -33,6 +33,12 @@ object Subprocess {
       else {
         val pb = new ProcessBuilder(command: _*)
         val proc = pb.start()
+        // Tie the process to the TASK, not the iterator: a short-circuit
+        // consumer (limit/take) abandons the iterator before EOF, which
+        // would otherwise leak a live process + blocked writer thread per
+        // partition for the executor's lifetime.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => proc.destroyForcibly()))
         val stderrBuf = new StringBuilder
         val errDrain = new Thread(() => {
           val r = new BufferedReader(new InputStreamReader(proc.getErrorStream, UTF_8))
@@ -44,9 +50,15 @@ object Subprocess {
         }, "subprocess-stderr")
         errDrain.setDaemon(true)
         errDrain.start()
+        // A writer failure (upstream read error, broken pipe) must fail
+        // the TASK, not die silently with the daemon thread — otherwise
+        // stdin closes early, the command exits 0 on the truncated input
+        // and the task "succeeds" with missing rows.
+        @volatile var writerFailure: Throwable = null
         val writer = new Thread(() => {
           val w = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, UTF_8))
           try rows.foreach { l => w.write(l); w.newLine() }
+          catch { case t: Throwable => writerFailure = t }
           finally w.close()
         }, "subprocess-stdin")
         writer.setDaemon(true)
@@ -57,7 +69,12 @@ object Subprocess {
           override def hasNext: Boolean = {
             if (nextLine == null) {
               val code = proc.waitFor()
+              writer.join(5000)
               errDrain.join(5000)
+              if (writerFailure != null)
+                throw new RuntimeException(
+                  s"subprocess ${command.mkString(" ")}: input-side failure",
+                  writerFailure)
               if (code != 0)
                 throw new RuntimeException(
                   s"subprocess ${command.mkString(" ")} exited $code: $stderrBuf")

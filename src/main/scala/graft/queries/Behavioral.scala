@@ -365,12 +365,12 @@ object Behavioral extends QueryModule {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "p17_late_inject" ->
-      """WITH adj AS (
-        |  SELECT *,
-        |    (((event_id % 4294967296) * 2654435761) % 4294967296) % 600 = 0 AS is_late,
-        |    CASE WHEN (((event_id % 4294967296) * 2654435761) % 4294967296) % 600 = 0
-        |         THEN ts - INTERVAL 5 MINUTE ELSE ts END AS adj_ts
-        |  FROM events)
+      s"""WITH adj AS (
+         |  SELECT *,
+         |    ${OracleFragments.knuthU32("event_id")} % 600 = 0 AS is_late,
+         |    CASE WHEN ${OracleFragments.knuthU32("event_id")} % 600 = 0
+         |         THEN ts - INTERVAL 5 MINUTE ELSE ts END AS adj_ts
+         |  FROM events)
         |SELECT date_trunc('hour', adj_ts) AS w_start, count(*) AS n,
         |  CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM adj GROUP BY 1""".stripMargin,

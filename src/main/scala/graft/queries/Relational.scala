@@ -371,8 +371,8 @@ object Relational extends QueryModule {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
 
     "p9_hash_sample" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE ((c_custkey % 4294967296) * 2654435761) % 4294967296 < 429496729""".stripMargin,
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE ${OracleFragments.knuthU32("c_custkey")} < 429496729""".stripMargin,
 
     "p10_partition_split" ->
       """SELECT CASE WHEN p_size <= 25 THEN 'small' ELSE 'large' END AS bucket,

@@ -201,9 +201,14 @@ object Similarity extends QueryModule {
     "d5_embed_neardup" -> { (s, dir) =>
       import s.implicits._
       val B = 16L // ≥ cluster parallelism²/2 tasks; block must fit a task
+      // localCheckpoint materializes the B-row block frame ONCE: the
+      // grid self-join duplicates its plan subtree, which would run the
+      // full-corpus scan + collect_list shuffle twice (unlike the cheap
+      // fused-hash recomputes elsewhere, this recompute IS a corpus pass).
       val blocks = emb(s, dir)
         .groupBy(pmod($"vec_id", lit(B)).as("blk"))
         .agg(collect_list(struct($"vec_id", $"embedding")).as("vecs"))
+        .localCheckpoint()
       blocks.toDF("blk_a", "vecs_a")
         .join(blocks.toDF("blk_b", "vecs_b"), $"blk_a" <= $"blk_b")
         .as[(Long, Seq[(Long, Array[Float])], Long, Seq[(Long, Array[Float])])]

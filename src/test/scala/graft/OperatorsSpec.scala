@@ -178,6 +178,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 4) // every left row survives exactly once
   }
 
+  test("AsOfJoin: null right timestamps match nothing (ASOF semantics)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val clicks = Seq((1L, t(3), 102L)).toDF("user_id", "ts", "event_id")
+    val purchases = Seq((1L, null.asInstanceOf[Timestamp], 99.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = graft.operators.AsOfJoin.leftAsOf(
+        clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      .select($"asof_purchase_value").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None),
+      "a null-ts right row must not become a universal fallback match")
+  }
+
   test("RangeJoin: containment across bin boundaries, [start,end) exclusive") {
     import spark.implicits._
     import java.sql.Timestamp
@@ -199,5 +213,13 @@ class OperatorsSpec extends SparkSpec {
         points, "ts", intervals, "o_start", "o_end", binWidthSec = 10)
       .select($"event_id", $"name").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "long"), (2L, "long"), (4L, "short")))
+    // inverted interval (end < start) matches nothing instead of
+    // exploding a descending bin sequence
+    val dirty = intervals.unionAll(
+      Seq((t(1000000), t(0), "inverted")).toDF("o_start", "o_end", "name"))
+    val out2 = graft.operators.RangeJoin.pointInInterval(
+        points, "ts", dirty, "o_start", "o_end", binWidthSec = 10)
+      .select($"event_id", $"name").as[(Long, String)].collect().toSet
+    assert(out2 == out)
   }
 }
