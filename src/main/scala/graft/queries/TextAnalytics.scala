@@ -101,6 +101,21 @@ object TextAnalytics extends QueryModule {
           count(lit(1)).as("n_docs"))
     },
 
+    // P19: stratified deterministic sampling — per-language keep rates
+    // (downsample the dominant language, keep the tail), decided by the
+    // portable Knuth hash of doc_id. Pure rowwise filter + one count
+    // shuffle; sampling decisions are reproducible row-by-row in any
+    // engine, which is what makes dataset mixes auditable.
+    "p19_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val frac = when($"lang" === "en", 0.1).otherwise(0.5)
+      Tables.documents(s, dir)
+        .filter(HashFunctions.knuthHash($"doc_id") <
+          (frac * lit(4294967296.0)).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_kept"))
+    },
+
     // P1+A1: the canonical wordcount (tokenize → per-element count).
     "p1_wordcount" -> { (s, dir) =>
       import s.implicits._
@@ -294,6 +309,13 @@ object TextAnalytics extends QueryModule {
          |    AS mean_quality
          |FROM dedup GROUP BY 1, 2""".stripMargin
     },
+
+    "p19_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_kept
+         |FROM documents
+         |WHERE ${OracleFragments.knuthU32("doc_id")} <
+         |  CAST((CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END) * 4294967296.0 AS BIGINT)
+         |GROUP BY lang""".stripMargin,
 
     "x6_length_quantiles" ->
       s"""SELECT lang, quantile_cont(n_tokens, 0.5) AS p50,
