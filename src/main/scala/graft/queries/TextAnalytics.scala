@@ -116,6 +116,54 @@ object TextAnalytics extends QueryModule {
         .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_kept"))
     },
 
+    // J9: inverted-index build — word -> sorted posting list + document
+    // frequency, the search/contamination-check index shape. One shuffle
+    // keyed on the word; posting lists are per-word (vocab-bounded
+    // groups), stringified for a stable oracle compare. At 100 TB the
+    // shuffle carries (word, doc_id) pairs after distinct — the index,
+    // not the corpus.
+    "j9_inverted_index" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.tokenize($"text")).as("word"))
+        .distinct()
+        .groupBy($"word")
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
+    },
+
+    // X7: bigram PMI — collocation strength of consecutive token pairs
+    // (the n-gram LM / contamination-fingerprint table). Three hash aggs
+    // (bigrams, unigrams, total) + two vocab-sized joins; ln rounded to
+    // 6 dp for cross-engine libm parity (j3 precedent).
+    "x7_pmi_bigrams" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.tokenize($"text").as("ts"))
+      val bigrams = toks
+        .select(explode(when(size($"ts") >= 2,
+          transform(sequence(lit(1), size($"ts") - 1),
+            i => struct(element_at($"ts", i).as("w1"),
+              element_at($"ts", i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+        .agg(count(lit(1)).as("n12"))
+        .filter($"n12" >= 5)
+      val unigrams = toks
+        .select(explode($"ts").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val total = toks.select(explode($"ts").as("w"))
+        .agg(count(lit(1)).as("n_total"))
+      bigrams
+        .join(unigrams.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+        .join(unigrams.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select($"w1", $"w2", $"n12",
+          round(log(($"n12" * $"n_total").cast("double") /
+            ($"c1" * $"c2").cast("double")), 6).as("pmi"))
+    },
+
     // P1+A1: the canonical wordcount (tokenize → per-element count).
     "p1_wordcount" -> { (s, dir) =>
       import s.implicits._
@@ -309,6 +357,36 @@ object TextAnalytics extends QueryModule {
          |    AS mean_quality
          |FROM dedup GROUP BY 1, 2""".stripMargin
     },
+
+    "j9_inverted_index" ->
+      s"""SELECT word, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM (SELECT DISTINCT doc_id, unnest(${tok("text")}) AS word
+         |      FROM documents)
+         |GROUP BY word""".stripMargin,
+
+    "x7_pmi_bigrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tok("text")} AS ts FROM documents),
+         |bi AS (
+         |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS n12 FROM (
+         |    SELECT unnest(CASE WHEN len(ts) >= 2 THEN
+         |      list_transform(generate_series(1, len(ts) - 1),
+         |        i -> [ts[i], ts[i+1]])
+         |      ELSE []::VARCHAR[][] END) AS b
+         |    FROM toks)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM (
+         |    SELECT unnest(ts) AS w FROM toks))
+         |SELECT bi.w1, bi.w2, bi.n12,
+         |  round(ln((bi.n12 * n_total)::DOUBLE / (u1.c * u2.c)::DOUBLE), 6)
+         |    AS pmi
+         |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+         |        JOIN uni u2 ON bi.w2 = u2.w
+         |        CROSS JOIN tot""".stripMargin,
 
     "p19_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_kept
