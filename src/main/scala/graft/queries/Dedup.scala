@@ -16,9 +16,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Dedup extends QueryModule {
 
-  private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
-  private val NumPerm = 16
-  private val BandSize = 4 // => 4 bands
+  // package-visible so DedupDifferentialSpec binds to the PRODUCTION
+  // constants/pipeline, not a private copy that could drift
+  private[graft] val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
+  private[graft] val NumPerm = 16
+  private[graft] val BandSize = 4 // => 4 bands
 
   /** doc_id + distinct hashed 3-gram shingle set (array<long>), via the
     * fused codegen'd `HashedShinglesExpr` — tokenize, token-hash, n-gram
@@ -104,21 +106,7 @@ object Dedup extends QueryModule {
     // The join is keyed on (band index, band value): shuffle ∝ corpus,
     // never O(n²).
     "d3_lsh_pairs" -> { (s, dir) =>
-      import s.implicits._
-      val bands = minhashSigs(s, dir)
-        .select($"doc_id", posexplode(
-          transform(sequence(lit(0), lit(NumPerm / BandSize - 1)), b =>
-            array_join(transform(
-              slice($"sig", b * lit(BandSize) + lit(1), lit(BandSize)),
-              x => x.cast("string")), ","))))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_key")
-      bands.as("a")
-        .join(bands.as("b"),
-          $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
-        .distinct()
+      lshBandPairs(minhashSigs(s, dir))
     },
 
     // D6: dedup MATERIALIZATION — the corpus with near-dups removed:
@@ -208,21 +196,47 @@ object Dedup extends QueryModule {
     },
   )
 
-  /** doc_id, sig: array<long> of NumPerm minhash values. The shingle
-    * column already IS the u32 hash, so the permutation aggregates are
-    * pure long arithmetic — no string ever reaches the agg.
+  /** doc_id, sig: array<long> of NumPerm minhash values, from exploded
+    * (doc_id, shingle: long) rows. The shingle column already IS the u32
+    * hash, so the permutation aggregates are pure long arithmetic — no
+    * string ever reaches the agg. Package-visible for the differential
+    * spec.
     */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private[graft] def minhashSigsOf(shingleRows: DataFrame): DataFrame = {
     val perms = (0 until NumPerm).map { j =>
-      min(pmod($"shingle" * lit(2L * j + 1) + lit(12345L * j + 1), lit(P)))
+      min(pmod(col("shingle") * lit(2L * j + 1) + lit(12345L * j + 1), lit(P)))
         .as(s"m$j")
     }
-    shingled(s, dir)
-      .groupBy($"doc_id")
+    shingleRows
+      .groupBy(col("doc_id"))
       .agg(perms.head, perms.tail: _*)
-      .select($"doc_id",
+      .select(col("doc_id"),
         array((0 until NumPerm).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(shingled(s, dir))
+
+  /** Band-blocked candidate pairs from a (doc_id, sig) frame: docs
+    * agreeing on at least one full band. Package-visible for the
+    * differential spec.
+    */
+  private[graft] def lshBandPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(NumPerm / BandSize - 1)), b =>
+          array_join(transform(
+            slice(col("sig"), b * lit(BandSize) + lit(1), lit(BandSize)),
+            x => x.cast("string")), ","))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
   }
 
   /** 32-bit SimHash of whitespace tokens (with multiplicity): bit b of

@@ -108,10 +108,13 @@ object TextAnalytics extends QueryModule {
     // engine, which is what makes dataset mixes auditable.
     "p19_stratified_sample" -> { (s, dir) =>
       import s.implicits._
-      val frac = when($"lang" === "en", 0.1).otherwise(0.5)
+      // per-stratum rates through hashSample — ONE source of truth for
+      // the threshold (frac*2^32 TRUNCATED at driver time; the oracle
+      // embeds the same literals, since DuckDB's CAST would round)
       Tables.documents(s, dir)
-        .filter(HashFunctions.knuthHash($"doc_id") <
-          (frac * lit(4294967296.0)).cast("long"))
+        .filter(when($"lang" === "en",
+            HashFunctions.hashSample($"doc_id", 0.1))
+          .otherwise(HashFunctions.hashSample($"doc_id", 0.5)))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_kept"))
     },
@@ -153,8 +156,9 @@ object TextAnalytics extends QueryModule {
       val unigrams = toks
         .select(explode($"ts").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
-      val total = toks.select(explode($"ts").as("w"))
-        .agg(count(lit(1)).as("n_total"))
+      // total token count folds from the unigram table (vocab-sized) —
+      // no third tokenize+explode pass over the corpus
+      val total = unigrams.agg(sum($"c").as("n_total"))
       bigrams
         .join(unigrams.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
         .join(unigrams.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
@@ -388,12 +392,17 @@ object TextAnalytics extends QueryModule {
          |        JOIN uni u2 ON bi.w2 = u2.w
          |        CROSS JOIN tot""".stripMargin,
 
-    "p19_stratified_sample" ->
+    "p19_stratified_sample" -> {
+      // same truncation as hashSample's (frac * 2^32).toLong — DuckDB's
+      // CAST(... AS BIGINT) ROUNDS and would keep one extra hash value
+      val tEn = (0.1 * 4294967296.0).toLong
+      val tOther = (0.5 * 4294967296.0).toLong
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_kept
          |FROM documents
          |WHERE ${OracleFragments.knuthU32("doc_id")} <
-         |  CAST((CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END) * 4294967296.0 AS BIGINT)
-         |GROUP BY lang""".stripMargin,
+         |  (CASE WHEN lang = 'en' THEN $tEn ELSE $tOther END)
+         |GROUP BY lang""".stripMargin
+    },
 
     "x6_length_quantiles" ->
       s"""SELECT lang, quantile_cont(n_tokens, 0.5) AS p50,

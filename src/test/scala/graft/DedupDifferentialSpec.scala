@@ -151,8 +151,9 @@ class DedupDifferentialSpec extends SparkSpec {
 
   test("LSH band pairs == brute-force signature-agreement pairs") {
     import spark.implicits._
-    import graft.functions.HashedShinglesExpr
-    val NumPerm = 16; val BandSize = 4; val P = 2147483647L
+    // the PRODUCTION constants and pipeline — a drifted private copy
+    // here would let a Dedup regression ship uncaught
+    import graft.queries.Dedup.{BandSize, NumPerm, P}
     val docs = nearDupCorpus(15) ++
       sample(docGen, 10).zipWithIndex.map { case (t, i) => (3000L + i, t) }
     def sig(text: String): Seq[Long] = {
@@ -170,31 +171,14 @@ class DedupDifferentialSpec extends SparkSpec {
         si.slice(b * BandSize, (b + 1) * BandSize) ==
           sj.slice(b * BandSize, (b + 1) * BandSize))
     } yield (i, j)).toSet
-    // engine pipeline: hashed shingles -> minhash agg -> band join
-    val perms = (0 until NumPerm).map { j =>
-      min(pmod($"shingle" * lit(2L * j + 1) + lit(12345L * j + 1), lit(P)))
-        .as(s"m$j")
-    }
-    val sigDf = docs.toDF("doc_id", "text")
-      .select($"doc_id",
-        explode(HashedShinglesExpr.hashedShingles($"text", 3)).as("shingle"))
-      .groupBy($"doc_id")
-      .agg(perms.head, perms.tail: _*)
-      .select($"doc_id",
-        array((0 until NumPerm).map(j => col(s"m$j")): _*).as("sig"))
-    val bands = sigDf.select($"doc_id", posexplode(
-        transform(sequence(lit(0), lit(NumPerm / BandSize - 1)), b =>
-          array_join(transform(
-            slice($"sig", b * lit(BandSize) + lit(1), lit(BandSize)),
-            x => x.cast("string")), ","))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
-    val got = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .distinct()
+    // the engine pipeline itself: hashed shingles -> production minhash
+    // agg -> production band join
+    val sigDf = graft.queries.Dedup.minhashSigsOf(
+      docs.toDF("doc_id", "text")
+        .select($"doc_id", explode(graft.functions.HashedShinglesExpr
+          .hashedShingles($"text", 3)).as("shingle")))
+    val got = graft.queries.Dedup.lshBandPairs(sigDf)
+      .select($"doc_i", $"doc_j")
       .as[(Long, Long)].collect().toSet
     assert(got == expected,
       s"missing=${expected -- got}\nspurious=${got -- expected}")
