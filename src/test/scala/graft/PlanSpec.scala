@@ -113,6 +113,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), "bin equi-join expected")
   }
 
+  test("plan sweep: no Cartesian products; nested-loop joins only on bounded frames") {
+    // BroadcastNestedLoopJoin is only acceptable when the build side is
+    // bounded by a CONSTANT (not by the data): 1-row global aggregates
+    // (j3/j5/x7), K-row centroid codebooks (v4/v6), the B-row block grid
+    // (d5). Anything else — and any CartesianProduct anywhere — is an
+    // accidental quadratic plan and must fail this sweep.
+    val boundedBnlj = Set("d5_embed_neardup", "j3_tfidf",
+      "j5_above_global_avg", "v4_knn_ivf", "v6_kmeans", "x7_pmi_bigrams")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!boundedBnlj.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin off the bounded whitelist")
+    }
+  }
+
   test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
     // execute so AQE finalizes and codegen spans materialize in the plan
     val df = SparkEntry.queries("a15_checksum")(spark, dir)
