@@ -98,6 +98,16 @@ object TextIO {
          weDir <- fs.listStatus(wsDir.getPath) if weDir.getPath.getName.startsWith("we=")) {
       val ws = decode(wsDir.getPath.getName)
       val we = decode(weDir.getPath.getName)
+      // Re-running into the same dir must OVERWRITE a window's previous
+      // file set (reference sink semantics): stale `prefix-ws-we-*` files
+      // would otherwise fail the first rename and leave old/new output
+      // mixed. Only windows present in THIS write are cleared.
+      // raw FS: ChecksumFileSystem.delete derives a ".crc" sibling Path
+      // that re-trips colon-as-scheme parsing (outputs have no crc — the
+      // raw rename below never creates one)
+      fs.listStatus(outDir)
+        .filter(_.getPath.getName.startsWith(s"$prefix-$ws-$we-"))
+        .foreach(st => renFs.delete(st.getPath, false))
       val parts = fs.listStatus(weDir.getPath)
         .filter(_.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)

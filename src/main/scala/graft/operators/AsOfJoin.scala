@@ -31,6 +31,18 @@ object AsOfJoin {
     */
   def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String]): DataFrame = {
+    // Working names (_asof/_side/_m) and output names (asof_ts,
+    // asof_<payload>) are reserved: withColumn silently REPLACES an
+    // existing column, so a colliding left input would corrupt data
+    // rather than fail. Fail fast instead.
+    val reserved = Seq("_asof", "_side", "_m", "asof_ts") ++
+      payload.map(p => s"asof_$p")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"leftAsOf: left input columns ${clash.mkString(", ")} collide " +
+        "with reserved working/output names; rename them first")
+    require(!payload.contains(tsCol),
+      s"leftAsOf: payload must not repeat tsCol '$tsCol' (asof_ts already carries it)")
     val pStruct = struct((tsCol +: payload).map(right(_)): _*)
     // A null right timestamp must match nothing (ASOF `l.ts >= NULL` is
     // no-match) — unfiltered it would sort nulls-first and become a

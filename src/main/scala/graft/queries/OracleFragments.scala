@@ -22,14 +22,16 @@ object OracleFragments {
   def javaHash(expr: String): String =
     s"(((${javaHashU32(expr)}) + 2147483648) % 4294967296 - 2147483648)"
 
-  /** Knuth multiplicative hash of a NON-NEGATIVE integer expression in
-    * [0, 2^32) — replays `HashFunctions.knuthHash`. The multiply runs in
-    * HUGEINT: (2^32-1)·K ≈ 1.1e19 overflows BIGINT, and DuckDB throws on
-    * int64 overflow rather than promoting (the same regime the Spark
-    * side's split-multiply guards).
+  /** Knuth multiplicative hash of any integer expression — replays
+    * `HashFunctions.knuthHash` for every key sign/magnitude. Spark's
+    * `pmod` yields a non-negative residue while DuckDB's `%` is a signed
+    * remainder, so the residue is re-centered pmod-style before the
+    * multiply. The multiply runs in HUGEINT: (2^32-1)·K ≈ 1.1e19
+    * overflows BIGINT, and DuckDB throws on int64 overflow rather than
+    * promoting (the same regime the Spark side's split-multiply guards).
     */
   def knuthU32(expr: String): String =
-    s"(((($expr) % 4294967296)::HUGEINT * 2654435761) % 4294967296)"
+    s"((((($expr) % 4294967296 + 4294967296) % 4294967296)::HUGEINT * 2654435761) % 4294967296)"
 
   /** pmod(javaHash(expr), m) — non-negative, matches Spark's pmod. */
   def javaHashPmod(expr: String, m: Long): String =

@@ -200,12 +200,28 @@ object Similarity extends QueryModule {
     // every executor.
     "d5_embed_neardup" -> { (s, dir) =>
       import s.implicits._
-      val B = 16L // ≥ cluster parallelism²/2 tasks; block must fit a task
+      val corpus = emb(s, dir)
+      // Each block materializes as ONE collect_list row (a corpus/B
+      // slice in a single aggregation buffer), so B is derived — not
+      // hard-coded — to keep a block's bytes far under the 2 GB
+      // single-row limit while the B(B+1)/2-task grid stays ≥ cluster
+      // parallelism. The sizing probes are cheap: count() is parquet
+      // row-group metadata; the dim probe reads one row.
+      val blockBytes = s.conf.getOption("graft.d5.blockBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val n = corpus.count()
+      val dim: Int =
+        if (n == 0) 0 else corpus.select(size($"embedding")).as[Int].head()
+      val perVec = dim.toLong * 4 + 48 // float payload + struct overhead
+      val gridFloor = math.ceil(
+        math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toLong
+      val B = Seq(2L, gridFloor,
+        math.ceil(n.toDouble * perVec / blockBytes).toLong).max
       // localCheckpoint materializes the B-row block frame ONCE: the
       // grid self-join duplicates its plan subtree, which would run the
       // full-corpus scan + collect_list shuffle twice (unlike the cheap
       // fused-hash recomputes elsewhere, this recompute IS a corpus pass).
-      val blocks = emb(s, dir)
+      val blocks = corpus
         .groupBy(pmod($"vec_id", lit(B)).as("blk"))
         .agg(collect_list(struct($"vec_id", $"embedding")).as("vecs"))
         .localCheckpoint()

@@ -164,8 +164,12 @@ object TextAnalytics extends QueryModule {
         .join(unigrams.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
         .crossJoin(broadcast(total))
         .select($"w1", $"w2", $"n12",
-          round(log(($"n12" * $"n_total").cast("double") /
-            ($"c1" * $"c2").cast("double")), 6).as("pmi"))
+          // each factor promotes to double BEFORE multiplying: the long
+          // products n12·n_total and c1·c2 overflow Int64 on a
+          // trillion-token corpus (ANSI mode would throw); the double
+          // products are exact below 2^53 so small-SF parity is unchanged
+          round(log($"n12".cast("double") * $"n_total".cast("double") /
+            ($"c1".cast("double") * $"c2".cast("double"))), 6).as("pmi"))
     },
 
     // P1+A1: the canonical wordcount (tokenize → per-element count).
@@ -386,7 +390,8 @@ object TextAnalytics extends QueryModule {
          |tot AS (SELECT count(*) AS n_total FROM (
          |    SELECT unnest(ts) AS w FROM toks))
          |SELECT bi.w1, bi.w2, bi.n12,
-         |  round(ln((bi.n12 * n_total)::DOUBLE / (u1.c * u2.c)::DOUBLE), 6)
+         |  round(ln(bi.n12::DOUBLE * n_total::DOUBLE /
+         |           (u1.c::DOUBLE * u2.c::DOUBLE)), 6)
          |    AS pmi
          |FROM bi JOIN uni u1 ON bi.w1 = u1.w
          |        JOIN uni u2 ON bi.w2 = u2.w

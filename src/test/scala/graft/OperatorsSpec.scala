@@ -192,6 +192,28 @@ class OperatorsSpec extends SparkSpec {
       "a null-ts right row must not become a universal fallback match")
   }
 
+  test("AsOfJoin: reserved working/output column names fail fast") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val purchases = Seq((1L, t(5), 7.0)).toDF("user_id", "ts", "purchase_value")
+    // a left column named like an output would be silently REPLACED by
+    // withColumn; the guard must reject it instead
+    for (bad <- Seq("_asof", "_side", "_m", "asof_ts", "asof_purchase_value")) {
+      val clicks = Seq((1L, t(10), 0L)).toDF("user_id", "ts", bad)
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.AsOfJoin.leftAsOf(
+          clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    val clicks = Seq((1L, t(10), 0L)).toDF("user_id", "ts", "event_id")
+    intercept[IllegalArgumentException] { // payload repeating tsCol
+      graft.operators.AsOfJoin.leftAsOf(
+        clicks, purchases, Seq("user_id"), "ts", Seq("ts", "purchase_value"))
+    }
+  }
+
   test("RangeJoin: containment across bin boundaries, [start,end) exclusive") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -64,6 +64,25 @@ class TextIOSpec extends SparkSpec {
     assert(lines == Seq("a: 1", "b: 2", "c: 3"))
     // no staging leftovers
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
+
+    // Re-run into the SAME dir with different data: a window's previous
+    // file set must be overwritten, not collide on rename or mix with
+    // the new files (reference sink overwrite semantics). The second
+    // write has fewer shards, so stale -1-of-2 files must also go.
+    val df2 = Seq(("2024-01-01 10:00:00", "2024-01-01 10:10:00", "z: 9"))
+      .toDF("ws", "we", "value")
+      .select($"ws".cast("timestamp").as("w_start"),
+        $"we".cast("timestamp").as("w_end"), $"value")
+    TextIO.writeOneFilePerWindow(df2, dir, "output", shards = 1)
+    val files2 = new java.io.File(dir).listFiles().filter(_.isFile)
+      .map(_.getName).toSet
+    assert(files2.count(_.startsWith("output-10:00-10:10-")) == 1, s"got $files2")
+    // the untouched 10:10-10:20 window keeps its round-1 output
+    assert(files2.exists(_.startsWith("output-10:10-10:20-")), s"got $files2")
+    val lines2 = new java.io.File(dir).listFiles().filter(_.isFile)
+      .filter(_.getName.startsWith("output-10:00-10:10-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(lines2 == Seq("z: 9"), s"got $lines2")
   }
 
   test("S3: CSV write-read roundtrip with explicit schema") {
