@@ -194,6 +194,30 @@ object Dedup extends QueryModule {
           greatest($"x", $"y").as("doc_j"), $"hamming")
       intra.unionAll(inter)
     },
+
+    // D9: test-set DECONTAMINATION — flag training docs sharing any
+    // hashed 8-gram with a held-out benchmark set (here: a deterministic
+    // 5% hash-sample of the corpus standing in for the benchmark).
+    // The shape is the production one: benchmark shingles are a DISTINCT
+    // set, the overlap check is a plain equi-join keyed on the shingle
+    // hash — shuffle ∝ corpus shingles, never O(n_corpus · n_bench).
+    // No broadcast hint: real benchmark sets are small and AQE will
+    // broadcast them from observed size; a hint would hard-fail if the
+    // "benchmark" side ever grows (exactly this stand-in's situation).
+    "d9_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.documents(s, dir).select($"doc_id",
+        explode(HashedShinglesExpr.hashedShingles($"text", 8)).as("shingle"))
+      val isBench = HashFunctions.hashSample($"doc_id", 0.05)
+      val benchShingles = sh.filter(isBench).select($"shingle").distinct()
+      // per-doc shingles are distinct (fused expr pass 3) and the bench
+      // side is distinct, so the join emits each (doc, shingle) at most
+      // once: count(*) IS the distinct-overlap count, no expand needed
+      sh.filter(!isBench)
+        .join(benchShingles, Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hit"))
+    },
   )
 
   /** doc_id, sig: array<long> of NumPerm minhash values, from exploded
@@ -256,15 +280,19 @@ object Dedup extends QueryModule {
     s"""SELECT doc_id, list_transform(${ws("text")},
        |  w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents""".stripMargin
 
-  /** Distinct hashed 3-gram shingles over a token-hash list column `hs`
+  /** Distinct hashed n-gram shingles over a token-hash list column `hs`
     * (replays passes 2-3: g = (g*1000003 + h) mod 2^32 over the window).
     */
-  private def shingleListSql(hs: String): String =
-    s"""CASE WHEN len($hs) >= 3 THEN list_distinct(
-       |  list_transform(generate_series(1, len($hs) - 2),
-       |    i -> ((($hs[i] * 1000003 + $hs[i+1]) % 4294967296) * 1000003
-       |          + $hs[i+2]) % 4294967296))
+  private def shingleListSqlN(hs: String, n: Int): String = {
+    val fold = (1 until n).foldLeft(s"$hs[i]") { (acc, k) =>
+      s"(($acc * 1000003 + $hs[i+$k]) % 4294967296)"
+    }
+    s"""CASE WHEN len($hs) >= $n THEN list_distinct(
+       |  list_transform(generate_series(1, len($hs) - ${n - 1}), i -> $fold))
        |  ELSE []::BIGINT[] END""".stripMargin
+  }
+
+  private def shingleListSql(hs: String): String = shingleListSqlN(hs, 3)
 
   /** `sh(doc_id, shingle)` CTE body — exploded hashed shingles. */
   private def shSql: String =
@@ -399,5 +427,19 @@ object Dedup extends QueryModule {
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "d9_decontaminate" -> {
+      // same truncation as hashSample's (frac * 2^32).toLong
+      val thr = (0.05 * 4294967296.0).toLong
+      val bench = s"${OracleFragments.knuthU32("doc_id")} < $thr"
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${shingleListSqlN("hs", 8)}) AS shingle
+         |  FROM ($tokenHashDocsSql)),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE $bench)
+         |SELECT sh.doc_id, count(*) AS n_hit
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE NOT ($bench)
+         |GROUP BY 1""".stripMargin
+    },
   )
 }

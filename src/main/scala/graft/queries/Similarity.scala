@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{HashFunctions, VectorFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -257,6 +257,39 @@ object Similarity extends QueryModule {
         }
         .toDF("id_a", "id_b", "sim")
     },
+
+    // V7: symmetric int8 quantization of the embedding column — the
+    // compression step a 100 TB vector corpus runs before ANN serving
+    // (4× smaller, cheap SIMD distance). Per vector: scale = amax/127,
+    // q_i = floor(x_i/scale + 0.5) (floor-shift, NOT round() — HALF_UP
+    // vs HALF_EVEN diverges between engines; floor is exact in both).
+    // Output carries a fingerprint of the quantized codes (proves the
+    // int8 values match, not just the error summary) + reconstruction
+    // RMSE. Pure rowwise — zero shuffle at any scale.
+    "v7_quantize" -> { (s, dir) =>
+      import s.implicits._
+      val amax = aggregate($"embedding", lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double"))))
+      // explode(array(...)) Generate barrier: CollapseProject would
+      // otherwise inline the amax fold into all 64 transform elements
+      // (the O(dim²) named-projection trap)
+      emb(s, dir)
+        .select($"vec_id", $"embedding",
+          explode(array((amax / 127.0).as("scale"))).as("scale"))
+        .select($"vec_id", $"embedding", $"scale",
+          explode(array(transform($"embedding", x =>
+            when($"scale" === 0.0, lit(0L)).otherwise(
+              floor(x.cast("double") / $"scale" + 0.5).cast("long")))))
+            .as("q"))
+        .select($"vec_id", $"scale",
+          HashFunctions.polyFingerprint(transform($"q", qq => qq + 127))
+            .as("q_fp"),
+          sqrt(aggregate(zip_with($"embedding", $"q",
+              (x, qq) => (x.cast("double") - qq.cast("double") * $"scale") *
+                (x.cast("double") - qq.cast("double") * $"scale")),
+            lit(0.0), (acc, v) => acc + v) / size($"embedding"))
+            .as("rmse"))
+    },
   )
 
   /** DuckDB replay of the vector ops: same double promotion, same
@@ -380,5 +413,30 @@ object Similarity extends QueryModule {
          |  ${cosineSql("a.embedding", "b.embedding")} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+
+    "v7_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(embedding, x -> abs(x::DOUBLE))),
+        |      (a, x) -> greatest(a, x)) / 127::DOUBLE AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0.0
+        |      THEN 0::BIGINT
+        |      ELSE floor(x::DOUBLE / scale + 0.5)::BIGINT END) AS qs
+        |  FROM base)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(qs, v -> v + 127)),
+        |    (acc, x) -> ((acc * 31 + x) % 1000000007 + 1000000007)
+        |      % 1000000007) AS q_fp,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list_zip(embedding, qs),
+        |      p -> (p[1]::DOUBLE - p[2]::DOUBLE * scale)
+        |         * (p[1]::DOUBLE - p[2]::DOUBLE * scale))),
+        |    (x, y) -> x + y) / len(embedding)) AS rmse
+        |FROM q""".stripMargin,
   )
 }

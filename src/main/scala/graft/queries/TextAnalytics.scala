@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.{HashFunctions, RepetitionStatsExpr, TextFunctions}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -277,6 +277,28 @@ object TextAnalytics extends QueryModule {
           (score >= 0.3).as("keep"))
     },
 
+    // Gopher-style repetition quality signals: duplicate-token fraction
+    // and most-frequent-bigram fraction per document, from the fused
+    // one-pass `RepetitionStatsExpr` — zero shuffle (an explode +
+    // per-doc groupBy would shuffle every token of the corpus).
+    "x8_repetition" -> { (s, dir) =>
+      import s.implicits._
+      // explode(array(...)) is a Generate BARRIER: without it
+      // CollapseProject inlines the stats expression into each of the
+      // three field projections and the one-pass scan runs 3× per row
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          explode(array(RepetitionStatsExpr.repetitionStats($"text"))).as("r"))
+        .select($"doc_id",
+          $"r.n_tokens".cast("bigint").as("n_tokens"),
+          when($"r.n_tokens" > 0,
+            lit(1.0) - $"r.n_distinct".cast("double") / $"r.n_tokens")
+            .otherwise(0.0).as("dup_token_frac"),
+          when($"r.n_tokens" >= 2,
+            $"r.top_bigram_n".cast("double") / ($"r.n_tokens" - 1))
+            .otherwise(0.0).as("top_bigram_frac"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -501,6 +523,29 @@ object TextAnalytics extends QueryModule {
          |    + (1.0 - punct_ratio) * 0.3) >= 0.3 AS keep
          |FROM g""".stripMargin
     },
+
+    "x8_repetition" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(hs) >= 2 THEN
+         |      list_transform(generate_series(1, len(hs) - 1),
+         |        i -> (hs[i] * 1000003 + hs[i+1]) % 4294967296)
+         |    ELSE []::BIGINT[] END) AS g
+         |  FROM th),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_n FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT th.doc_id, len(hs) AS n_tokens,
+         |  CASE WHEN len(hs) > 0
+         |    THEN 1.0 - len(list_distinct(hs))::DOUBLE / len(hs)
+         |    ELSE 0.0 END AS dup_token_frac,
+         |  CASE WHEN len(hs) >= 2
+         |    THEN top_n::DOUBLE / (len(hs) - 1)
+         |    ELSE 0.0 END AS top_bigram_frac
+         |FROM th LEFT JOIN top ON th.doc_id = top.doc_id""".stripMargin,
 
     "x4_fingerprint" ->
       s"""SELECT doc_id,

@@ -81,6 +81,33 @@ class FunctionsSpec extends SparkSpec {
       BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong).sorted)
   }
 
+  test("repetitionStats matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.RepetitionStatsExpr
+    def ref(text: String): (Int, Int, Int) = {
+      val hs = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)))
+      val bigrams = hs.sliding(2).filter(_.length == 2)
+        .map(p => ((p(0) * 1000003 + p(1)) mod BigInt(4294967296L))).toSeq
+      val top = if (bigrams.isEmpty) 0
+        else bigrams.groupBy(identity).values.map(_.size).max
+      (hs.length, hs.distinct.length, top)
+    }
+    val docs = Seq(
+      "a b c d e", "a", "", "  padded   spacing\tand\ttabs  ",
+      "dup dup dup dup dup", "x y x y x y z",
+      "Ünïcode tökens überall here ok", "one two one two three one two")
+    val got = docs.toDF("t")
+      .select(RepetitionStatsExpr.repetitionStats($"t").as("r"))
+      .select($"r.n_tokens", $"r.n_distinct", $"r.top_bigram_n")
+      .as[(Int, Int, Int)].collect()
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d), s"mismatch for '$d': got $g, want ${ref(d)}")
+    }
+    // "dup dup dup dup dup": 5 tokens, 1 distinct, bigram (dup,dup) ×4
+    assert(got(4) == ((5, 1, 4)))
+  }
+
   test("simhash32 matches the composed Catalyst bit-vote form") {
     import spark.implicits._
     import graft.functions.SimHashExpr
