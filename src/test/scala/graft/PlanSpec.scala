@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
       "no interpreted bit-vote pipeline in the d4 plan")
   }
 
+  test("d9_decontaminate: unhinted shingle equi-join, rowwise everything else") {
+    val qe = SparkEntry.queries("d9_decontaminate")(spark, dir).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "benchmark side must be size-selected (AQE), never hint-forced")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // the fused expr explodes directly inside Generate — never an
+    // interpreted transform/array_distinct chain
+    assert(p.contains("Generate explode(hashed_shingles"),
+      s"8-gram shingling must stay the fused expression:\n$p")
+    assert(!p.contains("array_distinct"))
+  }
+
+  test("x8_repetition / v7_quantize: pure rowwise — zero exchanges") {
+    Seq("x8_repetition", "v7_quantize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must not shuffle (rowwise quality/quantization op):\n$p")
+    }
+    // the Generate barrier must hold: exactly ONE repetition_stats call
+    // in the x8 plan (CollapseProject would inline it 3×)
+    val x8 = plan("x8_repetition")
+    assert("repetition_stats".r.findAllIn(x8).size == 1,
+      s"stats expr must be computed once behind the Generate barrier:\n$x8")
+  }
+
   test("j7_asof: one window pass, no join operator at all") {
     val p = plan("j7_asof_attribution")
     assert(p.contains("Window"), "as-of must run as a window scan")
