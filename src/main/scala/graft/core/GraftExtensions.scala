@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{HashedShinglesExpr, JavaStringHashCode, SimHashExpr}
+import graft.functions.{HashedShinglesExpr, JavaStringHashCode, RepetitionStatsExpr, SimHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * FunctionRegistry, not a custom strategy):
   *   - `java_string_hashcode(str)` — Java `String.hashCode`;
   *   - `hashed_shingles(str, n)` — distinct hashed word n-gram shingles;
-  *   - `simhash32(str)` — 32-bit token-vote SimHash.
+  *   - `simhash32(str)` — 32-bit token-vote SimHash;
+  *   - `repetition_stats(str)` — (n_tokens, n_distinct, top_bigram_n)
+  *     struct for Gopher-style repetition quality signals.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -38,5 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash32"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
+        "repetition_stats"),
+      (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
   }
 }

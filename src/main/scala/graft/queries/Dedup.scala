@@ -50,27 +50,64 @@ object Dedup extends QueryModule {
     * the pair aggregation, and every shuffle/sort/compare runs on longs,
     * not shingle strings.
     */
-  private def jaccardPairs(s: SparkSession, dir: String,
-                           threshold: Double): DataFrame = {
+  /** @param maxShingleDf BOILERPLATE SKEW GUARD for web-scale corpora: a
+    *   template sentence shared by millions of docs makes one shingle key
+    *   carry deg² candidate pairs — the classic dedup hot key. With
+    *   `Some(cap)`, shingles whose document frequency exceeds the cap are
+    *   removed from the shingle UNIVERSE (both candidate generation and
+    *   the per-doc set sizes), i.e. Jaccard over discriminative shingles
+    *   only — the standard stop-shingle rule. Costs one extra groupBy +
+    *   two shuffled size joins keyed on doc id (NO broadcast — sizes is
+    *   O(n_docs)); `None` keeps the exact rowwise-n_sh pipeline.
+    *   `DedupDifferentialSpec` proves cap=∞ ≡ None and that a planted
+    *   boilerplate shingle stops pairing under the cap.
+    */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String,
+                                  threshold: Double,
+                                  maxShingleDf: Option[Long] = None): DataFrame = {
     import s.implicits._
     // Both self-join sides recompute the shingle frame rather than
     // cache() it: the fused expression makes recompute cheaper than a
     // cache round-trip at test SF, and at 100 TB a corpus-sized cache
     // would pin executor storage memory for no plan benefit.
-    val sh = shingleArr(s, dir)
-      .select($"doc_id", size($"arr").cast("long").as("n_sh"),
-        explode($"arr").as("shingle"))
-    sh.as("a")
-      .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
-        $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_i"), $"b.doc_id".as("doc_j"))
-      .agg(count(lit(1)).as("n_common"),
-        min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
-      .select($"doc_i", $"doc_j",
-        ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
-          .as("jaccard"))
-      .filter($"jaccard" >= threshold)
+    maxShingleDf match {
+      case None =>
+        val sh = shingleArr(s, dir)
+          .select($"doc_id", size($"arr").cast("long").as("n_sh"),
+            explode($"arr").as("shingle"))
+        pairAgg(sh.as("a"), sh.as("b"))
+          .agg(count(lit(1)).as("n_common"),
+            min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
+          .select($"doc_i", $"doc_j",
+            ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+              .as("jaccard"))
+          .filter($"jaccard" >= threshold)
+      case Some(cap) =>
+        val sh = shingleArr(s, dir)
+          .select($"doc_id", explode($"arr").as("shingle"))
+        val keep = sh.groupBy($"shingle")
+          .agg(count(lit(1)).as("df")).filter($"df" <= cap)
+          .select($"shingle")
+        val shF = sh.join(keep, Seq("shingle"))
+        val sizes = shF.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        pairAgg(shF.as("a"), shF.as("b"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sizes.select($"doc_id".as("doc_i"), $"n_sh".as("n_i")), "doc_i")
+          .join(sizes.select($"doc_id".as("doc_j"), $"n_sh".as("n_j")), "doc_j")
+          .select($"doc_i", $"doc_j",
+            ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+              .as("jaccard"))
+          .filter($"jaccard" >= threshold)
+    }
   }
+
+  /** Shared candidate-pair self-join + group: equi-join on the shingle,
+    * pairs ordered doc_i < doc_j.
+    */
+  private def pairAgg(a: DataFrame, b: DataFrame) =
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
 
   override def queries: Map[String, Q] = Map(
     // D1: exact dedup via content hash; canonical row = min doc_id per

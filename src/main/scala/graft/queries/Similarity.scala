@@ -48,6 +48,30 @@ object Similarity extends QueryModule {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** Shared symmetric int8 quantization pipeline (v7/v8): per vector,
+    * scale = max|x|/127 and codes q_i = floor(x_i/scale + 0.5)
+    * (floor-shift, NOT round() — HALF_UP vs HALF_EVEN diverges between
+    * engines; floor is exact in both). Pure rowwise, zero shuffle.
+    * Output: (vec_id, embedding, scale, q).
+    *
+    * The explode(array(...)) projections are Generate BARRIERS:
+    * CollapseProject would otherwise inline the amax fold into all 64
+    * transform elements (the O(dim²) named-projection trap).
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val amax = aggregate($"embedding", lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    emb(s, dir)
+      .select($"vec_id", $"embedding",
+        explode(array(amax / 127.0)).as("scale"))
+      .select($"vec_id", $"embedding", $"scale",
+        explode(array(transform($"embedding", x =>
+          when($"scale" === 0.0, lit(0L)).otherwise(
+            floor(x.cast("double") / $"scale" + 0.5).cast("long")))))
+          .as("q"))
+  }
+
   override def queries: Map[String, Q] = Map(
     // V1: exact brute-force top-k cosine for a fixed query slice. The
     // query set broadcasts; each corpus partition scores against it in a
@@ -268,19 +292,7 @@ object Similarity extends QueryModule {
     // RMSE. Pure rowwise — zero shuffle at any scale.
     "v7_quantize" -> { (s, dir) =>
       import s.implicits._
-      val amax = aggregate($"embedding", lit(0.0),
-        (a, x) => greatest(a, abs(x.cast("double"))))
-      // explode(array(...)) Generate barrier: CollapseProject would
-      // otherwise inline the amax fold into all 64 transform elements
-      // (the O(dim²) named-projection trap)
-      emb(s, dir)
-        .select($"vec_id", $"embedding",
-          explode(array((amax / 127.0).as("scale"))).as("scale"))
-        .select($"vec_id", $"embedding", $"scale",
-          explode(array(transform($"embedding", x =>
-            when($"scale" === 0.0, lit(0L)).otherwise(
-              floor(x.cast("double") / $"scale" + 0.5).cast("long")))))
-            .as("q"))
+      quantized(s, dir)
         .select($"vec_id", $"scale",
           HashFunctions.polyFingerprint(transform($"q", qq => qq + 127))
             .as("q_fp"),
@@ -289,6 +301,28 @@ object Similarity extends QueryModule {
                 (x.cast("double") - qq.cast("double") * $"scale")),
             lit(0.0), (acc, v) => acc + v) / size($"embedding"))
             .as("rmse"))
+    },
+
+    // V8: top-k over the QUANTIZED corpus — the int8 serving path v7
+    // feeds: similarity = scale_q · scale_c · (q⃗_q · q⃗_c) with the dot
+    // product in exact integer arithmetic (|q| ≤ 127 ⇒ the 64-dim dot
+    // ≤ 2^20, no overflow, bit-identical in any engine). The bounded
+    // 20-row query slice broadcasts (hint policy: constant-bounded
+    // frames only); the corpus streams through one rowwise pass.
+    "v8_knn_int8" -> { (s, dir) =>
+      import s.implicits._
+      val qz = quantized(s, dir).select($"vec_id", $"scale", $"q")
+      val queries = qz.filter($"vec_id" < QuerySetSize)
+        .select($"vec_id".as("q_id"), $"scale".as("q_scale"), $"q".as("qq"))
+      val scored = qz.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          ($"q_scale" * $"scale" *
+            aggregate(zip_with($"qq", $"q", (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v).cast("double")).as("sim"))
+      graft.operators.KeyedOps.topKPerKey(scored, Seq($"q_id"),
+          Seq($"sim".desc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"sim", $"rank")
     },
   )
 
@@ -438,5 +472,30 @@ object Similarity extends QueryModule {
         |         * (p[1]::DOUBLE - p[2]::DOUBLE * scale))),
         |    (x, y) -> x + y) / len(embedding)) AS rmse
         |FROM q""".stripMargin,
+
+    "v8_knn_int8" ->
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(embedding, x -> abs(x::DOUBLE))),
+         |      (a, x) -> greatest(a, x)) / 127::DOUBLE AS scale,
+         |    embedding FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(embedding, x -> CASE WHEN scale = 0.0
+         |      THEN 0::BIGINT
+         |      ELSE floor(x::DOUBLE / scale + 0.5)::BIGINT END) AS qs
+         |  FROM base),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         |    a.scale * b.scale * (list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(list_zip(a.qs, b.qs), p -> p[1] * p[2])),
+         |      (x, y) -> x + y))::DOUBLE AS sim
+         |  FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
+         |WHERE rank <= $K""".stripMargin,
   )
 }

@@ -95,6 +95,35 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate corpus: no qualifying pairs")
   }
 
+  test("stop-shingle df cap kills boilerplate pairs, cap=∞ ≡ uncapped") {
+    import spark.implicits._
+    // 6 docs: 5 unique words each + the SAME 7-word boilerplate tail.
+    // Shingles per doc: 3 content (unique) + 2 content|boilerplate
+    // bridge (unique) + 5 boilerplate (df = 6). Any two distinct docs
+    // share exactly the 5 boilerplate shingles → jaccard 5/15 ≈ 0.33:
+    // every pair qualifies at 0.3 spuriously. Docs 4 and 5 are true
+    // exact dups (jaccard 1.0).
+    val boiler = "subscribe to our newsletter for daily updates"
+    val uniq = Seq("aa bb cc dd ee", "ff gg hh ii jj", "kk ll mm nn oo",
+      "pp qq rr ss tt", "uu vv ww xx yy", "uu vv ww xx yy")
+    val docs = uniq.zipWithIndex.map { case (u, i) =>
+      (i.toLong, s"$u $boiler", "en", "src", 1L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_stopsh").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def pairs(cap: Option[Long]): Set[(Long, Long)] =
+      graft.queries.Dedup.jaccardPairs(spark, dir, 0.3, cap)
+        .select($"doc_i", $"doc_j").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(None)
+    assert(uncapped == (for (i <- 0L to 5L; j <- i + 1 to 5L) yield (i, j)).toSet,
+      "every doc pair must qualify via shared boilerplate")
+    // cap below the boilerplate df (6): only the true dup pair remains
+    assert(pairs(Some(5L)) == Set((4L, 5L)))
+    // a non-binding cap reproduces the uncapped result exactly
+    assert(pairs(Some(Long.MaxValue)) == uncapped)
+  }
+
   test("simhash 8-bit banding finds every pair within Hamming 3 (pigeonhole)") {
     import spark.implicits._
     val docs = nearDupCorpus(25) ++

@@ -120,5 +120,10 @@ class ReferencePipelinesSpec extends SparkSpec {
       spark.sql("SELECT hashed_shingles('a b c', length('xy')) AS sh")
         .collect())
     assert(err.getMessage.contains("hashed_shingles"))
+    val rep = spark.sql(
+      "SELECT r.* FROM (SELECT repetition_stats('dup dup dup') AS r)")
+      .collect().head
+    assert((rep.getInt(0), rep.getInt(1), rep.getInt(2)) == ((3, 1, 2)),
+      "3 tokens, 1 distinct, (dup,dup) bigram twice")
   }
 }
