@@ -214,4 +214,26 @@ object StreamOps {
       .withWatermark(tsCol, horizon)
       .withColumn("digest", md5(col(textCol).cast("binary")))
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming ingest CURATION — the batch d8/x8 quality gates running
+    * unchanged on an unbounded stream (rowwise codegen'd expressions
+    * need no streaming adaptation), then watermark-bounded exact dedup:
+    * keep docs with `n_tokens` in [minTokens, maxTokens] and a
+    * duplicate-token fraction ≤ maxDupFrac, drop content-digest copies
+    * arriving within `horizon`. The only state is the dedup digest map;
+    * the gates add zero state and zero shuffle at any scale.
+    */
+  def streamingCurate(docs: DataFrame, tsCol: String, textCol: String,
+                      minTokens: Int, maxTokens: Int, maxDupFrac: Double,
+                      horizon: String): DataFrame = {
+    require(minTokens >= 1, "minTokens >= 1 (guards the dup-frac division)")
+    val kept = docs
+      .withColumn("r", explode(array(
+        graft.functions.RepetitionStatsExpr.repetitionStats(col(textCol)))))
+      .filter(col("r.n_tokens").between(minTokens, maxTokens) &&
+        (lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens"))
+          <= maxDupFrac)
+      .drop("r")
+    streamingDedup(kept, tsCol, textCol, horizon)
+  }
 }

@@ -257,4 +257,27 @@ class StreamOpsSpec extends SparkSpec {
         s"expected first copies + horizon-expired readmission, got $ids")
     } finally q.stop()
   }
+
+  test("streaming curation: quality gates + dedup on an unbounded stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingCurate(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "text",
+      minTokens = 3, maxTokens = 10, maxDupFrac = 0.5, horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("scurate_test")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, "a clean short document here"), // passes
+        (ts(1), 2L, "too few"),                     // 2 tokens < min
+        (ts(2), 3L, "spam spam spam spam spam ok"), // dup frac 4/6 > 0.5
+        (ts(3), 4L, "a clean short document here"), // digest dup of 1
+        (ts(4), 5L, "another good document flows through"))
+      q.processAllAvailable()
+      val ids = spark.table("scurate_test").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 5L), s"got $ids")
+    } finally q.stop()
+  }
 }
