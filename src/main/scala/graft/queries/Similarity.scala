@@ -303,6 +303,42 @@ object Similarity extends QueryModule {
             .as("rmse"))
     },
 
+    // V9: product quantization — split each 64-dim vector into M=8
+    // 8-dim subvectors, code each against a 16-entry per-subspace
+    // codebook (deterministic stand-in: the first 16 corpus vectors,
+    // same convention as v4/v6's centroid seeds). PQ is the standard
+    // 100 TB embedding compression (8 bytes/vector here). The codebook
+    // is CONSTANT-bounded (16 rows) so collecting it is the same
+    // bounded-slice pattern as v1's query set; codes are then computed
+    // rowwise from literal codebook values — pure codegen'd arithmetic,
+    // zero shuffle, zero joins. Argmin tiebreak: smallest codebook id
+    // (struct-min on (dist, k)); L2² folds in index order → the oracle
+    // replays bit-for-bit.
+    "v9_pq" -> { (s, dir) =>
+      import s.implicits._
+      val M = 8; val sub = 8; val Kcb = 16
+      val cb = emb(s, dir).filter($"vec_id" < Kcb)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().sortBy(_._1)
+      val codes = (0 until M).map { m =>
+        val cands = array(cb.map { case (k, ce) =>
+          val dist = (0 until sub).map { j =>
+            val i = m * sub + j
+            val d = element_at($"embedding", i + 1).cast("double") -
+              lit(ce(i).toDouble)
+            d * d
+          }.reduce(_ + _)
+          struct(dist.as("dist"), lit(k).as("k"))
+        }: _*)
+        array_min(cands).getField("k").as(s"c$m")
+      }
+      emb(s, dir).select(($"vec_id" +: codes): _*)
+        .select($"vec_id",
+          posexplode(array((0 until M).map(m => col(s"c$m")): _*)))
+        .select($"vec_id", $"pos".cast("bigint").as("m"),
+          $"col".cast("bigint").as("code"))
+    },
+
     // V8: top-k over the QUANTIZED corpus — the int8 serving path v7
     // feeds: similarity = scale_q · scale_c · (q⃗_q · q⃗_c) with the dot
     // product in exact integer arithmetic (|q| ≤ 127 ⇒ the 64-dim dot
@@ -497,5 +533,24 @@ object Similarity extends QueryModule {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
          |WHERE rank <= $K""".stripMargin,
+
+    "v9_pq" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id < 16),
+        |grid AS (
+        |  SELECT e.vec_id, ms.m, cb.k,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, 8),
+        |        j -> (e.embedding[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE)
+        |           * (e.embedding[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE))),
+        |      (x, y) -> x + y) AS dist
+        |  FROM embeddings e
+        |  CROSS JOIN cb
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms)
+        |SELECT vec_id, m::BIGINT AS m, k::BIGINT AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY dist, k) AS r FROM grid)
+        |WHERE r = 1""".stripMargin,
   )
 }

@@ -299,6 +299,29 @@ object TextAnalytics extends QueryModule {
             .otherwise(0.0).as("top_bigram_frac"))
     },
 
+    // Token-distribution Shannon entropy per document — the information-
+    // density quality signal (near-zero entropy = boilerplate/repetition;
+    // complements x8's count-based fractions). H = ln(T) - Σ n·ln(n) / T
+    // avoids needing per-token probabilities before the total is known:
+    // one explode + two hash aggs keyed on the doc. Parity: the Σ term is
+    // per-row double math rounded to 9 digits then accumulated in DECIMAL
+    // (order-insensitive, see queries/package.scala), final H rounded to
+    // 6 (the x7/j3 ln-parity convention).
+    "x9_entropy" -> { (s, dir) =>
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+      counts.groupBy($"doc_id")
+        .agg(sum($"n").as("n_tokens"),
+          sum(round($"n".cast("double") * log($"n".cast("double")), 9)
+            .cast("decimal(28,12)")).as("nlnn"))
+        .select($"doc_id", $"n_tokens",
+          round(log($"n_tokens".cast("double")) -
+            $"nlnn".cast("double") / $"n_tokens".cast("double"), 6)
+            .as("entropy"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -546,6 +569,17 @@ object TextAnalytics extends QueryModule {
          |    THEN top_n::DOUBLE / (len(hs) - 1)
          |    ELSE 0.0 END AS top_bigram_frac
          |FROM th LEFT JOIN top ON th.doc_id = top.doc_id""".stripMargin,
+
+    "x9_entropy" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${ws("text")}) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2)
+         |SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+         |  round(ln(sum(n)::DOUBLE) -
+         |    CAST(sum(CAST(round(n::DOUBLE * ln(n::DOUBLE), 9)
+         |                  AS DECIMAL(28,12))) AS DOUBLE)
+         |      / sum(n)::DOUBLE, 6) AS entropy
+         |FROM c GROUP BY 1""".stripMargin,
 
     "x4_fingerprint" ->
       s"""SELECT doc_id,
