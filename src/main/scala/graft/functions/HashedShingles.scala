@@ -54,11 +54,15 @@ object HashedShinglesExpr {
   private val M = 1000003L // polynomial base for the n-gram fold
   private val U32 = 0xFFFFFFFFL
 
-  /** Called from generated code — keep the signature Java-friendly. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    // pass 1: token u32 hashes (Java int hash accumulates with natural
-    // wrap-around; & 0xFFFFFFFF == pmod(h, 2^32) for the sign flip)
+  /** Pass 1 shared by the fused text expressions (`HashedShinglesExpr`,
+    * `RepetitionStatsExpr`): whitespace-tokenize on the exact Java `\\s`
+    * class and u32-Java-hash each token (Java int hash accumulates with
+    * natural wrap-around; & 0xFFFFFFFF == pmod(h, 2^32) for the sign
+    * flip). Returns (possibly oversized) hash buffer + token count.
+    * `SimHashExpr` keeps its own fold — it votes per token WITHOUT
+    * materializing this array.
+    */
+  private[functions] def tokenHashes(s: String): (Array[Long], Int) = {
     var tok = new Array[Long](32)
     var nt = 0
     var h = 0
@@ -82,6 +86,12 @@ object HashedShinglesExpr {
       if (nt == tok.length) tok = java.util.Arrays.copyOf(tok, nt + 1)
       tok(nt) = h.toLong & U32; nt += 1
     }
+    (tok, nt)
+  }
+
+  /** Called from generated code — keep the signature Java-friendly. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val (tok, nt) = tokenHashes(text.toString)
     if (nt < n) return new GenericArrayData(Array.emptyLongArray)
     // pass 2: n-window polynomial fold (every intermediate < 2^52)
     val m = nt - n + 1

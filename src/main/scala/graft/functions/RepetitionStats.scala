@@ -56,31 +56,9 @@ object RepetitionStatsExpr {
 
   /** Called from generated code — keep the signature Java-friendly. */
   def compute(text: UTF8String): InternalRow = {
-    val s = text.toString
-    // pass 1: token u32 hashes (same loop as HashedShinglesExpr)
-    var tok = new Array[Long](32)
-    var nt = 0
-    var h = 0
-    var inTok = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-          c == '\f' || c == '\r') {
-        if (inTok) {
-          if (nt == tok.length) tok = java.util.Arrays.copyOf(tok, nt * 2)
-          tok(nt) = h.toLong & U32; nt += 1; h = 0; inTok = false
-        }
-      } else {
-        h = h * 31 + c
-        inTok = true
-      }
-      i += 1
-    }
-    if (inTok) {
-      if (nt == tok.length) tok = java.util.Arrays.copyOf(tok, nt + 1)
-      tok(nt) = h.toLong & U32; nt += 1
-    }
+    // pass 1: token u32 hashes — SHARED with HashedShinglesExpr so the
+    // engine has exactly one definition of "token"
+    val (tok, nt) = HashedShinglesExpr.tokenHashes(text.toString)
     // pass 2: bigram fold hashes (NOT distinct'd — multiplicities matter)
     val nb = math.max(nt - 1, 0)
     val big = new Array[Long](nb)

@@ -94,6 +94,9 @@ object TextIO {
     fs.mkdirs(outDir)
     def decode(part: String): String = // "ws=00%3A10" → "00:10"
       java.net.URLDecoder.decode(part.split("=", 2)(1), "UTF-8")
+    // ONE listing of the destination for the whole call — a per-window
+    // listStatus would make this metadata pass O(windows × dir entries)
+    val existing = fs.listStatus(outDir).map(_.getPath)
     for (wsDir <- fs.listStatus(staging) if wsDir.getPath.getName.startsWith("ws=");
          weDir <- fs.listStatus(wsDir.getPath) if weDir.getPath.getName.startsWith("we=")) {
       val ws = decode(wsDir.getPath.getName)
@@ -105,9 +108,9 @@ object TextIO {
       // raw FS: ChecksumFileSystem.delete derives a ".crc" sibling Path
       // that re-trips colon-as-scheme parsing (outputs have no crc — the
       // raw rename below never creates one)
-      fs.listStatus(outDir)
-        .filter(_.getPath.getName.startsWith(s"$prefix-$ws-$we-"))
-        .foreach(st => renFs.delete(st.getPath, false))
+      existing
+        .filter(_.getName.startsWith(s"$prefix-$ws-$we-"))
+        .foreach(p => renFs.delete(p, false))
       val parts = fs.listStatus(weDir.getPath)
         .filter(_.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)

@@ -43,7 +43,11 @@ object OracleFragments {
   def tokenize(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), w -> len(w) > 0)"
 
-  /** Whitespace tokens, empties dropped — replays `TextFunctions.wsTokens`. */
+  /** Whitespace tokens, empties dropped — replays `TextFunctions.wsTokens`.
+    * The class is spelled out because Java's `\s` includes vertical tab
+    * (\x0B) while RE2's `\s` does not — `\s+` here would silently
+    * diverge from the Spark side on \x0B-bearing text.
+    */
   def wsTokens(expr: String): String =
-    s"list_filter(string_split_regex($expr, '\\s+'), w -> len(w) > 0)"
+    s"list_filter(string_split_regex($expr, '[ \\t\\n\\x0B\\f\\r]+'), w -> len(w) > 0)"
 }

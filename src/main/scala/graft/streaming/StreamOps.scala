@@ -209,11 +209,17 @@ object StreamOps {
     * periodic full-corpus pass that catches those.
     */
   def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
-                     horizon: String): DataFrame =
+                     horizon: String): DataFrame = {
+    // withColumn silently REPLACES an existing column — fail fast
+    // instead of corrupting a caller's "digest" field (the output DOES
+    // carry the computed digest, so the name is part of the contract)
+    require(!docs.columns.contains("digest"),
+      "streamingDedup: input already has a 'digest' column; rename it first")
     docs
       .withWatermark(tsCol, horizon)
       .withColumn("digest", md5(col(textCol).cast("binary")))
       .dropDuplicatesWithinWatermark("digest")
+  }
 
   /** Streaming ingest CURATION — the batch d8/x8 quality gates running
     * unchanged on an unbounded stream (rowwise codegen'd expressions
@@ -227,13 +233,17 @@ object StreamOps {
                       minTokens: Int, maxTokens: Int, maxDupFrac: Double,
                       horizon: String): DataFrame = {
     require(minTokens >= 1, "minTokens >= 1 (guards the dup-frac division)")
+    // reserved working name — withColumn would silently replace a
+    // caller's column and the trailing drop would then delete their data
+    require(!docs.columns.contains("__rep"),
+      "streamingCurate: input already has a '__rep' column; rename it first")
     val kept = docs
-      .withColumn("r", explode(array(
+      .withColumn("__rep", explode(array(
         graft.functions.RepetitionStatsExpr.repetitionStats(col(textCol)))))
-      .filter(col("r.n_tokens").between(minTokens, maxTokens) &&
-        (lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens"))
+      .filter(col("__rep.n_tokens").between(minTokens, maxTokens) &&
+        (lit(1.0) - col("__rep.n_distinct").cast("double") / col("__rep.n_tokens"))
           <= maxDupFrac)
-      .drop("r")
+      .drop("__rep")
     streamingDedup(kept, tsCol, textCol, horizon)
   }
 }

@@ -85,7 +85,7 @@ class FunctionsSpec extends SparkSpec {
     import spark.implicits._
     import graft.functions.RepetitionStatsExpr
     def ref(text: String): (Int, Int, Int) = {
-      val hs = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val hs = text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
         .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)))
       val bigrams = hs.sliding(2).filter(_.length == 2)
         .map(p => ((p(0) * 1000003 + p(1)) mod BigInt(4294967296L))).toSeq
@@ -96,7 +96,8 @@ class FunctionsSpec extends SparkSpec {
     val docs = Seq(
       "a b c d e", "a", "", "  padded   spacing\tand\ttabs  ",
       "dup dup dup dup dup", "x y x y x y z",
-      "Ünïcode tökens überall here ok", "one two one two three one two")
+      "Ünïcode tökens überall here ok", "one two one two three one two",
+      "vt\u000Bseparated\u000Btokens") // Java \s includes vertical tab
     val got = docs.toDF("t")
       .select(RepetitionStatsExpr.repetitionStats($"t").as("r"))
       .select($"r.n_tokens", $"r.n_distinct", $"r.top_bigram_n")
