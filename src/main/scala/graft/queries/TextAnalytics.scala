@@ -322,6 +322,32 @@ object TextAnalytics extends QueryModule {
             .as("entropy"))
     },
 
+    // Document CHUNKING — fixed-size overlapping token windows (size 64,
+    // stride 48), the pre-embedding / sequence-packing step of a training
+    // pipeline. Emits one row per chunk with its token count and an
+    // order-sensitive fingerprint of the chunk's token hashes (proves
+    // chunk CONTENT, not just boundaries). Pure rowwise explode — no
+    // shuffle; at 100 TB chunking is a map-only pass.
+    "x10_chunks" -> { (s, dir) =>
+      import s.implicits._
+      val hs = transform(TextFunctions.wsTokens($"text"),
+        w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+          lit(4294967296L)))
+      Tables.documents(s, dir)
+        // Generate barrier: token hashes computed once per row, not once
+        // per downstream chunk reference
+        .select($"doc_id", explode(array(hs)).as("hs"))
+        .filter(size($"hs") > 0)
+        // chunk i covers tokens [i*48+1, i*48+64]; i < ceil(n/48)
+        .select($"doc_id", $"hs",
+          explode(expr("sequence(0, (size(hs) + 47) div 48 - 1)")).as("i"))
+        .select($"doc_id", $"i".cast("bigint").as("chunk_idx"),
+          size(slice($"hs", $"i" * 48 + 1, lit(64))).cast("bigint")
+            .as("chunk_len"),
+          HashFunctions.polyFingerprint(slice($"hs", $"i" * 48 + 1, lit(64)))
+            .as("fp"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -580,6 +606,21 @@ object TextAnalytics extends QueryModule {
          |                  AS DECIMAL(28,12))) AS DOUBLE)
          |      / sum(n)::DOUBLE, 6) AS entropy
          |FROM c GROUP BY 1""".stripMargin,
+
+    "x10_chunks" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents),
+         |ch AS (
+         |  SELECT doc_id, hs,
+         |    unnest(generate_series(0, (len(hs) + 47) // 48 - 1)) AS i
+         |  FROM th WHERE len(hs) > 0)
+         |SELECT doc_id, i AS chunk_idx,
+         |  len(hs[i*48+1 : i*48+64])::BIGINT AS chunk_len,
+         |  list_reduce(list_prepend(0::BIGINT, hs[i*48+1 : i*48+64]),
+         |    (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+         |      % 1000000007) AS fp
+         |FROM ch""".stripMargin,
 
     "x4_fingerprint" ->
       s"""SELECT doc_id,
