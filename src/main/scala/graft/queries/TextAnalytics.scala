@@ -348,6 +348,26 @@ object TextAnalytics extends QueryModule {
             .as("fp"))
     },
 
+    // SEQUENCE PACKING — assign docs to fixed token-budget packs (the
+    // pretraining batch-assembly step): first-fit-in-order with overflow
+    // via a running token sum, pack boundary every `budget` tokens.
+    // Deterministic and DISTRIBUTED: the sequential scan an exact greedy
+    // packer needs is confined to (lang, shard) slices — shard count
+    // scales with the cluster, so no single task ever sees the corpus
+    // (a global-order pack would be one unbounded window partition).
+    "x11_pack" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).select($"doc_id", $"lang",
+        pmod($"doc_id", lit(8L)).as("shard"),
+        size(TextFunctions.wsTokens($"text")).cast("bigint").as("n_tokens"))
+      val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"lang", $"shard", $"n_tokens",
+          expr("(cum - n_tokens) div 512").as("pack_id"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -621,6 +641,16 @@ object TextAnalytics extends QueryModule {
          |    (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
          |      % 1000000007) AS fp
          |FROM ch""".stripMargin,
+
+    "x11_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, doc_id % 8 AS shard,
+         |    len(${ws("text")})::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, lang, shard, n_tokens,
+         |  ((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+         |    - n_tokens) // 512)::BIGINT AS pack_id
+         |FROM t""".stripMargin,
 
     "x4_fingerprint" ->
       s"""SELECT doc_id,
