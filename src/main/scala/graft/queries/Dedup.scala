@@ -232,6 +232,30 @@ object Dedup extends QueryModule {
       intra.unionAll(inter)
     },
 
+    // D10: QUALITY-KEEPER dedup materialization — the final curation
+    // step d6/d7 stop short of: within every transitive near-dup cluster
+    // keep the HIGHEST-QUALITY copy (x3's score; min doc_id on ties),
+    // not merely the smallest id. Composition of the engine's own parts:
+    // d7's connected components × x3's quality column × the max-of-struct
+    // argmax (ONE hash agg per cluster, no window sort). Emits the
+    // multi-doc clusters with their elected keeper.
+    "d10_best_keeper" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = jaccardPairs(s, dir, 0.5)
+        .select($"doc_i".as("src"), $"doc_j".as("dst"))
+      val comp = graft.operators.ConnectedComponents.run(
+        Tables.documents(s, dir).select($"doc_id".as("id")), pairs)
+      val quality = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalytics.qualityCol($"text").as("quality"))
+      comp.join(quality, comp("id") === quality("doc_id"))
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct($"quality", (-$"doc_id").as("negid"))).as("m"))
+        .filter($"n_docs" > 1)
+        .select($"component", $"n_docs", (-$"m.negid").as("keeper"),
+          $"m.quality".as("keeper_quality"))
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -336,6 +360,32 @@ object Dedup extends QueryModule {
     s"""SELECT doc_id, unnest(${shingleListSql("hs")}) AS shingle
        |FROM ($tokenHashDocsSql)""".stripMargin
 
+  /** Shared recursive-CTE prologue ending in `comp(id, component)` —
+    * transitive closure of the Jaccard≥0.5 pair graph (d7, d10).
+    */
+  private def componentsCteSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  $shSql),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT doc_i AS src, doc_j AS dst FROM (
+       |    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+       |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) c
+       |  JOIN sz x ON c.doc_i = x.doc_id
+       |  JOIN sz y ON c.doc_j = y.doc_id
+       |  WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) >= 0.5),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION SELECT dst, src FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label
+       |  FROM reach r JOIN edges e ON r.id = e.src),
+       |comp AS (
+       |  SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
+
   private def minhashSql: String = {
     val perms = (0 until NumPerm).map { j =>
       s"""list_min(list_transform(sgl,
@@ -425,29 +475,24 @@ object Dedup extends QueryModule {
          |GROUP BY lang""".stripMargin,
 
     "d7_dup_components" ->
-      s"""WITH RECURSIVE sh AS (
-         |  $shSql),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT doc_i AS src, doc_j AS dst FROM (
-         |    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
-         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2) c
-         |  JOIN sz x ON c.doc_i = x.doc_id
-         |  JOIN sz y ON c.doc_j = y.doc_id
-         |  WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) >= 0.5),
-         |edges AS (
-         |  SELECT src, dst FROM pairs
-         |  UNION SELECT dst, src FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT e.dst AS id, r.label
-         |  FROM reach r JOIN edges e ON r.id = e.src)
-         |SELECT component, count(*) AS n_docs FROM (
-         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+      s"""$componentsCteSql
+         |SELECT component, count(*) AS n_docs FROM comp
          |GROUP BY component
          |HAVING count(*) > 1""".stripMargin,
+
+    "d10_best_keeper" ->
+      s"""$componentsCteSql,
+         |q AS (${TextAnalytics.qualitySubSql}),
+         |j AS (SELECT c.component, q.doc_id, q.quality
+         |      FROM comp c JOIN q ON c.id = q.doc_id)
+         |SELECT component, n_docs, keeper, keeper_quality FROM (
+         |  SELECT component,
+         |    count(*) OVER (PARTITION BY component) AS n_docs,
+         |    doc_id AS keeper, quality AS keeper_quality,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY quality DESC, doc_id) AS r
+         |  FROM j)
+         |WHERE r = 1 AND n_docs > 1""".stripMargin,
 
     "d4_simhash" -> simhashSql,
 

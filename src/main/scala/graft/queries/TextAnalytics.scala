@@ -34,6 +34,16 @@ object TextAnalytics extends QueryModule {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
     "es" -> Seq("el", "los", "las", "y", "es", "este", "una", "de"))
 
+  /** x3's composite quality score of a text column — the ONE definition,
+    * shared with Dedup's quality-keeper materialization (d10).
+    */
+  private[queries] def qualityCol(text: Column): Column = {
+    val toks = TextFunctions.wsTokens(text)
+    TextFunctions.stopwordRatio(toks) * lit(0.4) +
+      least(size(toks).cast("double") / lit(80.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - TextFunctions.punctRatio(text)) * lit(0.3)
+  }
+
   /** x2's stopword-profile language prediction as a reusable column
     * (argmax with deterministic profile-order tiebreak).
     */
@@ -264,12 +274,9 @@ object TextAnalytics extends QueryModule {
     "x3_quality" -> { (s, dir) =>
       import s.implicits._
       val toks = TextFunctions.wsTokens($"text")
-      val nTok = size(toks).cast("double")
       val stop = TextFunctions.stopwordRatio(toks)
       val punct = TextFunctions.punctRatio($"text")
-      val score = stop * lit(0.4) +
-        least(nTok / lit(80.0), lit(1.0)) * lit(0.3) +
-        (lit(1.0) - punct) * lit(0.3)
+      val score = qualityCol($"text")
       Tables.documents(s, dir)
         .select($"doc_id", size(toks).cast("bigint").as("n_tokens"),
           stop.as("stop_ratio"), punct.as("punct_ratio"),
@@ -416,6 +423,32 @@ object TextAnalytics extends QueryModule {
 
   private def tok(e: String) = OracleFragments.tokenize(e)
   private def ws(e: String) = OracleFragments.wsTokens(e)
+
+  /** (doc_id, n_tokens, stop_ratio, punct_ratio) — the x3 feature body. */
+  private def qualityGSql: String = {
+    val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, len(toks) AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE
+       |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(text) > 0 THEN
+       |      (len(text) - len(regexp_replace(text,
+       |         '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))::DOUBLE
+       |        / len(text)::DOUBLE ELSE 0.0 END AS punct_ratio
+       |  FROM (SELECT doc_id, text, ${ws("text")} AS toks FROM documents)""".stripMargin
+  }
+
+  private val qualityExprSql =
+    """stop_ratio * 0.4 + least(n_tokens::DOUBLE / 80.0, 1.0) * 0.3
+      |    + (1.0 - punct_ratio) * 0.3""".stripMargin
+
+  /** (doc_id, quality) DuckDB subquery replaying [[qualityCol]] — the
+    * oracle twin of the shared quality score (used by x3 and Dedup d10).
+    */
+  private[queries] def qualitySubSql: String =
+    s"SELECT doc_id, $qualityExprSql AS quality FROM ($qualityGSql)"
 
   override def oracle: Map[String, String] = Map(
     "d8_corpus_curation" -> {
@@ -570,28 +603,11 @@ object TextAnalytics extends QueryModule {
          |FROM documents)""".stripMargin
     },
 
-    "x3_quality" -> {
-      val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
-        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH f AS (
-         |  SELECT doc_id, text, ${ws("text")} AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id, len(toks) AS n_tokens,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE
-         |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
-         |    CASE WHEN len(text) > 0 THEN
-         |      (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
-         |        / len(text)::DOUBLE ELSE 0.0 END AS punct_ratio
-         |  FROM f)
-         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
-         |  stop_ratio * 0.4 + least(n_tokens::DOUBLE / 80.0, 1.0) * 0.3
-         |    + (1.0 - punct_ratio) * 0.3 AS quality,
-         |  (stop_ratio * 0.4 + least(n_tokens::DOUBLE / 80.0, 1.0) * 0.3
-         |    + (1.0 - punct_ratio) * 0.3) >= 0.3 AS keep
-         |FROM g""".stripMargin
-    },
+    "x3_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+         |  $qualityExprSql AS quality,
+         |  ($qualityExprSql) >= 0.3 AS keep
+         |FROM ($qualityGSql)""".stripMargin,
 
     "x8_repetition" ->
       s"""WITH th AS (
