@@ -44,4 +44,33 @@ object VectorFunctions {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** JVM-side product-quantization code for one subspace: argmin over the
+    * codebook of the L2² distance on dims [m*sub, (m+1)*sub). Same
+    * left-fold-in-index-order double arithmetic as `l2sq` (adding the 0.0
+    * seed is exact: d² ≥ 0), strict `<` keeps the SMALLEST codebook id on
+    * ties — the lexicographic struct-min / `ORDER BY dist, k` contract —
+    * so the result is bit-identical to the Catalyst/DuckDB forms while
+    * running as one JIT'd loop instead of an interpreted expression tree.
+    */
+  def pqCodeJvm(e: Array[Float], codebook: Array[Array[Float]],
+                m: Int, sub: Int): Int = {
+    var best = Double.PositiveInfinity
+    var bestK = 0
+    var k = 0
+    while (k < codebook.length) {
+      val ce = codebook(k)
+      var acc = 0.0
+      var j = 0
+      while (j < sub) {
+        val i = m * sub + j
+        val d = e(i).toDouble - ce(i).toDouble
+        acc += d * d
+        j += 1
+      }
+      if (acc < best) { best = acc; bestK = k }
+      k += 1
+    }
+    bestK
+  }
 }

@@ -308,35 +308,34 @@ object Similarity extends QueryModule {
     // codebook (deterministic stand-in: the first 16 corpus vectors,
     // same convention as v4/v6's centroid seeds). PQ is the standard
     // 100 TB embedding compression (8 bytes/vector here). The codebook
-    // is CONSTANT-bounded (16 rows) so collecting it is the same
-    // bounded-slice pattern as v1's query set; codes are then computed
-    // rowwise from literal codebook values — pure codegen'd arithmetic,
-    // zero shuffle, zero joins. Argmin tiebreak: smallest codebook id
-    // (struct-min on (dist, k)); L2² folds in index order → the oracle
-    // replays bit-for-bit.
+    // is CONSTANT-bounded (16 rows) so collecting + broadcasting it is
+    // the same bounded-slice pattern as v1's query set; each corpus
+    // partition then codes its rows in ONE JIT-compiled loop
+    // (VectorFunctions.pqCodeJvm — the v1/d5 pattern; the previous
+    // expression-tree form unrolled 8×16×8 distance terms into ~1024
+    // interpreted Catalyst nodes per row, the worst per-row cost in the
+    // suite). Zero shuffle, zero joins. Argmin tiebreak: smallest
+    // codebook id (strict `<` in k order ≡ ORDER BY dist, k); L2² folds
+    // in index order → the oracle replays bit-for-bit.
     "v9_pq" -> { (s, dir) =>
       import s.implicits._
       val M = 8; val sub = 8; val Kcb = 16
-      val cb = emb(s, dir).filter($"vec_id" < Kcb)
+      val cb: Array[Array[Float]] = emb(s, dir).filter($"vec_id" < Kcb)
         .select($"vec_id".cast("int"), $"embedding")
-        .as[(Int, Array[Float])].collect().sortBy(_._1)
-      val codes = (0 until M).map { m =>
-        val cands = array(cb.map { case (k, ce) =>
-          val dist = (0 until sub).map { j =>
-            val i = m * sub + j
-            val d = element_at($"embedding", i + 1).cast("double") -
-              lit(ce(i).toDouble)
-            d * d
-          }.reduce(_ + _)
-          struct(dist.as("dist"), lit(k).as("k"))
-        }: _*)
-        array_min(cands).getField("k").as(s"c$m")
-      }
-      emb(s, dir).select(($"vec_id" +: codes): _*)
-        .select($"vec_id",
-          posexplode(array((0 until M).map(m => col(s"c$m")): _*)))
-        .select($"vec_id", $"pos".cast("bigint").as("m"),
-          $"col".cast("bigint").as("code"))
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      val bc = s.sparkContext.broadcast(cb)
+      emb(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val codebook = bc.value
+          it.flatMap { case (id, e) =>
+            (0 until M).iterator.map { m =>
+              (id, m.toLong,
+                VectorFunctions.pqCodeJvm(e, codebook, m, sub).toLong)
+            }
+          }
+        }
+        .toDF("vec_id", "m", "code")
     },
 
     // V8: top-k over the QUANTIZED corpus — the int8 serving path v7

@@ -34,8 +34,9 @@ object TextAnalytics extends QueryModule {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
     "es" -> Seq("el", "los", "las", "y", "es", "este", "una", "de"))
 
-  /** x3's composite quality score of a text column — the ONE definition,
-    * shared with Dedup's quality-keeper materialization (d10).
+  /** x3's composite [0,1] quality score of a text column — the ONE
+    * definition, shared by x3, d8, and Dedup's quality-keeper
+    * materialization (d10).
     */
   private[queries] def qualityCol(text: Column): Column = {
     val toks = TextFunctions.wsTokens(text)
@@ -44,27 +45,42 @@ object TextAnalytics extends QueryModule {
       (lit(1.0) - TextFunctions.punctRatio(text)) * lit(0.3)
   }
 
-  /** x2's stopword-profile language prediction as a reusable column
-    * (argmax with deterministic profile-order tiebreak).
-    */
-  private def predLangCol: Column = {
-    val toks = TextFunctions.wsTokens(col("text"))
-    val Seq(en, de, fr, es) = langProfiles.map { case (_, words) =>
+  /** Per-language stopword-profile hit counts (profile order). */
+  private def langHits(text: Column): Seq[Column] = {
+    val toks = TextFunctions.wsTokens(text)
+    langProfiles.map { case (_, words) =>
       size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
     }
+  }
+
+  /** Profile-hit argmax with deterministic profile-order tiebreak — the
+    * ONE language prediction rule, shared by x2 and d8.
+    */
+  private def predLangOf(hits: Seq[Column]): Column = {
+    val Seq(en, de, fr, es) = hits
     when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
   }
 
-  /** x3's composite [0,1] quality score as a reusable column. */
-  private def qualityCol: Column = {
-    val toks = TextFunctions.wsTokens(col("text"))
-    val nTok = size(toks).cast("double")
-    TextFunctions.stopwordRatio(toks) * lit(0.4) +
-      least(nTok / lit(80.0), lit(1.0)) * lit(0.3) +
-      (lit(1.0) - TextFunctions.punctRatio(col("text"))) * lit(0.3)
+  private def predLangCol(text: Column): Column = predLangOf(langHits(text))
+
+  /** x11's shard count — the packing op's parallelism. Derived once per
+    * JVM from the session's parallelism (d5's derived-constant pattern;
+    * overridable via -Dgraft.x11.shards) instead of a fixed literal that
+    * would cap the window parallelism at 8×n_langs on any cluster. The
+    * value is then embedded as a LITERAL in both the query and the oracle
+    * SQL (p19's threshold pattern), so the doc_id→shard assignment stays
+    * deterministic and DuckDB replays it exactly. `lazy val`: the query
+    * build and the oracle dump of one run read the SAME computed value.
+    */
+  private[queries] lazy val packShards: Long = {
+    val n = sys.props.get("graft.x11.shards").map(_.toLong)
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.defaultParallelism.toLong))
+      .getOrElse(Runtime.getRuntime.availableProcessors().toLong)
+    math.max(1L, n)
   }
 
   override def queries: Map[String, Q] = Map(
@@ -80,7 +96,8 @@ object TextAnalytics extends QueryModule {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id", $"lang", $"text",
-          predLangCol.as("pred_lang"), qualityCol.as("quality"))
+          predLangCol($"text").as("pred_lang"),
+          qualityCol($"text").as("quality"))
         .filter($"quality" >= 0.3)
         .groupBy(md5($"text".cast("binary")).as("digest"))
         .agg(min($"doc_id").as("keeper"), min($"lang").as("lang"),
@@ -231,16 +248,9 @@ object TextAnalytics extends QueryModule {
     // deterministic tiebreak (profile order).
     "x2_langid" -> { (s, dir) =>
       import s.implicits._
-      val toks = TextFunctions.wsTokens($"text")
-      val hits = langProfiles.map { case (lang, words) =>
-        lang -> size(filter(toks,
-          w => array_contains(array(words.map(lit): _*), w)))
-      }
-      val Seq(en, de, fr, es) = hits.map(_._2)
-      val pred = when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
+      val hits = langHits($"text")
+      val Seq(en, de, fr, es) = hits
+      val pred = predLangOf(hits)
       Tables.documents(s, dir)
         .select($"doc_id", en.cast("bigint").as("en_hits"), de.cast("bigint").as("de_hits"),
           fr.cast("bigint").as("fr_hits"), es.cast("bigint").as("es_hits"), pred.as("pred_lang"))
@@ -359,14 +369,16 @@ object TextAnalytics extends QueryModule {
     // pretraining batch-assembly step): first-fit-in-order with overflow
     // via a running token sum, pack boundary every `budget` tokens.
     // Deterministic and DISTRIBUTED: the sequential scan an exact greedy
-    // packer needs is confined to (lang, shard) slices — shard count
-    // scales with the cluster, so no single task ever sees the corpus
-    // (a global-order pack would be one unbounded window partition).
+    // packer needs is confined to (lang, shard) slices — the shard count
+    // derives from cluster parallelism (`packShards`), so no single task
+    // ever sees the corpus and the window parallelism grows with the
+    // cluster (a global-order pack would be one unbounded window
+    // partition; a fixed literal would cap parallelism forever).
     "x11_pack" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val base = Tables.documents(s, dir).select($"doc_id", $"lang",
-        pmod($"doc_id", lit(8L)).as("shard"),
+        pmod($"doc_id", lit(packShards)).as("shard"),
         size(TextFunctions.wsTokens($"text")).cast("bigint").as("n_tokens"))
       val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -658,9 +670,10 @@ object TextAnalytics extends QueryModule {
          |      % 1000000007) AS fp
          |FROM ch""".stripMargin,
 
+    // doc_id ≥ 0, so DuckDB's signed % equals Spark's pmod here
     "x11_pack" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang, doc_id % 8 AS shard,
+         |  SELECT doc_id, lang, doc_id % $packShards AS shard,
          |    len(${ws("text")})::BIGINT AS n_tokens
          |  FROM documents)
          |SELECT doc_id, lang, shard, n_tokens,
