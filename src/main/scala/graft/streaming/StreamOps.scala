@@ -165,6 +165,93 @@ object StreamOps {
   }
 
   // ---------------------------------------------------------------------
+  // W12 (exact): the reference's composite sequential trigger
+  // (`TriggerExample.scala:279-290`):
+  //   AfterEach.inOrder(
+  //     Repeatedly(AfterProcessingTime).orFinally(AfterWatermark.pastEndOfWindow),
+  //     Repeatedly(AfterProcessingTime))
+  // with accumulatingFiredPanes + withAllowedLateness. The exact fire
+  // sequence per window-with-data is: EARLY* (one pane per trigger that
+  // saw data, while the watermark is below window end), then EXACTLY ONE
+  // ON_TIME pane the moment the watermark crosses window end — fired by
+  // an event-time TIMER, so it happens even when that trigger carries no
+  // new rows for the window (this is what `panedCounts` above, which only
+  // reacts to data, cannot express), then LATE panes per trigger with
+  // late data, until the watermark passes window end + allowed lateness —
+  // after which the window's state is dropped and later stragglers are
+  // discarded (Beam's lateness expiry; Spark's FlatMapGroupsWithStateExec
+  // does NOT filter late rows itself, so expiry is enforced here).
+
+  case class SeqPaneState(total: Long, paneIndex: Int, onTimeFired: Boolean)
+
+  /** W12 exact composite-trigger pane sequence over tumbling windows.
+    * Input df needs `key` and timestamp `ts`. Scale contract: one shuffle
+    * on (key, window), per-group state + one timer in the state store,
+    * state GC'd at window end + `latenessMs`.
+    */
+  def sequencedPanes(df: DataFrame, windowMs: Long, latenessMs: Long)
+                    (implicit spark: org.apache.spark.sql.SparkSession)
+      : Dataset[Pane] = {
+    import spark.implicits._
+    implicit val stateEnc: Encoder[SeqPaneState] = Encoders.product[SeqPaneState]
+    df.withWatermark("ts", s"$latenessMs milliseconds")
+      .select(col("key"),
+        (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(windowMs)))
+          .as("win_start_ms"),
+        col("ts"))
+      .as[(String, Long, Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[SeqPaneState, Pane](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (kw: (String, Long), rows: Iterator[(String, Long, Timestamp)],
+         state: GroupState[SeqPaneState]) =>
+          val windowEnd = kw._2 + windowMs
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val prev = state.get
+            if (prev.onTimeFired) {
+              // lateness-expiry timer: GC the window, emit nothing
+              state.remove()
+              Iterator.empty
+            } else {
+              // the orFinally(AfterWatermark.pastEndOfWindow) firing: the
+              // watermark crossed window end with no new rows this
+              // trigger — ON_TIME pane, delta 0, cumulative unchanged
+              state.update(SeqPaneState(prev.total, prev.paneIndex + 1,
+                onTimeFired = true))
+              // re-arm as the expiry timer (must stay above the watermark)
+              state.setTimeoutTimestamp(
+                math.max(windowEnd + latenessMs, wm + 1))
+              Iterator.single(Pane(kw._1, new Timestamp(kw._2), 0L,
+                prev.total, prev.paneIndex, "ON_TIME"))
+            }
+          } else if (!state.exists && wm >= windowEnd + latenessMs) {
+            // first data for an already-expired window: discard (Beam
+            // drops past allowed lateness; no state is created)
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              SeqPaneState(0L, 0, onTimeFired = false))
+            val delta = rows.size.toLong
+            val cum = prev.total + delta
+            val timing =
+              if (prev.onTimeFired) "LATE"
+              else if (wm < windowEnd) "EARLY"
+              else "ON_TIME"
+            val fired = prev.onTimeFired || timing != "EARLY"
+            state.update(SeqPaneState(cum, prev.paneIndex + 1, fired))
+            // EARLY: arm the window-end timer so the ON_TIME firing is
+            // guaranteed; once fired: arm the lateness-expiry GC timer
+            state.setTimeoutTimestamp(
+              if (!fired) windowEnd
+              else math.max(windowEnd + latenessMs, wm + 1))
+            Iterator.single(Pane(kw._1, new Timestamp(kw._2), delta, cum,
+              prev.paneIndex, timing))
+          }
+      }
+  }
+
+  // ---------------------------------------------------------------------
   // W16/J6: window-aligned spam filter (reference GameStats,
   // `GameStats.scala:102-130,184-192`): per fixed window, users whose
   // total score exceeds `mult` × the window's mean user-total are
