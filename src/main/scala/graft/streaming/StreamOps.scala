@@ -179,22 +179,43 @@ object StreamOps {
   // reacts to data, cannot express), then LATE panes per trigger with
   // late data, until the watermark passes window end + allowed lateness —
   // after which the window's state is dropped and later stragglers are
-  // discarded (Beam's lateness expiry; Spark's FlatMapGroupsWithStateExec
-  // does NOT filter late rows itself, so expiry is enforced here).
+  // discarded (Beam's lateness expiry).
+  //
+  // Watermark model. With EventTimeTimeout Spark's
+  // FlatMapGroupsWithStateExec DROPS input rows older than the current
+  // watermark before the user function runs
+  // (applyRemovingRowsOlderThanWatermark — NoTimeout, as used by
+  // `panedCounts` above, does no such filtering). A Beam LATE row has
+  // ts < windowEnd <= beamWatermark, so under a naive
+  // withWatermark(lateness) delay every within-lateness late row would
+  // be silently filtered and the LATE path would be dead code. Fix: the
+  // Spark watermark is delayed by windowMs + latenessMs, i.e.
+  //   sparkWm = beamWm - (windowMs + latenessMs).
+  // A row of window [ws, we) survives the exec's filter iff ts >= sparkWm,
+  // and ws > sparkWm  <=>  beamWm < we + lateness  — exactly "window not
+  // yet expired" in Beam terms. So every row Beam would accept reaches the
+  // function, and every row Beam would drop lands in a window whose
+  // expiry check below discards it. All Beam-facing thresholds are then
+  // expressed against beamWm = sparkWm + windowMs + latenessMs:
+  //   EARLY          while beamWm <  we
+  //   ON_TIME timer  when  beamWm >= we          (timer at we - delay = ws - lateness)
+  //   LATE           after ON_TIME, while beamWm < we + lateness
+  //   expiry/GC      when  beamWm >= we + lateness (timer at ws)
 
   case class SeqPaneState(total: Long, paneIndex: Int, onTimeFired: Boolean)
 
   /** W12 exact composite-trigger pane sequence over tumbling windows.
     * Input df needs `key` and timestamp `ts`. Scale contract: one shuffle
     * on (key, window), per-group state + one timer in the state store,
-    * state GC'd at window end + `latenessMs`.
+    * state GC'd once the Beam watermark passes window end + `latenessMs`.
     */
   def sequencedPanes(df: DataFrame, windowMs: Long, latenessMs: Long)
                     (implicit spark: org.apache.spark.sql.SparkSession)
       : Dataset[Pane] = {
     import spark.implicits._
     implicit val stateEnc: Encoder[SeqPaneState] = Encoders.product[SeqPaneState]
-    df.withWatermark("ts", s"$latenessMs milliseconds")
+    val delayMs = windowMs + latenessMs
+    df.withWatermark("ts", s"$delayMs milliseconds")
       .select(col("key"),
         (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(windowMs)))
           .as("win_start_ms"),
@@ -205,8 +226,15 @@ object StreamOps {
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (kw: (String, Long), rows: Iterator[(String, Long, Timestamp)],
          state: GroupState[SeqPaneState]) =>
-          val windowEnd = kw._2 + windowMs
-          val wm = state.getCurrentWatermarkMs()
+          val winStart = kw._2
+          val windowEnd = winStart + windowMs
+          val sparkWm = state.getCurrentWatermarkMs()
+          val beamWm = sparkWm + delayMs
+          // timer targets on the delayed-watermark clock; Spark fires a
+          // timer once sparkWm passes it, so beamWm crosses windowEnd /
+          // windowEnd+lateness at exactly these instants
+          val onTimeAt = windowEnd - delayMs // == winStart - latenessMs
+          val expireAt = winStart            // == windowEnd + latenessMs - delayMs
           if (state.hasTimedOut) {
             val prev = state.get
             if (prev.onTimeFired) {
@@ -217,17 +245,27 @@ object StreamOps {
               // the orFinally(AfterWatermark.pastEndOfWindow) firing: the
               // watermark crossed window end with no new rows this
               // trigger — ON_TIME pane, delta 0, cumulative unchanged
-              state.update(SeqPaneState(prev.total, prev.paneIndex + 1,
-                onTimeFired = true))
-              // re-arm as the expiry timer (must stay above the watermark)
-              state.setTimeoutTimestamp(
-                math.max(windowEnd + latenessMs, wm + 1))
-              Iterator.single(Pane(kw._1, new Timestamp(kw._2), 0L,
-                prev.total, prev.paneIndex, "ON_TIME"))
+              val pane = Pane(kw._1, new Timestamp(winStart), 0L,
+                prev.total, prev.paneIndex, "ON_TIME")
+              if (sparkWm >= expireAt) {
+                // single-jump corner: the watermark crossed window end AND
+                // end+lateness in one advance — fire the final ON_TIME
+                // pane (Beam fires the pending on-time pane at window
+                // expiry) and GC immediately; later stragglers hit the
+                // expiry discard below
+                state.remove()
+              } else {
+                state.update(SeqPaneState(prev.total, prev.paneIndex + 1,
+                  onTimeFired = true))
+                state.setTimeoutTimestamp(math.max(expireAt, sparkWm + 1))
+              }
+              Iterator.single(pane)
             }
-          } else if (!state.exists && wm >= windowEnd + latenessMs) {
-            // first data for an already-expired window: discard (Beam
-            // drops past allowed lateness; no state is created)
+          } else if (beamWm >= windowEnd + latenessMs) {
+            // data for an expired window: discard (Beam drops past allowed
+            // lateness) and GC any state the pending expiry timer hasn't
+            // collected yet
+            if (state.exists) state.remove()
             Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(
@@ -236,16 +274,15 @@ object StreamOps {
             val cum = prev.total + delta
             val timing =
               if (prev.onTimeFired) "LATE"
-              else if (wm < windowEnd) "EARLY"
+              else if (beamWm < windowEnd) "EARLY"
               else "ON_TIME"
             val fired = prev.onTimeFired || timing != "EARLY"
             state.update(SeqPaneState(cum, prev.paneIndex + 1, fired))
-            // EARLY: arm the window-end timer so the ON_TIME firing is
+            // EARLY: arm the ON_TIME timer so the end-of-window firing is
             // guaranteed; once fired: arm the lateness-expiry GC timer
             state.setTimeoutTimestamp(
-              if (!fired) windowEnd
-              else math.max(windowEnd + latenessMs, wm + 1))
-            Iterator.single(Pane(kw._1, new Timestamp(kw._2), delta, cum,
+              math.max(if (!fired) onTimeAt else expireAt, sparkWm + 1))
+            Iterator.single(Pane(kw._1, new Timestamp(winStart), delta, cum,
               prev.paneIndex, timing))
           }
       }

@@ -258,6 +258,117 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W12: composite trigger fires EARLY* -> timer ON_TIME(delta 0) -> LATE* -> expiry drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // 10-minute windows, 5 minutes allowed lateness; window [10:00,10:10)
+    // ends at 10:10 and expires when the (Beam) watermark passes 10:15
+    val panes = StreamOps.sequencedPanes(
+      in.toDF().toDF("ts", "key"), windowMs = 600000L, latenessMs = 300000L)
+    val q = panes.writeStream.format("memory").queryName("w12_test")
+      .outputMode("update").start()
+    try {
+      in.addData((ts(1), "k"), (ts(2), "k"))
+      q.processAllAvailable() // watermark below window end -> EARLY pane 0
+      in.addData((ts(3), "k"))
+      q.processAllAvailable() // still EARLY, pane 1
+      // advance max event time to 10:12: the watermark crosses window end
+      // 10:10 with NO new rows for k's window -> the event-time timer must
+      // fire exactly one ON_TIME pane with delta 0, cumulative unchanged
+      in.addData((ts(12), "x"))
+      q.processAllAvailable()
+      // late row within allowed lateness (watermark 10:12 < expiry 10:15):
+      // must survive Spark's late-row filter and emit a LATE pane
+      in.addData((ts(4), "k"))
+      q.processAllAvailable()
+      // advance watermark past 10:15 -> expiry timer GCs k's window state
+      in.addData((ts(30), "z"))
+      q.processAllAvailable()
+      // straggler past end+lateness: dropped, no pane
+      in.addData((ts(5), "k"))
+      q.processAllAvailable()
+      val rows = spark.table("w12_test").as[StreamOps.Pane].collect()
+        .filter(_.key == "k")
+        .map(p => (p.delta, p.cumulative, p.paneIndex, p.timing)).toSet
+      assert(rows == Set(
+        (2L, 2L, 0, "EARLY"),
+        (1L, 3L, 1, "EARLY"),
+        (0L, 3L, 2, "ON_TIME"), // timer-fired, data-free
+        (1L, 4L, 3, "LATE")), s"got $rows")
+      val onTime = spark.table("w12_test").as[StreamOps.Pane].collect()
+        .count(p => p.key == "k" && p.timing == "ON_TIME")
+      assert(onTime == 1, s"exactly one ON_TIME pane expected, got $onTime")
+    } finally q.stop()
+  }
+
+  test("W12: single-jump watermark past end+lateness fires the final ON_TIME pane and GCs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val panes = StreamOps.sequencedPanes(
+      in.toDF().toDF("ts", "key"), windowMs = 600000L, latenessMs = 300000L)
+    val q = panes.writeStream.format("memory").queryName("w12_jump")
+      .outputMode("update").start()
+    try {
+      in.addData((ts(1), "k"))
+      q.processAllAvailable() // EARLY pane 0
+      // one advance jumps the watermark from 10:01 straight past
+      // end (10:10) AND end+lateness (10:15): Beam fires the pending
+      // on-time pane as part of window expiry — exactly one ON_TIME pane,
+      // then immediate GC
+      in.addData((ts(30), "z"))
+      q.processAllAvailable()
+      // straggler after the jump: the window is expired -> dropped as a
+      // straggler, NOT emitted as LATE
+      in.addData((ts(6), "k"))
+      q.processAllAvailable()
+      val rows = spark.table("w12_jump").as[StreamOps.Pane].collect()
+        .filter(_.key == "k")
+        .map(p => (p.delta, p.cumulative, p.paneIndex, p.timing)).toSet
+      assert(rows == Set(
+        (1L, 1L, 0, "EARLY"),
+        (0L, 1L, 1, "ON_TIME")), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("W12: pane sequence survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_w12_ckpt").toString
+    val in = MemoryStream[(Timestamp, String)]
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Long, Long, Int, String)]()
+    def start() = StreamOps.sequencedPanes(
+        in.toDF().toDF("ts", "key"), windowMs = 600000L, latenessMs = 300000L)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.Pane], _: Long) =>
+        batch.collect().foreach(p =>
+          got.add((p.key, p.delta, p.cumulative, p.paneIndex, p.timing)))
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData((ts(1), "k"), (ts(2), "k"))
+      q1.processAllAvailable() // EARLY pane 0, cumulative 2
+    } finally q1.stop()
+    val q2 = start() // restart mid-sequence: accumulated total must survive
+    try {
+      in.addData((ts(12), "x")) // watermark crosses window end -> timer
+      q2.processAllAvailable()
+      in.addData((ts(4), "k")) // within lateness -> LATE on restored total
+      q2.processAllAvailable()
+      val k = { import scala.jdk.CollectionConverters._
+        got.asScala.filter(_._1 == "k").map(t => (t._2, t._3, t._4, t._5)).toSet }
+      assert(k == Set(
+        (2L, 2L, 0, "EARLY"),
+        (0L, 2L, 1, "ON_TIME"),  // timer fired after restart, cumulative restored
+        (1L, 3L, 2, "LATE")), s"got $k")
+    } finally q2.stop()
+  }
+
   test("streaming curation: quality gates + dedup on an unbounded stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
