@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * batched per-partition execution mirror how a Pandas-UDF/`mapInPandas`
   * (or Scala `mapPartitions`, used here) media pipeline runs at scale:
   * one task per input split, codec state initialized once per partition
-  * (not per row), output rows streamed. The codec itself is STUBBED with
-  * a deterministic fake (`FakeCodec`) because no image/audio libraries
-  * ship in this environment — swap `FakeCodec` for a real decoder
-  * without touching any of the distributed plumbing.
+  * (not per row), output rows streamed. Codecs plug in behind the
+  * [[Codec]] seam: [[ImageCodec]] is a REAL JDK-only decoder
+  * (`javax.imageio` — PNG/JPEG/BMP/GIF in, pixel-derived features out);
+  * audio/video stay on the deterministic [[FakeCodec]] stub because no
+  * media libraries beyond ImageIO ship in this environment — swapping in
+  * a real one touches none of the distributed plumbing.
   */
 object Multimodal {
 
@@ -30,11 +32,22 @@ object Multimodal {
   case class Frame(media_id: Long, frameIndex: Int, tsMs: Long,
                    thumbnail: Array[Byte])
 
-  /** STUB decoder — deterministic pure function of the payload bytes.
-    * Real implementation decodes image/audio; the contract (bytes in,
-    * fixed-dim feature out) is what the pipeline depends on.
+  /** The decode seam: bytes in, fixed-dim feature / checksum / resized
+    * bytes out. Implementations must be deterministic pure functions of
+    * the payload (the oracle/differential tests depend on it) and
+    * serializable (instances ship to executors inside task closures).
     */
-  object FakeCodec {
+  trait Codec extends Serializable {
+    def checksum(payload: Array[Byte]): Long
+    /** 8-dim L1-normalized feature vector. */
+    def feature(payload: Array[Byte]): Array[Float]
+    def resize(payload: Array[Byte], n: Int): Array[Byte]
+  }
+
+  /** STUB decoder for kinds with no JDK-native codec (audio/video) —
+    * deterministic pure function of the payload bytes.
+    */
+  object FakeCodec extends Codec {
     def checksum(payload: Array[Byte]): Long =
       payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0xffffffffL)
 
@@ -53,8 +66,103 @@ object Multimodal {
         payload((i.toLong * payload.length / math.min(n, payload.length)).toInt))
   }
 
+  /** REAL image codec — JDK-only (`javax.imageio.ImageIO`), no external
+    * dependency. Features and checksums are computed over DECODED PIXELS,
+    * not encoding bytes, so two encodings of the same image (PNG vs BMP)
+    * agree — the property a dedup/similarity pipeline actually needs from
+    * a media codec. Undecodable payloads raise; use [[imageFeatures]] for
+    * the tolerant drop-and-count pipeline shape (P13's pattern).
+    */
+  object ImageCodec extends Codec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      // ImageIO.read returns null (not an exception) for unknown formats
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** (width, height) of the encoded image, None if undecodable. */
+    def dims(payload: Array[Byte]): Option[(Int, Int)] =
+      decode(payload).map(img => (img.getWidth, img.getHeight))
+
+    private def decodeOrThrow(payload: Array[Byte]): BufferedImage =
+      decode(payload).getOrElse(throw new IllegalArgumentException(
+        s"ImageCodec: undecodable payload (${payload.length} bytes)"))
+
+    /** Rolling hash over row-major ARGB pixel values — invariant to the
+      * container format, sensitive to any pixel change.
+      */
+    def checksum(payload: Array[Byte]): Long = {
+      val img = decodeOrThrow(payload)
+      var acc = (img.getWidth.toLong * 31 + img.getHeight) & 0xffffffffL
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          acc = (acc * 31 + (img.getRGB(x, y) & 0xffffffffL)) & 0xffffffffL
+          x += 1
+        }
+        y += 1
+      }
+      acc
+    }
+
+    /** 8-bucket luminance histogram (ITU-R BT.601 integer luma), L1-normed
+      * — the classic cheap image signature; deterministic and
+      * resolution-independent enough for near-dup blocking.
+      */
+    def feature(payload: Array[Byte]): Array[Float] = {
+      val img = decodeOrThrow(payload)
+      val buckets = new Array[Long](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          buckets(math.min(7, luma >> 5)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(1L, img.getWidth.toLong * img.getHeight)
+      buckets.map(c => c.toFloat / total)
+    }
+
+    /** Real resize: decode, scale to n×n (area-preserving smooth scale),
+      * re-encode as PNG.
+      */
+    def resize(payload: Array[Byte], n: Int): Array[Byte] = {
+      val img = decodeOrThrow(payload)
+      val out = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, n, n, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Kind-routed codec selection: real ImageIO for images, stub for
+    * audio/video (no JDK codec exists). The routing is per-partition
+    * driver-free — the map ships in the task closure.
+    */
+  val kindCodecs: String => Codec = {
+    case "image" => ImageCodec
+    case _       => FakeCodec
+  }
+
   /** Build a deterministic media table (test fixture — stands in for a
-    * parquet table of real media blobs).
+    * parquet table of real media blobs). Payloads are synthetic bytes
+    * (NOT decodable images) — pair with [[FakeCodec]]; use
+    * [[syntheticImages]] for real encoded PNGs.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -67,17 +175,83 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-image fixture: n PNG-encoded gradient images of
+    * varying size, generated on executors (no driver-side byte arrays).
+    */
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    spark.range(n.toLong).map { i =>
+      val w = 16 + (i % 16).toInt
+      val h = 12 + (i % 8).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 255 / math.max(1, w - 1)) & 0xff
+        val g = (y * 255 / math.max(1, h - 1)) & 0xff
+        val b = (i * 37 % 256).toInt & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRecord(i, "image", bos.toByteArray, w, h, 0L)
+    }
+  }
+
   /** Decode + feature-extract, one codec per partition, batch-streamed.
     * At scale: repartition by size/kind upstream so partitions are
     * balanced; the codec init cost amortizes across the partition.
+    * `codecFor` routes by kind — default keeps every kind on the stub
+    * (payload-byte features); pass [[kindCodecs]] for real image decode.
     */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+                      codecFor: String => Codec = _ => FakeCodec)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init point (real codec: open decoder once here)
       it.map { m =>
+        val c = codecFor(m.kind)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          FakeCodec.checksum(m.payload), FakeCodec.feature(m.payload))
+          c.checksum(m.payload), c.feature(m.payload))
+      }
+    }
+  }
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           checksum: Long, feature: Array[Float])
+
+  /** Tolerant real-image pipeline (P13's drop-and-count shape over media):
+    * decode every payload with ImageIO, DROP undecodable rows (count them
+    * via the returned frame's row deficit / an upstream observe), emit
+    * decoded dimensions + pixel-derived checksum and feature. One decode
+    * per row — dims/checksum/feature all come from the same BufferedImage.
+    */
+  def imageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        ImageCodec.decode(m.payload).map { img =>
+          // re-derive from the single decoded image rather than calling
+          // checksum/feature (which would decode twice)
+          var acc = (img.getWidth.toLong * 31 + img.getHeight) & 0xffffffffL
+          val buckets = new Array[Long](8)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              acc = (acc * 31 + (rgb & 0xffffffffL)) & 0xffffffffL
+              val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              buckets(math.min(7, luma >> 5)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val total = math.max(1L, img.getWidth.toLong * img.getHeight)
+          ImageFeatures(m.media_id, img.getWidth, img.getHeight, acc,
+            buckets.map(c => c.toFloat / total))
+        }
       }
     }
   }

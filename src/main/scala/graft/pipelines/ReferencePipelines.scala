@@ -53,14 +53,18 @@ object ReferencePipelines {
     lines.select(upper(explode(TextFunctions.tokenizeCased(col("value"))))
       .as("word"))
 
-  /** TfIdf (`TfIdf.scala:183-297`): (uri, line) → (uri, word, tfidf). */
+  /** TfIdf (`TfIdf.scala:183-297`): (uri, line) → (uri, word, tfidf).
+    * The diamond derives every branch from the ONE (uri, word) counts
+    * aggregate (totals = Σn per uri, df = rows per word) so exchange
+    * reuse scans + shuffles the exploded token frame exactly once —
+    * same shape as the `j3_tfidf` query, no corpus cache.
+    */
   def tfIdf(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("uri"),
-      explode(TextFunctions.tokenize(col("line"))).as("word"))
-    val counts = words.groupBy("uri", "word").agg(count(lit(1)).as("n"))
-    val totals = words.groupBy("uri").agg(count(lit(1)).as("total"))
-    val docFreq = words.distinct().groupBy("word")
-      .agg(count(lit(1)).as("df"))
+    val counts = docs.select(col("uri"),
+        explode(TextFunctions.tokenize(col("line"))).as("word"))
+      .groupBy("uri", "word").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("uri").agg(sum(col("n")).as("total"))
+    val docFreq = counts.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.select("uri").distinct()
       .agg(count(lit(1)).as("n_docs"))
     counts.join(totals, "uri")

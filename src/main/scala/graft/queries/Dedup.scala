@@ -109,6 +109,25 @@ object Dedup extends QueryModule {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
 
+  /** Shared Jaccard≥threshold pair frame: d6's keep rule, d7/d10's
+    * component edges, and any future curation step all consume the SAME
+    * candidate-pair derivation, and the shingle pair-gen (one blocked
+    * self-join over the whole corpus) is the single most expensive
+    * subplan in the dedup family — so it runs ONCE per (session, dir,
+    * threshold) and the resulting O(n_pairs) frame is `localCheckpoint`-
+    * pinned. Pair counts are tiny relative to the corpus (near-dup pairs,
+    * not docs), so pinning them is cheap at any scale — unlike the corpus
+    * caches this engine deliberately avoids (see `jaccardPairs`).
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
+  private[graft] def sharedJaccardPairs(s: SparkSession, dir: String,
+                                        threshold: Double): DataFrame =
+    pairsCache.computeIfAbsent((s, dir, threshold), { key =>
+      jaccardPairs(key._1, key._2, key._3).localCheckpoint()
+    })
+
   /** Transitive near-dup components (Jaccard≥0.5 pair graph), shared by
     * d7/d10: pair-gen + the connected-components fixpoint run ONCE per
     * (session, data dir) and the resulting O(n_docs) label frame is
@@ -120,7 +139,8 @@ object Dedup extends QueryModule {
     * chains diameter can be thousands of shuffle rounds. The cache key
     * includes the session, so a new session recomputes (a dead session's
     * pinned blocks are simply unreachable); entries are bounded by the
-    * number of (session, dir) pairs a process touches.
+    * number of (session, dir) pairs a process touches — and a long-lived
+    * multi-tenant session can release them explicitly via [[evictCaches]].
     */
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -129,12 +149,38 @@ object Dedup extends QueryModule {
     componentsCache.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       import sess.implicits._
-      val pairs = jaccardPairs(sess, d, 0.5)
+      val pairs = sharedJaccardPairs(sess, d, 0.5)
         .select($"doc_i".as("src"), $"doc_j".as("dst"))
       graft.operators.ConnectedComponents.runStar(
           Tables.documents(sess, d).select($"doc_id".as("id")), pairs)
         .localCheckpoint()
     })
+
+  /** Release every pinned frame this module holds for `session` (the
+    * localCheckpoint RDD blocks behind the pair + component caches).
+    * Long-lived multi-tenant sessions call this when a data dir's
+    * curation pass is finished; entries for other sessions are untouched.
+    * Passing `dir=Some(d)` scopes the eviction to one data directory.
+    */
+  def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
+    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+                sessionOf: K => SparkSession, dirOf: K => String): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if ((sessionOf(e.getKey) eq session) &&
+            dir.forall(_ == dirOf(e.getKey))) {
+          // unpersist the checkpoint RDD's blocks; best-effort (a stopped
+          // session throws — the blocks are already unreachable then)
+          try e.getValue.rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
+    }
+    drop[(SparkSession, String, Double)](pairsCache, _._1, _._2)
+    drop[(SparkSession, String)](componentsCache, _._1, _._2)
+  }
 
   override def queries: Map[String, Q] = Map(
     // D1: exact dedup via content hash; canonical row = min doc_id per
@@ -181,8 +227,10 @@ object Dedup extends QueryModule {
     "d6_dedup_corpus" -> { (s, dir) =>
       import s.implicits._
       // Losers is O(n_docs) at worst — no broadcast hint; AQE picks the
-      // join strategy from the actual size at runtime.
-      val losers = jaccardPairs(s, dir, 0.5)
+      // join strategy from the actual size at runtime. The pair set is
+      // the SAME frame d7/d10's components consume (sharedJaccardPairs),
+      // so in a curation session that runs both, pair-gen happens once.
+      val losers = sharedJaccardPairs(s, dir, 0.5)
         .select($"doc_j".as("doc_id")).distinct()
       Tables.documents(s, dir)
         .join(losers, Seq("doc_id"), "left_anti")

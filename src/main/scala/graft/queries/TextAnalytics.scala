@@ -398,31 +398,37 @@ object TextAnalytics extends QueryModule {
     },
 
     // J2: term frequency — (doc, word) counts joined with per-doc totals
-    // (reference `TfIdf.scala:241-266`). Both aggregates share one scan.
+    // (reference `TfIdf.scala:241-266`). The per-doc total is Σn over the
+    // counts frame, so the whole diamond derives from ONE (doc_id, word)
+    // aggregate and Catalyst's exchange reuse makes the corpus scan +
+    // first shuffle happen once — no cache needed.
     "j2_tf" -> { (s, dir) =>
       import s.implicits._
-      val words = Tables.documents(s, dir)
+      val counts = Tables.documents(s, dir)
         .select($"doc_id", explode(TextFunctions.tokenize($"text")).as("word"))
-      val counts = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
-      val totals = words.groupBy($"doc_id").agg(count(lit(1)).as("total"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy($"doc_id").agg(sum($"n").as("total"))
       counts.join(totals, "doc_id")
         .select($"doc_id", $"word", ($"n".cast("double") / $"total").as("tf"))
     },
 
     // J3: TF-IDF = tf * ln(D/df) (reference `TfIdf.scala:283-297,364-378`;
-    // doc-count D is the broadcast singleton side input J5).
+    // doc-count D is the broadcast singleton side input J5). Every branch
+    // of the diamond (tf numerator, per-doc totals, doc frequency) derives
+    // from the ONE (doc_id, word) counts aggregate: totals = Σn per doc,
+    // df = row count per word (counts is already distinct on (doc, word)).
+    // The identical counts subplan across branches is collapsed by
+    // Catalyst's ReuseExchange, so the exploded token frame is scanned and
+    // shuffled exactly once — no corpus-sized `.cache()` pinning executor
+    // storage memory (the engine's no-corpus-cache rule, cf. d2/d4).
     "j3_tfidf" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      // the diamond DAG reads `words` 3x (counts/totals/df) — cache the
-      // exploded base once (reference caches the base PCollection, §3.3)
-      val words = docs
+      val counts = docs
         .select($"doc_id", explode(TextFunctions.tokenize($"text")).as("word"))
-        .cache()
-      val counts = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
-      val totals = words.groupBy($"doc_id").agg(count(lit(1)).as("total"))
-      val docFreq = words.select($"doc_id", $"word").distinct()
-        .groupBy($"word").agg(count(lit(1)).as("df"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy($"doc_id").agg(sum($"n").as("total"))
+      val docFreq = counts.groupBy($"word").agg(count(lit(1)).as("df"))
       val tf = counts.join(totals, "doc_id")
         .select($"doc_id", $"word", ($"n".cast("double") / $"total").as("tf"))
       tf.join(docFreq, "word")

@@ -30,4 +30,49 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats == Map("image" -> 10L, "audio" -> 10L, "video" -> 10L))
   }
+
+  test("ImageCodec decodes real PNGs: dimensions, deterministic feature, format-invariant checksum") {
+    import java.awt.image.BufferedImage
+    // in-memory 20x10 gradient PNG
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, (x * 12 << 16) | (y * 25 << 8) | 99)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode("png")
+    assert(Multimodal.ImageCodec.dims(png).contains((20, 10)))
+    val f1 = Multimodal.ImageCodec.feature(png)
+    val f2 = Multimodal.ImageCodec.feature(png)
+    assert(f1.toSeq == f2.toSeq && f1.length == 8)
+    assert(math.abs(f1.map(_.toDouble).sum - 1.0) < 1e-5)
+    // pixel-derived checksum agrees across lossless container formats
+    assert(Multimodal.ImageCodec.checksum(png) ==
+      Multimodal.ImageCodec.checksum(encode("bmp")))
+    // real resize: output decodes to the requested dimensions
+    val small = Multimodal.ImageCodec.resize(png, 8)
+    assert(Multimodal.ImageCodec.dims(small).contains((8, 8)))
+    // garbage bytes are undecodable, not a crash
+    assert(Multimodal.ImageCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("imageFeatures pipeline decodes distributed PNGs and drops undecodable rows") {
+    val images = Multimodal.syntheticImages(spark, 12)
+    val feats = Multimodal.imageFeatures(images).collect().sortBy(_.media_id)
+    assert(feats.length == 12)
+    // decoded dims match the generator's metadata
+    val meta = images.collect().map(m => m.media_id -> (m.width, m.height)).toMap
+    assert(feats.forall(f => meta(f.media_id) == (f.width, f.height)))
+    assert(feats.forall(f => math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5))
+    // kind-routed extractFeatures uses the real codec for images: its
+    // checksum is pixel-derived, so it matches imageFeatures' checksum
+    val routed = Multimodal.extractFeatures(images, Multimodal.kindCodecs)
+      .collect().sortBy(_.media_id)
+    assert(routed.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
+    // undecodable rows (synthetic non-image bytes) are dropped, not fatal
+    val mixed = Multimodal.syntheticMedia(spark, 9) // fake payloads
+    assert(Multimodal.imageFeatures(mixed).collect().isEmpty)
+  }
 }

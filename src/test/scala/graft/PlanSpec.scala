@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
       .queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
+  test("j3_tfidf: diamond reuses ONE token-count exchange — no corpus cache") {
+    // Round-6 verdict item: j3 used to .cache() the exploded token frame
+    // (corpus-sized storage pinning). Now totals/df derive from the one
+    // (doc_id, word) counts aggregate, whose identical subplan across the
+    // diamond's branches is collapsed by exchange reuse — under AQE that
+    // happens at runtime, so execute first and assert on the final plan.
+    val df = SparkEntry.queries("j3_tfidf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("InMemoryTableScan"),
+      "no corpus-sized cache may pin executor storage memory")
+    assert(p.contains("ReusedExchange"),
+      s"the counts exchange must be reused across the diamond:\n$p")
+  }
+
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
     // The block frames aggregate to B=16 rows each; the grid join of two
     // 16-row frames is the ONLY join. Corpus-sized data moves through one
