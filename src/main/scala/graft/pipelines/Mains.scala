@@ -203,3 +203,181 @@ object HourlyTeamScoreMain {
     TextIO.writeCsv(hourly, o("output"))
   }
 }
+
+/** TrafficMaxLaneFlow (`TrafficMaxLaneFlow.scala:42-133`): freeway sensor
+  * CSV → per (sliding window, station) the max-flow lane reading, CSV out.
+  */
+object TrafficMaxLaneFlowMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("TrafficMaxLaneFlowMain", args,
+      Map("windowDuration" -> "60", "windowSlideEvery" -> "5"),
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-traffic-max-lane-flow")
+    import spark.implicits._
+    val readings = ReferencePipelines.parseLaneReadings(
+      TextIO.readLines(spark, o("input")))
+    val maxes = ReferencePipelines.maxLaneFlow(readings,
+        s"${o.int("windowDuration")} minutes",
+        s"${o.int("windowSlideEvery")} minutes")
+      .select(date_format($"w_start", "yyyy-MM-dd HH:mm").as("window_start"),
+        $"station", $"lane", $"flow",
+        date_format($"reading_ts", "yyyy-MM-dd HH:mm:ss").as("reading_ts"))
+    TextIO.writeCsv(maxes, o("output"))
+  }
+}
+
+/** TrafficRoutes (`TrafficRoutes.scala:67-113`): freeway sensor CSV →
+  * per (sliding window, route) average speed + slowdown flag, CSV out.
+  */
+object TrafficRoutesMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("TrafficRoutesMain", args,
+      Map("windowDuration" -> "3", "windowSlideEvery" -> "1"),
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-traffic-routes")
+    import spark.implicits._
+    val speeds = ReferencePipelines.parseStationSpeeds(
+      TextIO.readLines(spark, o("input")))
+    val stats = ReferencePipelines.routeSlowdowns(speeds,
+        s"${o.int("windowDuration")} minutes",
+        s"${o.int("windowSlideEvery")} minutes")
+      .select(date_format($"w_start", "yyyy-MM-dd HH:mm").as("window_start"),
+        $"route", round($"avg_speed", 4).as("avg_speed"), $"slowdown_event")
+    TextIO.writeCsv(stats, o("output"))
+  }
+}
+
+/** TopWikipediaSessions (`TopWikipediaSessions.scala:56-96`): wiki-edit
+  * JSON → deterministic user sample → longest editing session per
+  * calendar month, "user : len : month" text like the reference's
+  * FormatOutput.
+  */
+object TopWikipediaSessionsMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("TopWikipediaSessionsMain", args,
+      Map("samplingThreshold" -> "0.1", "sessionGap" -> "1 hour"),
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-top-wikipedia-sessions")
+    import spark.implicits._
+    val edits = ReferencePipelines.sampleUsers(
+      ReferencePipelines.parseWikiEdits(TextIO.readLines(spark, o("input"))),
+      o("samplingThreshold").toDouble)
+    val top = ReferencePipelines.topSessionsPerMonth(edits, o("sessionGap"))
+      .select(concat($"user_id", lit(" : "), $"session_len", lit(" : "),
+        date_format($"month", "yyyy-MM")).as("value")).as[String]
+    TextIO.writeLines(top, o("output"))
+  }
+}
+
+/** Shared plumbing for the streaming game mains: unbounded text source
+  * over a directory (the local stand-in for the Pub/Sub topic, S8) parsed
+  * with the same tolerant CSV ingestion as the batch mains, processed
+  * with `Trigger.AvailableNow` (drain-what-exists, the CLI-friendly run
+  * mode — swap for a continuous trigger on a live directory).
+  */
+private object StreamingGameSource {
+  def events(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ReferencePipelines.parseGameEvents(
+        spark.readStream.text(dir).as[String])
+      .select($"user".as("user_id"), $"team", $"score".as("value"), $"ts")
+  }
+}
+
+/** LeaderBoard (`LeaderBoard.scala:86-133`): ONE unbounded source, TWO
+  * sibling sinks — windowed team totals appended as the watermark closes
+  * each window (the on-time pane, W9), and global per-user running totals
+  * re-emitted per trigger (W5/W11; bounded by user cardinality, so the
+  * complete-mode rewrite per batch is safe at any stream length).
+  */
+object LeaderBoardMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("LeaderBoardMain", args,
+      Map("teamWindowDuration" -> "60", "allowedLateness" -> "120"),
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-leaderboard")
+    val events = StreamingGameSource.events(spark, o("input"))
+    val teams = graft.streaming.LeaderBoard.teamWindowTotals(events,
+        s"${o.int("teamWindowDuration")} minutes",
+        s"${o.int("allowedLateness")} minutes")
+      .writeStream.outputMode("append").format("csv")
+      .option("path", o("output") + "/teams")
+      .option("checkpointLocation", o("output") + "/_cp_teams")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val users = graft.streaming.LeaderBoard.userRunningTotals(events)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").csv(o("output") + "/users")
+      }
+      .option("checkpointLocation", o("output") + "/_cp_users")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    teams.awaitTermination()
+    users.awaitTermination()
+  }
+}
+
+/** GameStats (`GameStats.scala:77-135,147-175`): spam-filtered per-window
+  * team scores (W16 window-aligned anti-join) + mean session duration per
+  * fixed window (W6 re-windowing), via the SURVEY-documented
+  * `foreachBatch` fan-out (both aggregates derive from the same window of
+  * one source, so per-batch alignment is exact under AvailableNow).
+  */
+object GameStatsMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("GameStatsMain", args,
+      Map("fixedWindowDuration" -> "60", "sessionGap" -> "5",
+        "userActivityWindowDuration" -> "30", "scoreWeight" -> "2.5"),
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-game-stats")
+    val events = StreamingGameSource.events(spark, o("input"))
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pinned = batch.persist()
+        try {
+          graft.streaming.StreamOps.spamFilteredTeamScores(pinned, "ts",
+              s"${o.int("fixedWindowDuration")} minutes",
+              o("scoreWeight").toDouble)
+            .write.mode("append").csv(o("output") + "/teams")
+          graft.streaming.StreamOps.sessionDurationMeans(pinned, "ts",
+              "user_id", s"${o.int("sessionGap")} minutes",
+              s"${o.int("userActivityWindowDuration")} minutes", "0 seconds")
+            .write.mode("append").csv(o("output") + "/sessions")
+        } finally { pinned.unpersist(); () }
+      }
+      .option("checkpointLocation", o("output") + "/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
+
+/** StatefulTeamScore (`StatefulTeamScore.scala:55-113`): per-team
+  * cumulative score with an emission each time the total crosses a
+  * multiple of the threshold (W15 ValueState), crossings appended as CSV.
+  */
+object StatefulTeamScoreMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("StatefulTeamScoreMain", args,
+      Map("thresholdScore" -> "5000"),
+      required = Seq("input", "output"))
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      Opts.session("graft-stateful-team-score")
+    import spark.implicits._
+    val events = StreamingGameSource.events(spark, o("input"))
+      .select($"team".as("key"), $"value".cast("long").as("score"))
+      .as[graft.streaming.StreamOps.ScoreEvent]
+    val q = graft.streaming.StreamOps
+      .thresholdCrossings(events, o("thresholdScore").toLong)
+      .toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").csv(o("output"))
+      }
+      .option("checkpointLocation", o("output") + "/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

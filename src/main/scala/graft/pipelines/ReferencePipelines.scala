@@ -157,4 +157,129 @@ object ReferencePipelines {
         "reading_ts" -> col("ts")))
       .select(col("w.start").as("w_start"), col("station"), col("lane"),
         col("flow"), col("reading_ts"))
+
+  /** TrafficMaxLaneFlow CSV ingestion (`TrafficMaxLaneFlow.scala:194-236`,
+    * the wide-row lane explode P14): one freeway sensor row → up to 8
+    * (station, lane) readings. 0-based fields: ts(0) "MM/dd/yyyy
+    * HH:mm:ss", station(1), freeway(2), direction(3), total flow(7);
+    * lane i (1..8) flow/occupancy/speed at 6+5i / 7+5i / 8+5i. Rows with
+    * <48 fields are dropped (reference INVALID_INPUT_LENGTH); lanes
+    * missing any of the three numeric fields are skipped.
+    */
+  def parseLaneReadings(lines: Dataset[String]): DataFrame = {
+    // try_cast throughout: ANSI mode (Spark 4 default) would otherwise
+    // throw on the reference data's empty lane fields
+    val lanes = (1 to 8).map { i =>
+      s"""struct('lane $i' AS lane,
+         |try_cast(f[${6 + 5 * i}] AS INT) AS flow,
+         |try_cast(f[${7 + 5 * i}] AS DOUBLE) AS occupancy,
+         |try_cast(f[${8 + 5 * i}] AS DOUBLE) AS speed)""".stripMargin
+    }.mkString("array(", ", ", ")")
+    lines
+      .select(split(col("value"), ",", -1).as("f"))
+      .filter(size(col("f")) >= 48)
+      .select(
+        expr("try_to_timestamp(f[0], 'MM/dd/yyyy HH:mm:ss')").as("ts"),
+        col("f").getItem(1).as("station"), col("f").getItem(2).as("freeway"),
+        col("f").getItem(3).as("direction"),
+        expr("coalesce(try_cast(f[7] AS INT), -1)").as("total_flow"),
+        explode(expr(lanes)).as("l"))
+      .filter(col("ts").isNotNull && col("l.flow").isNotNull &&
+        col("l.occupancy").isNotNull && col("l.speed").isNotNull)
+      .select(col("ts"), col("station"), col("freeway"), col("direction"),
+        col("total_flow"), col("l.lane").as("lane"), col("l.flow").as("flow"),
+        col("l.occupancy").as("occupancy"), col("l.speed").as("speed"))
+  }
+
+  /** TrafficRoutes hard-wired station→route map
+    * (`TrafficRoutes.scala:310-316`).
+    */
+  val sdStations: Map[String, String] = Map(
+    "1108413" -> "SDRoute1", "1108699" -> "SDRoute2", "1108702" -> "SDRoute2")
+
+  /** TrafficRoutes CSV ingestion (`TrafficRoutes.scala:182-199`): keep
+    * mainline ("ML") readings of tracked stations, keyed by route via the
+    * tiny literal lookup map (P15 — a `typedLit` map, no join needed for
+    * a fixed-cardinality dimension).
+    */
+  def parseStationSpeeds(lines: Dataset[String]): DataFrame =
+    lines
+      .select(split(col("value"), ",", -1).as("f"))
+      .select(
+        expr("try_to_timestamp(f[0], 'MM/dd/yyyy HH:mm:ss')").as("ts"),
+        col("f").getItem(1).as("station"), col("f").getItem(4).as("station_type"),
+        expr("try_cast(f[9] AS DOUBLE)").as("avg_speed"))
+      .withColumn("route", element_at(typedLit(sdStations), col("station")))
+      .filter(col("ts").isNotNull && col("station_type") === "ML" &&
+        col("avg_speed").isNotNull && col("route").isNotNull)
+      .select(col("ts"), col("route"), col("station"), col("avg_speed"))
+
+  // public: encoder codegen generates external accessor calls
+  case class SpeedReading(w_start: java.sql.Timestamp, route: String,
+                          station: String, avg_speed: Double,
+                          ts: java.sql.Timestamp)
+  case class RouteStats(w_start: java.sql.Timestamp, route: String,
+                        avg_speed: Double, slowdown_event: Boolean)
+
+  /** TrafficRoutes slowdown detection (`TrafficRoutes.scala:206-250`, the
+    * A11 ordered fold): per (sliding window, route), sort readings by
+    * time, compare each station's speed to its FIRST-seen speed in the
+    * window (the reference records a station's speed only on first
+    * sight), and flag a slowdown iff slowdowns ≥ 2×speedups. Ordering is
+    * made deterministic with (ts, station, speed) — the reference sorts
+    * by timestamp alone, leaving equal-timestamp order runner-defined.
+    * Scale contract: one shuffle on (window, route); groups are
+    * per-route readings within one window — bounded.
+    */
+  def routeSlowdowns(speeds: DataFrame, windowDur: String,
+                     slide: String): DataFrame = {
+    val spark = speeds.sparkSession
+    import spark.implicits._
+    val windowed = speeds
+      .withColumn("w", window(col("ts"), windowDur, slide))
+      .select(col("w.start").as("w_start"), col("route"), col("station"),
+        col("avg_speed"), col("ts"))
+      .as[SpeedReading]
+    graft.operators.OrderedFold.foldSortedGroups[
+        (java.sql.Timestamp, String), SpeedReading, RouteStats](
+      windowed,
+      key = r => (r.w_start, r.route),
+      order = Ordering.by(r => (r.ts.getTime, r.station, r.avg_speed))) {
+      case ((wStart, route), readings) =>
+        val firstSeen = scala.collection.mutable.HashMap.empty[String, Double]
+        var (sum, n, speedups, slowdowns) = (0.0, 0, 0, 0)
+        readings.foreach { r =>
+          firstSeen.get(r.station) match {
+            case Some(first) =>
+              if (first < r.avg_speed) speedups += 1 else slowdowns += 1
+            case None => firstSeen(r.station) = r.avg_speed
+          }
+          sum += r.avg_speed; n += 1
+        }
+        RouteStats(wStart, route, sum / n, slowdowns >= 2 * speedups)
+    }.toDF()
+  }
+
+  /** TopWikipediaSessions JSON ingestion
+    * (`TopWikipediaSessions.scala:99-123`): wiki edit JSON →
+    * (user_id, ts); rows missing either field are dropped.
+    */
+  def parseWikiEdits(lines: Dataset[String]): DataFrame =
+    lines
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "contributor_username STRING, timestamp BIGINT")).as("j"))
+      .select(col("j.contributor_username").as("user_id"),
+        timestamp_seconds(col("j.timestamp")).as("ts"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+
+  /** The reference's deterministic user sample
+    * (`TopWikipediaSessions.scala:191-198`): keep a user iff
+    * abs(javaHashCode(user)) ≤ MaxInt·threshold — exact Java-hash parity
+    * via the codegen'd expression (P9).
+    */
+  def sampleUsers(events: DataFrame, threshold: Double): DataFrame =
+    events.filter(
+      abs(graft.functions.HashFunctions.javaStringHashCode(col("user_id"))
+        .cast("long")) <= lit((Int.MaxValue * threshold).toLong))
 }

@@ -90,6 +90,142 @@ class MainsSpec extends SparkSpec {
       "2015-11-16 16:00,AzureBilby,15"))
   }
 
+  /** Freeway sensor CSV row in the reference layout
+    * (`TrafficMaxLaneFlow.scala:182-193`): 10 header fields + 8 lanes ×
+    * 5 fields = 50 fields; lane i's flow/occupancy/speed at 6+5i..8+5i.
+    */
+  private def trafficRow(ts: String, station: String, stationType: String,
+                         avgSpeed: String, laneFlows: Seq[Option[Int]]): String = {
+    val head = Seq(ts, station, "5", "N", stationType, "18", "100",
+      laneFlows.flatten.sum.toString, ".0092", avgSpeed)
+    val lanes = (1 to 8).flatMap { i =>
+      laneFlows.lift(i - 1).flatten match {
+        case Some(f) => Seq("9", f.toString, ".002", "60.5", "1")
+        case None    => Seq("", "", "", "", "0")
+      }
+    }
+    (head ++ lanes).mkString(",")
+  }
+
+  test("TrafficMaxLaneFlowMain: wide-row lane explode + windowed per-station argmax") {
+    val csv = writeInput(Seq(
+      trafficRow("01/01/2010 00:05:00", "1100310", "ML", "70.1",
+        Seq(Some(10), Some(20))),
+      trafficRow("01/01/2010 00:10:00", "1100310", "ML", "69.0",
+        Seq(Some(15))),
+      trafficRow("01/01/2010 00:12:00", "1100999", "ML", "65.0",
+        Seq(Some(7))),
+      "too,short,row"))
+    val out = tmp("tmlf-out")
+    TrafficMaxLaneFlowMain.main(Array(s"--input=$csv", s"--output=$out",
+      "--windowDuration=60", "--windowSlideEvery=60"))
+    val rows = readOutput(out).filterNot(_.startsWith("window_start")).sorted
+    assert(rows == Seq(
+      "2010-01-01 00:00,1100310,lane 2,20,2010-01-01 00:05:00",
+      "2010-01-01 00:00,1100999,lane 1,7,2010-01-01 00:12:00"))
+  }
+
+  test("TrafficRoutesMain: route lookup + ordered-fold slowdown detection") {
+    // station 1108413 -> SDRoute1; speeds 70 then 60 then 50 against the
+    // first-seen 70 => slowdowns=2, speedups=0 => slowdown event; the
+    // 1100310 station is on no route and must vanish
+    val csv = writeInput(Seq(
+      trafficRow("01/01/2010 00:00:10", "1108413", "ML", "70.0", Seq(Some(1))),
+      trafficRow("01/01/2010 00:01:00", "1108413", "ML", "60.0", Seq(Some(1))),
+      trafficRow("01/01/2010 00:02:00", "1108413", "ML", "50.0", Seq(Some(1))),
+      trafficRow("01/01/2010 00:01:30", "1100310", "ML", "99.0", Seq(Some(1))),
+      trafficRow("01/01/2010 00:01:40", "1108413", "FR", "10.0", Seq(Some(1)))))
+    val out = tmp("troutes-out")
+    TrafficRoutesMain.main(Array(s"--input=$csv", s"--output=$out",
+      "--windowDuration=3", "--windowSlideEvery=3"))
+    val rows = readOutput(out).filterNot(_.startsWith("window_start"))
+    assert(rows == Seq("2010-01-01 00:00,SDRoute1,60.0,true"))
+  }
+
+  test("TopWikipediaSessionsMain: JSON edits → top session per month") {
+    def epoch(s: String): Long =
+      java.time.Instant.parse(s).getEpochSecond
+    def edit(user: String, ts: String): String =
+      s"""{"contributor_username":"$user","timestamp":${epoch(ts)}}"""
+    val json = writeInput(Seq(
+      edit("alice", "2015-01-10T10:00:00Z"),
+      edit("alice", "2015-01-10T10:10:00Z"),
+      edit("alice", "2015-01-10T10:20:00Z"),
+      edit("bob", "2015-01-10T09:00:00Z"),
+      edit("alice", "2015-02-05T08:00:00Z"),
+      edit("alice", "2015-02-05T08:30:00Z"),
+      """{"malformed": true}"""))
+    val out = tmp("wiki-out")
+    TopWikipediaSessionsMain.main(Array(s"--input=$json", s"--output=$out",
+      "--samplingThreshold=1.0"))
+    assert(readOutput(out).sorted == Seq(
+      "alice : 2 : 2015-02", "alice : 3 : 2015-01"))
+  }
+
+  private val gameCsv = Seq(
+    // two 16:xx events per team + one 23:00 flush event that pushes the
+    // watermark (23:00 - 120 min lateness) past the 16:00 window end
+    "user0_alice,AzureBilby,12,1447690260000,2015-11-16 16:11:00.000",
+    "user1_bob,AzureBilby,3,1447690860000,2015-11-16 16:21:00.000",
+    "user2_eve,AmberDingo,7,1447690320000,2015-11-16 16:12:00.000",
+    "user3_flush,RubyKoala,1,1447714800000,2015-11-16 23:00:00.000")
+
+  // the streaming file source wants a DIRECTORY of files
+  private def inputDir(lines: Seq[String]): String =
+    new java.io.File(writeInput(lines)).getParent
+
+  test("LeaderBoardMain: append team windows after watermark + complete user totals") {
+    val csv = inputDir(gameCsv)
+    val out = tmp("lb-out")
+    LeaderBoardMain.main(Array(s"--input=$csv", s"--output=$out",
+      "--teamWindowDuration=60", "--allowedLateness=120"))
+    val teams = readOutput(out + "/teams").sorted
+    assert(teams.contains("2015-11-16T16:00:00.000Z,AzureBilby,15") &&
+      teams.contains("2015-11-16T16:00:00.000Z,AmberDingo,7"),
+      s"16:00 windows must flush once the watermark passes: $teams")
+    val users = readOutput(out + "/users").map { l =>
+      val Array(u, n) = l.split(","); u -> n.toLong
+    }.toMap
+    assert(users == Map("user0_alice" -> 12L, "user1_bob" -> 3L,
+      "user2_eve" -> 7L, "user3_flush" -> 1L))
+  }
+
+  test("GameStatsMain: spam-filtered team scores + session duration means") {
+    val csv = inputDir(Seq(
+      "user0_alice,AzureBilby,10,1447690260000,x",
+      "user0_alice,AzureBilby,10,1447690320000,x",
+      "user1_bob,AmberDingo,12,1447690380000,x",
+      // eve's 1000 >> 2.5 * mean(user totals) => spammer, dropped
+      "user2_eve,AzureBilby,1000,1447690440000,x"))
+    val out = tmp("gs-out")
+    GameStatsMain.main(Array(s"--input=$csv", s"--output=$out",
+      "--fixedWindowDuration=60", "--scoreWeight=2.5"))
+    val teams = readOutput(out + "/teams").sorted
+    assert(teams == Seq("2015-11-16T16:00:00.000Z,AmberDingo,12",
+      "2015-11-16T16:00:00.000Z,AzureBilby,20"),
+      s"spammer eve must be anti-joined out: $teams")
+    assert(readOutput(out + "/sessions").nonEmpty)
+  }
+
+  test("StatefulTeamScoreMain: emits a row per threshold crossing") {
+    val csv = inputDir(Seq(
+      "user0_alice,AzureBilby,3000,1447690260000,x",
+      "user1_bob,AzureBilby,3000,1447690320000,x",
+      "user2_eve,AzureBilby,4000,1447690380000,x",
+      "user3_dan,AmberDingo,100,1447690440000,x"))
+    val out = tmp("sts-out")
+    StatefulTeamScoreMain.main(Array(s"--input=$csv", s"--output=$out",
+      "--thresholdScore=5000"))
+    val rows = readOutput(out).map { l =>
+      val Array(team, total, thr) = l.split(","); (team, total.toLong, thr.toLong)
+    }
+    // 3000/3000/4000 crosses a 5000 multiple twice in any arrival order,
+    // ending at 10000; dan's 100 never crosses
+    val azure = rows.filter(_._1 == "AzureBilby")
+    assert(azure.length == 2 && azure.map(_._2).max == 10000L &&
+      rows.forall(_._3 == 5000L) && !rows.exists(_._1 == "AmberDingo"))
+  }
+
   test("Opts validation: missing required and unknown options fail with usage") {
     val e1 = intercept[IllegalArgumentException](
       Opts.parse("X", Array("--output=/tmp/x"), Map.empty, Seq("inputFile", "output")))
