@@ -3,6 +3,101 @@ import java.util.Locale
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Streaming throughput probe (round-6 verdict item 2): rows/s through
+    * the three stateful streaming ops — windowed counts (W1), session
+    * windows (W3), threshold crossings (W15 flatMapGroupsWithState) —
+    * under BOTH state-store backends (HDFS-backed default vs RocksDB).
+    * MemoryStream input (no source I/O in the measurement), noop sink,
+    * data fed in chunks so the state machinery crosses real microbatch
+    * boundaries and the watermark advances/GCs state. Returns
+    * (probe name, rows/sec), -1 on failure.
+    */
+  private def probeStreaming(spark: SparkSession): Seq[(String, Double)] = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: SparkSession = spark
+
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val chunks = 8
+    val per = n / chunks
+    val base = 1700000000000L // fixed epoch — deterministic windows
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // one probe = build op over a fresh MemoryStream, pump all chunks
+    def windowedRps(): Double = {
+      val in = MemoryStream[(Timestamp, String)]
+      val out = StreamOps.windowedCounts(
+        in.toDF().toDF("ts", "key"), "ts", "key", "10 minutes", "1 minute")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until per).map { i =>
+            val j = c * per + i
+            (new Timestamp(base + j * 10L), "k" + (j % 1000))
+          })
+          q.processAllAvailable()
+        })
+        n / sec
+      } finally q.stop()
+    }
+
+    def sessionRps(): Double = {
+      val in = MemoryStream[(Timestamp, String)]
+      val out = StreamOps.sessionCounts(
+        in.toDF().toDF("ts", "key"), "ts", "key", "30 seconds", "1 minute")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until per).map { i =>
+            val j = c * per + i
+            (new Timestamp(base + j * 10L), "k" + (j % 1000))
+          })
+          q.processAllAvailable()
+        })
+        n / sec
+      } finally q.stop()
+    }
+
+    def thresholdRps(): Double = {
+      val in = MemoryStream[StreamOps.ScoreEvent]
+      val out = StreamOps.thresholdCrossings(in.toDS(), 5000L)
+      val q = out.writeStream.format("noop").outputMode("update").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until per).map { i =>
+            val j = c * per + i
+            StreamOps.ScoreEvent("k" + (j % 1000), j % 97)
+          })
+          q.processAllAvailable()
+        })
+        n / sec
+      } finally q.stop()
+    }
+
+    val backends = Seq(
+      "hdfs" -> ("org.apache.spark.sql.execution.streaming." +
+        "state.HDFSBackedStateStoreProvider"),
+      "rocksdb" -> ("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"))
+    val ops: Seq[(String, () => Double)] = Seq(
+      "windowed" -> (() => windowedRps()),
+      "session" -> (() => sessionRps()),
+      "threshold" -> (() => thresholdRps()))
+
+    for ((bName, cls) <- backends; (oName, run) <- ops) yield {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      val rps = try run() catch { case _: Throwable => -1.0 }
+      (s"${oName}_$bName", rps)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,11 +130,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // streaming rows/s probe rides the SAME single JSON line (the driver
+    // parses one line; a second line would break it)
+    val streaming = probeStreaming(spark).map { case (k, v) =>
+      "\"" + k + "\":" + "%.0f".formatLocal(Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     // ONE short JSON line. stdout gets sbt's "[info] " prefix, which
     // breaks strict JSON parsing — emit on stderr too (un-prefixed under
     // `sbt runMain`) so machine consumers get a clean line; stdout stays
     // for tail-scrapers.
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"sf":"$sfDir"}"""
     println(json)
     System.err.println(json)
     spark.stop()
