@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence fixture + probe (round-6 verdict item 3): the sf1
+  * claims in SCALE.md were design arguments; this measures them.
+  *
+  * The driver's testdata recipe is not reproducible from here, so the
+  * fixture is this module's OWN deterministic generator run at 1× (the
+  * sf0.1 shape: 5,000 docs ≈ 300 chars, 2,000×64-d embeddings) and at
+  * 10× (the sf1 shape) — both scales come from the SAME generator, so
+  * the time ratios isolate data growth from distribution drift. Document
+  * statistics mirror the driver corpus: 5 langs at the observed mix,
+  * ~40-60 token docs over per-lang Zipf-ish vocabularies, ~5% of docs in
+  * planted near-dup clusters (pair + occasional chain for the transitive
+  * d7 rows). Embeddings are 8 planted clusters + noise so v6's Lloyd
+  * rounds do real work.
+  *
+  * Generation is fully distributed (`spark.range(n).map`, one seeded RNG
+  * per row id — no driver loops, no Math.random), writes
+  * `documents.parquet`/`embeddings.parquet` in the Tables layout.
+  */
+object ScaleFixture {
+
+  case class Doc(doc_id: Long, text: String, lang: String, source: String,
+                 n_chars: Long)
+  case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private val langs = Seq("en" -> 0.41, "zh" -> 0.15, "es" -> 0.15,
+    "fr" -> 0.15, "de" -> 0.14)
+
+  /** ~5% of docs belong to a near-dup cluster: ids ending in 19/39/59/79
+    * copy id-1 with one token mutated (a Jaccard≈0.95 pair); ids ending
+    * in 99 ALSO copy id-1, whose id ends in 98... no — chain: id%100==99
+    * copies id-2's base (id-2 %100 == 97? not a dup base). Simpler and
+    * documented: x9 pairs with x8, and x99 forms a CHAIN x97~x98~x99
+    * (three mutations of one base) so d7 gets non-trivial components.
+    */
+  private def baseId(id: Long): Long = {
+    val m = id % 100
+    if (m == 19 || m == 39 || m == 59 || m == 79) id - 1
+    else if (m == 98 || m == 99) id - (m - 97) // 97~98~99 chain
+    else id
+  }
+
+  def genDocuments(spark: SparkSession, outDir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val n = 5000L * mult
+    spark.range(n).map { id =>
+      val base = baseId(id)
+      val rng = new scala.util.Random(base * 2654435761L + 42)
+      val langPick = rng.nextDouble()
+      val lang = {
+        var acc = 0.0
+        langs.collectFirst { case (l, w) if { acc += w; langPick < acc } => l }
+          .getOrElse("de")
+      }
+      // Zipf-ish: token k drawn with p ∝ 1/(k+10) over a 2000-word
+      // per-lang vocab, 40-60 tokens per doc
+      val nTok = 40 + rng.nextInt(21)
+      val toks = Array.fill(nTok) {
+        val u = rng.nextDouble()
+        val k = (math.exp(u * math.log(2000.0 + 10) + (1 - u) * math.log(10.0)) - 10).toInt
+        s"${lang}w${math.max(0, math.min(1999, k))}"
+      }
+      // near-dup: mutate one token position per id-distance from base
+      if (base != id) {
+        val d = (id - base).toInt
+        val rng2 = new scala.util.Random(id * 40503L + 7)
+        (0 until d).foreach(_ => toks(rng2.nextInt(nTok)) = s"${lang}mut${rng2.nextInt(1000)}")
+      }
+      val text = toks.mkString(" ")
+      Doc(id, text, lang, "synthetic", text.length.toLong)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  def genEmbeddings(spark: SparkSession, outDir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val n = 2000L * mult
+    val dim = 64
+    spark.range(n).map { id =>
+      val label = (id % 8).toInt
+      val rng = new scala.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+      val center = new scala.util.Random(label * 9973L + 3)
+      val vec = Array.fill(dim)((center.nextGaussian() * 0.3 +
+        rng.nextGaussian() * 0.15).toFloat)
+      Emb(id, vec, label)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Generates both scales then times the scale-sensitive query family
+    * on each: the dedup pipeline (d2 pair-gen, d6 materialization, d7
+    * components, d10 keeper), x7 (vocab-bounded PMI shuffle), v6
+    * (k-means over embeddings). Prints one `scale,<query>,<1x sec>,
+    * <10x sec>,<ratio>` line per query — the SCALE.md evidence.
+    */
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0) else "/root/repo/.scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val oneX = s"$root/x1"
+    val tenX = s"$root/x10"
+    genDocuments(spark, oneX, 1); genEmbeddings(spark, oneX, 1)
+    genDocuments(spark, tenX, 10); genEmbeddings(spark, tenX, 10)
+
+    val queries = Seq("d2_jaccard_pairs", "d7_dup_components",
+      "d10_best_keeper", "d6_dedup_corpus", "x7_pmi_bigrams", "v6_kmeans")
+    // warmup (JIT + codegen) on the small scale, untimed
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
+    graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
+
+    def time(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // fixed order: d2 then d7 pay pair-gen; d10/d6 reuse the session
+    // cache exactly as a curation run would — documented in SCALE.md
+    val t1 = queries.map(q => q -> time(q, oneX)).toMap
+    val t10 = queries.map(q => q -> time(q, tenX)).toMap
+    queries.foreach { q =>
+      println(f"scale,$q,${t1(q)}%.2f,${t10(q)}%.2f,${t10(q) / t1(q)}%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -213,4 +213,18 @@ class DedupDifferentialSpec extends SparkSpec {
       s"missing=${expected -- got}\nspurious=${got -- expected}")
     assert(expected.nonEmpty, "degenerate corpus: no band collisions")
   }
+
+  test("shared pair frame: one pair-gen per (session, dir, threshold); evictCaches releases it") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
+    val b = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
+    assert(a eq b, "d6 and d7/d10 must consume the SAME pinned pair frame")
+    val other = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.3)
+    assert(!(a eq other), "different thresholds are different cache entries")
+    graft.queries.Dedup.evictCaches(spark, Some(dir))
+    val c = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
+    assert(!(a eq c), "eviction must drop the pinned entry")
+    assert(c.count() == a.count(), "recomputed frame is value-identical")
+    graft.queries.Dedup.evictCaches(spark)
+  }
 }
