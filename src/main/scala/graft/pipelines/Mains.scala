@@ -151,7 +151,9 @@ object TfIdfMain {
 object AutoCompleteMain {
   def main(args: Array[String]): Unit = {
     val o = Opts.parse("AutoCompleteMain", args,
-      Map("maxPrefix" -> "10", "k" -> "10", "recursive" -> "true"),
+      Map("maxPrefix" -> "10", "k" -> "10", "recursive" -> "true",
+        "outputToDatastore" -> "false", "kind" -> "autocomplete-demo",
+        "ancestorKey" -> "root"),
       required = Seq("inputFile", "output"))
     val spark = Opts.session("graft-autocomplete")
     import spark.implicits._
@@ -160,6 +162,12 @@ object AutoCompleteMain {
     val top = ReferencePipelines.autoComplete(
       words, o.int("maxPrefix"), o.int("k"), o.bool("recursive"))
     TextIO.writeCsv(top.select($"prefix", $"word", $"n"), o("output"))
+    // S9: the reference's Datastore branch (`AutoComplete.scala:98-108`)
+    // — keyed entity upserts, locally a JSON-lines entity directory
+    if (o.bool("outputToDatastore"))
+      graft.io.EntitySink.write(
+        graft.io.EntitySink.autoCompleteEntities(top, o("kind"), o("ancestorKey")),
+        o("output") + "_entities")
   }
 }
 

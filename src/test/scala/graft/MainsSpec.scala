@@ -226,6 +226,33 @@ class MainsSpec extends SparkSpec {
       rows.forall(_._3 == 5000L) && !rows.exists(_._1 == "AmberDingo"))
   }
 
+  test("AutoCompleteMain --outputToDatastore writes ancestor-keyed entity JSON (S9)") {
+    val out = tmp("ac-out")
+    AutoCompleteMain.main(Array(s"--inputFile=${writeInput(lear)}",
+      s"--output=$out", "--maxPrefix=2", "--k=3",
+      "--outputToDatastore=true", "--kind=testkind", "--ancestorKey=anc"))
+    // CSV branch still written
+    assert(readOutput(out).nonEmpty)
+    val entities = readOutput(out + "_entities")
+    assert(entities.nonEmpty, "entity JSON lines expected")
+    // "Fl" prefix: Flourish is the only F-word with count 3
+    val fl = entities.find(_.contains(""""name":"fl"""))
+      .orElse(entities.find(_.contains(""""name":"Fl""")))
+    assert(fl.isDefined, s"expected a Fl/fl prefix entity in $entities")
+    val e = fl.get
+    assert(e.contains(""""path":[{"kind":"testkind","name":"anc"},{"kind":"testkind","name":"""),
+      s"ancestor key path malformed: $e")
+    assert(e.contains(""""candidates":[{"tag":"flourish","count":3}""") ||
+      e.contains(""""candidates":[{"tag":"Flourish","count":3}"""),
+      s"top candidate must lead the list: $e")
+    // rerun overwrites (keyed upsert analog): same entity count
+    val n1 = entities.size
+    AutoCompleteMain.main(Array(s"--inputFile=${writeInput(lear)}",
+      s"--output=$out", "--maxPrefix=2", "--k=3",
+      "--outputToDatastore=true", "--kind=testkind", "--ancestorKey=anc"))
+    assert(readOutput(out + "_entities").size == n1)
+  }
+
   test("Opts validation: missing required and unknown options fail with usage") {
     val e1 = intercept[IllegalArgumentException](
       Opts.parse("X", Array("--output=/tmp/x"), Map.empty, Seq("inputFile", "output")))
