@@ -314,13 +314,20 @@ object Dedup extends QueryModule {
     "d10_best_keeper" -> { (s, dir) =>
       import s.implicits._
       val comp = dupComponents(s, dir)
+      // Filter to multi-doc clusters BEFORE touching the corpus: members
+      // is tiny (dup-cluster docs only), so the quality join broadcasts
+      // it and the corpus side is scanned once, never shuffled — the
+      // previous corpus×corpus shuffle join carried every singleton doc
+      // through the join + agg just to drop it in the final filter.
+      val multi = comp.groupBy($"component")
+        .agg(count(lit(1)).as("n_docs")).filter($"n_docs" > 1)
+      val members = comp.join(multi, "component")
       val quality = Tables.documents(s, dir)
         .select($"doc_id", TextAnalytics.qualityCol($"text").as("quality"))
-      comp.join(quality, comp("id") === quality("doc_id"))
+      members.join(quality, members("id") === quality("doc_id"))
         .groupBy($"component")
-        .agg(count(lit(1)).as("n_docs"),
+        .agg(min($"n_docs").as("n_docs"),
           max(struct($"quality", (-$"doc_id").as("negid"))).as("m"))
-        .filter($"n_docs" > 1)
         .select($"component", $"n_docs", (-$"m.negid").as("keeper"),
           $"m.quality".as("keeper_quality"))
     },
