@@ -77,6 +77,41 @@ class PropertySpec extends SparkSpec {
     assert(classified == total)
   }
 
+  test("traffic lane parse (P14 CSV): never throws, matches the reference extraction model") {
+    import spark.implicits._
+    // random rows: valid layouts, short rows, garbage numerics, empty lanes
+    val fieldGen: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.chooseNum(0, 500).map(_.toString),
+      Gen.const("garbage"), Gen.const("-1"), Gen.const(".0092"))
+    val rowGen: Gen[String] = for {
+      nFields <- Gen.oneOf(Gen.chooseNum(0, 47), Gen.const(50))
+      ts <- Gen.oneOf("01/01/2010 00:05:00", "not a time", "")
+      fields <- Gen.listOfN(math.max(0, nFields - 1), fieldGen)
+    } yield (ts +: fields).mkString(",")
+    val rows = sample(rowGen, 400)
+    val got = graft.pipelines.ReferencePipelines
+      .parseLaneReadings(rows.toDS())
+      .select($"station", $"lane", $"flow", $"occupancy", $"speed")
+      .as[(String, String, Int, Double, Double)]
+      .collect().toSet
+    // reference model (`TrafficMaxLaneFlow.scala:199-236`): >=48 fields,
+    // parsable ts, lane i kept iff flow/occupancy/speed all numeric
+    def toInt(s: String) = scala.util.Try(s.toInt).toOption
+    def toDbl(s: String) = scala.util.Try(s.toDouble).toOption
+    val expected = (for {
+      r <- rows
+      f = r.split(",", -1)
+      if f.length >= 48 && f(0) == "01/01/2010 00:05:00"
+      i <- 1 to 8
+      flow <- toInt(f(6 + 5 * i))
+      occ <- toDbl(f(7 + 5 * i))
+      speed <- toDbl(f(8 + 5 * i))
+    } yield (f(1), s"lane $i", flow, occ, speed)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nspurious=${got -- expected}")
+    assert(expected.nonEmpty, "degenerate sample: no valid lanes generated")
+  }
+
   test("salted top-k == plain top-k on random skewed data") {
     import spark.implicits._
     val rows = sample(Gen.zip(Gen.oneOf("hot", "hot", "hot", "a", "b"),
