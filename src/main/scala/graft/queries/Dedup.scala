@@ -332,6 +332,37 @@ object Dedup extends QueryModule {
           $"m.quality".as("keeper_quality"))
     },
 
+    // D11: the full production MinHash flow d2/d3 stop short of
+    // composing — LSH band CANDIDATES (d3's generator), each verified
+    // with (a) the signature-agreement Jaccard ESTIMATE (the cheap
+    // screen) and (b) the EXACT Jaccard over the two shingle sets.
+    // Scale shape: everything is candidate-restricted — sigs/arrays join
+    // ONTO the pair frame keyed by doc id (pair count ≪ corpus²), and
+    // the exact intersection is a ROWWISE array_intersect on the pair
+    // row (each doc's ~50-shingle array), not a re-shuffle of the
+    // exploded corpus. This is how web-scale dedup actually verifies:
+    // never recompute d2's corpus-wide blocked join for a candidate set.
+    "d11_lsh_verify" -> { (s, dir) =>
+      import s.implicits._
+      val sigs = minhashSigs(s, dir)
+      val cands = lshBandPairs(sigs)
+      val arrs = shingleArr(s, dir)
+      cands
+        .join(sigs.select($"doc_id".as("doc_i"), $"sig".as("sig_i")), "doc_i")
+        .join(sigs.select($"doc_id".as("doc_j"), $"sig".as("sig_j")), "doc_j")
+        .join(arrs.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
+        .join(arrs.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
+        .select($"doc_i", $"doc_j",
+          (aggregate(zip_with($"sig_i", $"sig_j",
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (a, x) => a + x).cast("double") / NumPerm)
+            .as("jaccard_est"),
+          (size(array_intersect($"arr_i", $"arr_j")).cast("double") /
+            (size($"arr_i") + size($"arr_j")
+              - size(array_intersect($"arr_i", $"arr_j"))))
+            .as("jaccard"))
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -585,6 +616,38 @@ object Dedup extends QueryModule {
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "d11_lsh_verify" -> {
+      val bandRows = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize)
+          .map(j => s"m$j::VARCHAR").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      val est = (0 until NumPerm)
+        .map(j => s"(CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sigs AS ($minhashSql),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, ${shingleListSql("hs")} AS arr
+         |       FROM ($tokenHashDocsSql))
+         |SELECT doc_i, doc_j,
+         |  ($est)::DOUBLE / $NumPerm AS jaccard_est,
+         |  len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))::DOUBLE
+         |    / (len(sa.arr) + len(sb.arr)
+         |       - len(list_filter(sa.arr, e -> list_contains(sb.arr, e))))
+         |    AS jaccard
+         |FROM cand
+         |JOIN sigs x ON doc_i = x.doc_id
+         |JOIN sigs y ON doc_j = y.doc_id
+         |JOIN sh sa ON doc_i = sa.doc_id
+         |JOIN sh sb ON doc_j = sb.doc_id""".stripMargin
+    },
 
     "d9_decontaminate" -> {
       // same truncation as hashSample's (frac * 2^32).toLong
