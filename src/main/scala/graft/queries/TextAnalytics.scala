@@ -387,6 +387,50 @@ object TextAnalytics extends QueryModule {
           expr("(cum - n_tokens) div 512").as("pack_id"))
     },
 
+    // X12: SOURCE-MIX REBALANCING under an exact global token budget —
+    // keep each source's docs in deterministic hash order until the
+    // source's share (weight_k/Σw of half the corpus tokens) is
+    // exhausted: the op that turns a raw crawl into a target domain mix.
+    // Scale shape: the per-source running token total is a TWO-PHASE
+    // distributed prefix sum — shard = HIGH BITS of the selection hash
+    // (so (shard, h) order ≡ global h order), per-(source, shard) window
+    // cumsums run in parallel, and a tiny (source × shards) offsets
+    // frame (one window over ≤ parallelism rows per source) lifts them
+    // to exact global cumsums. No corpus-wide single-partition window —
+    // the x11 sharding pattern extended with offset lifting; shard count
+    // cancels out of the result, so the oracle replays one plain global
+    // window per source.
+    "x12_source_mix" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val shardWidth = (4294967296L + packShards - 1) / packShards
+      val weight = (expr("try_cast(substring(source, 4) AS INT)") % 4 + 1)
+        .cast("double")
+      val toks = Tables.documents(s, dir).select($"doc_id", $"source",
+          size(TextFunctions.wsTokens($"text")).cast("long").as("n_tokens"),
+          HashFunctions.knuthHash($"doc_id").as("h"))
+        .withColumn("shard", expr(s"h div $shardWidth"))
+      val local = Window.partitionBy($"source", $"shard")
+        .orderBy($"h", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumd = toks.withColumn("lcum", sum($"n_tokens").over(local))
+      val offsets = cumd.groupBy($"source", $"shard")
+        .agg(max($"lcum").as("stot"))
+        .withColumn("off", coalesce(sum($"stot").over(
+          Window.partitionBy($"source").orderBy($"shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"source", $"shard", $"off")
+      val total = toks.agg(sum($"n_tokens").as("total_tokens"))
+      val wsum = Tables.documents(s, dir).select($"source").distinct()
+        .agg(sum(weight).as("wsum"))
+      cumd.join(offsets, Seq("source", "shard"))
+        .crossJoin(broadcast(total)).crossJoin(broadcast(wsum))
+        .filter(($"off" + $"lcum" - $"n_tokens").cast("double") <
+          lit(0.5) * $"total_tokens".cast("double") * weight / $"wsum")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tokens_kept"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -686,6 +730,29 @@ object TextAnalytics extends QueryModule {
          |  ((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
          |    - n_tokens) // 512)::BIGINT AS pack_id
          |FROM t""".stripMargin,
+
+    // x12: the sharded two-phase prefix sum is value-identical to ONE
+    // global hash-ordered window per source (shard = high bits of h), so
+    // the oracle replays the simple form; weight/budget arithmetic in
+    // the same double-op order as the Spark side
+    "x12_source_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(${ws("text")})::BIGINT AS n_tokens,
+         |    ${OracleFragments.knuthU32("doc_id")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |tot AS (SELECT sum(n_tokens) AS total_tokens FROM t),
+         |w AS (SELECT sum(((try_cast(substring(source, 4) AS INT) % 4 + 1))::DOUBLE)
+         |        AS wsum
+         |      FROM (SELECT DISTINCT source FROM t))
+         |SELECT source, count(*) AS n_kept, sum(n_tokens)::BIGINT AS tokens_kept
+         |FROM c, tot, w
+         |WHERE (cum - n_tokens)::DOUBLE <
+         |  0.5 * total_tokens::DOUBLE
+         |    * ((try_cast(substring(source, 4) AS INT) % 4 + 1))::DOUBLE / wsum
+         |GROUP BY source""".stripMargin,
 
     "x4_fingerprint" ->
       s"""SELECT doc_id,
