@@ -402,30 +402,23 @@ object TextAnalytics extends QueryModule {
     // window per source.
     "x12_source_mix" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val shardWidth = (4294967296L + packShards - 1) / packShards
       val weight = (expr("try_cast(substring(source, 4) AS INT)") % 4 + 1)
         .cast("double")
       val toks = Tables.documents(s, dir).select($"doc_id", $"source",
           size(TextFunctions.wsTokens($"text")).cast("long").as("n_tokens"),
           HashFunctions.knuthHash($"doc_id").as("h"))
-        .withColumn("shard", expr(s"h div $shardWidth"))
-      val local = Window.partitionBy($"source", $"shard")
-        .orderBy($"h", $"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cumd = toks.withColumn("lcum", sum($"n_tokens").over(local))
-      val offsets = cumd.groupBy($"source", $"shard")
-        .agg(max($"lcum").as("stot"))
-        .withColumn("off", coalesce(sum($"stot").over(
-          Window.partitionBy($"source").orderBy($"shard")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"source", $"shard", $"off")
+        .withColumn("shard", expr(s"h div $shardWidth")) // high bits of h
+      val cumd = graft.operators.ShardedPrefixSum.withRunningTotal(
+        toks, groupCols = Seq("source"), shardCol = "shard",
+        orderCols = Seq("h", "doc_id"), valueCol = "n_tokens",
+        outCol = "cum")
       val total = toks.agg(sum($"n_tokens").as("total_tokens"))
       val wsum = Tables.documents(s, dir).select($"source").distinct()
         .agg(sum(weight).as("wsum"))
-      cumd.join(offsets, Seq("source", "shard"))
+      cumd
         .crossJoin(broadcast(total)).crossJoin(broadcast(wsum))
-        .filter(($"off" + $"lcum" - $"n_tokens").cast("double") <
+        .filter(($"cum" - $"n_tokens").cast("double") <
           lit(0.5) * $"total_tokens".cast("double") * weight / $"wsum")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tokens_kept"))

@@ -214,6 +214,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ShardedPrefixSum == plain global running sum at every shard width") {
+    import graft.operators.ShardedPrefixSum
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // Two groups, adversarial order values (dups, clusters, gaps) so ties
+    // and empty shards are both exercised. shard = ord div width is
+    // monotone in ord, the operator's contract.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 2}", (rnd.nextInt(50) * 20).toLong, i.toLong, (i % 13 + 1).toLong)
+    }
+    val base = rows.toDF("g", "ord", "id", "v").repartition(8)
+    val globalW = Window.partitionBy($"g").orderBy($"ord", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = base.withColumn("cum", sum($"v").over(globalW))
+      .select($"g", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+    // widths from 1 shard (degenerate: pure window) to 1 shard per row
+    for (width <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val sharded = base.withColumn("shard", expr(s"ord div $width"))
+      val got = ShardedPrefixSum.withRunningTotal(
+          sharded, groupCols = Seq("g"), shardCol = "shard",
+          orderCols = Seq("ord", "id"), valueCol = "v", outCol = "cum")
+        .select($"g", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+      assert(got == expected, s"sharded prefix sum diverges at width=$width")
+    }
+  }
+
   test("RangeJoin: containment across bin boundaries, [start,end) exclusive") {
     import spark.implicits._
     import java.sql.Timestamp
