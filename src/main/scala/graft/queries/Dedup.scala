@@ -363,6 +363,20 @@ object Dedup extends QueryModule {
             .as("jaccard"))
     },
 
+    // D12: per-doc n-gram NOVELTY score — the fraction of a document's
+    // distinct hashed 8-gram shingles that occur in at least one OTHER
+    // document. This is the doc-level duplication-contamination signal
+    // curation pipelines threshold on (RefinedWeb/Gopher-style "fraction
+    // of duplicated n-grams"), complementing d2/d7 (which find WHICH
+    // docs pair up) with HOW MUCH of each doc is boilerplate. Shape:
+    // one groupBy(shingle) for document frequency + one equi-join back
+    // on the shingle — both shuffles keyed on the shingle hash,
+    // shuffle ∝ corpus shingles, never pairs. AQE's skew-join handles
+    // the boilerplate hot keys the df side concentrates.
+    "d12_ngram_novelty" -> { (s, dir) =>
+      ngramNovelty(Tables.documents(s, dir), 8)
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -387,6 +401,25 @@ object Dedup extends QueryModule {
         .agg(count(lit(1)).as("n_hit"))
     },
   )
+
+  /** Per-doc shared-shingle fraction (see the d12 query note). A doc's
+    * shingles are already DISTINCT (fused expr pass 3), so the shingle's
+    * row count IS its document frequency, and a shingle with df >= 2 is
+    * "shared". Docs with fewer than n tokens have no shingles and no
+    * row. Package-visible so the planted-duplicate spec exercises the
+    * production pipeline.
+    */
+  private[graft] def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(HashedShinglesExpr.hashedShingles(col("text"), n)).as("shingle"))
+    val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(docFreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
+  }
 
   /** doc_id, sig: array<long> of NumPerm minhash values, from exploded
     * (doc_id, shingle: long) rows. The shingle column already IS the u32
@@ -648,6 +681,18 @@ object Dedup extends QueryModule {
          |JOIN sh sa ON doc_i = sa.doc_id
          |JOIN sh sb ON doc_j = sb.doc_id""".stripMargin
     },
+
+    "d12_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${shingleListSqlN("hs", 8)}) AS shingle
+         |  FROM ($tokenHashDocsSql)),
+         |docfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*) AS shared_frac
+         |FROM sh JOIN docfreq USING (shingle)
+         |GROUP BY 1""".stripMargin,
 
     "d9_decontaminate" -> {
       // same truncation as hashSample's (frac * 2^32).toLong

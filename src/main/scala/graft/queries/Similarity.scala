@@ -35,6 +35,32 @@ object Similarity extends QueryModule {
     pmod((lit(i * 64) + j) * lit(2654435761L), lit(4294967296L))
       .cast("double") / lit(4294967296.0) - lit(0.5)
 
+  private val ProjDim = 16 // v10 output dimensionality
+
+  /** Achlioptas ±1 projection sign s(j, i) for output dim j, input dim i
+    * (1-based): the high bit of a DOUBLE knuth round with an xor-shift
+    * between rounds — knuth(knuth(key) ⊕ (knuth(key) >> 16)) with
+    * key = 2^20 + j·64 + i. One multiplicative round is NOT enough here:
+    * over sequential keys its high bit is a quasi-periodic (Sturmian)
+    * sequence, and JL needs (near-)independent signs — single-round
+    * signs measurably fail norm preservation (ratio 3.2× on test
+    * vectors). The xor-shift + second multiply is a standard integer
+    * finalizer, still pure u32 arithmetic, oracle-reproducible. The
+    * 2^20 offset decorrelates from the LSH planes (`planeW`).
+    */
+  private def signW(j: Int, i: org.apache.spark.sql.Column) = {
+    val h1 = HashFunctions.knuthHash(lit(1048576L + j * 64L) + i)
+    val h2 = HashFunctions.knuthHash(h1.bitwiseXOR(shiftright(h1, 16)))
+    when(h2 >= lit(2147483648L), lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** DuckDB replay of `signW` (key = the 1-based flat index expr). */
+  private def signSql(keyExpr: String): String = {
+    val h1 = s"(${OracleFragments.knuthU32(keyExpr)})::BIGINT"
+    val h2 = OracleFragments.knuthU32(s"xor($h1, $h1 >> 16)")
+    s"CASE WHEN ($h2) >= 2147483648 THEN 1.0 ELSE -1.0 END"
+  }
+
   /** Sign-bit LSH bucket of an embedding: bit i = [dot(w_i, e) >= 0]. */
   private def lshBucket(e: org.apache.spark.sql.Column) =
     (0 until NumPlanes).map { i =>
@@ -359,7 +385,36 @@ object Similarity extends QueryModule {
           Seq($"sim".desc, $"vec_id"), K)
         .select($"q_id", $"vec_id", $"sim", $"rank")
     },
+
+    // V10: sign random projection (Achlioptas) 64 → 16 dims — the
+    // Johnson-Lindenstrauss reduction a 100 TB embedding corpus runs
+    // before LSH/clustering to cut every downstream distance to a
+    // quarter. y_j = (1/√16) Σ_i ±1(j,i) · x_i with portable
+    // hash-derived signs (no RNG state, reproducible in any engine).
+    // Pure rowwise map — zero shuffle at any scale; 16 independent
+    // 64-element folds per row, all inside whole-stage codegen. Output
+    // long-form (vec_id, dim, value) so the oracle compares scalars.
+    "v10_sign_projection" -> { (s, dir) =>
+      signProject(emb(s, dir))
+    },
   )
+
+  /** (vec_id, dim, value) long-form sign projection of an
+    * (vec_id, embedding) frame — see the v10 query note. Package-visible
+    * for the JL-property spec.
+    */
+  private[graft] def signProject(embFrame: DataFrame): DataFrame = {
+    val outs = (0 until ProjDim).map { j =>
+      aggregate(
+        zip_with(col("embedding"), sequence(lit(1), lit(64)),
+          (x, i) => x.cast("double") * signW(j, i)),
+        lit(0.0), (acc, v) => acc + v) / lit(4.0) // √ProjDim, exact
+    }
+    embFrame
+      .select(col("vec_id"), posexplode(array(outs: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+  }
 
   /** DuckDB replay of the vector ops: same double promotion, same
     * index-order left fold => bit-identical doubles.
@@ -400,6 +455,15 @@ object Similarity extends QueryModule {
 
     "v2_lsh_buckets" ->
       s"SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings",
+
+    "v10_sign_projection" ->
+      s"""SELECT e.vec_id, j.j AS dim,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(list_zip(e.embedding, generate_series(1, 64)),
+         |      p -> p[1]::DOUBLE *
+         |        (${signSql("1048576 + j.j * 64 + p[2]")}))),
+         |    (x, y) -> x + y) / 4.0 AS value
+         |FROM embeddings e, generate_series(0, ${ProjDim - 1}) AS j(j)""".stripMargin,
 
     "v3_knn_lsh" ->
       s"""WITH wb AS (

@@ -206,4 +206,67 @@ class PropertySpec extends SparkSpec {
       assert(g == ref(d), s"doc=${d.replace("\n", "\\n")}")
     }
   }
+
+  test("ngramNovelty: exact copies fully shared, unique docs fully novel") {
+    import spark.implicits._
+    // 3-token docs with n=3 => each doc is exactly one shingle: novelty
+    // is decidable by eye. a/b are copies; c is unique; d/e share their
+    // only shingle with each other.
+    val docs = Seq(
+      (1L, "alpha beta gamma"),  // copy of 2
+      (2L, "alpha beta gamma"),
+      (3L, "delta eps zeta"),    // unique
+      (4L, "eta theta iota"),    // copy of 5
+      (5L, "eta theta iota"),
+      (6L, "ab")                 // < n tokens: no shingles, no row
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Dedup.ngramNovelty(docs, 3)
+      .select($"doc_id", $"n_shingles", $"n_shared", $"shared_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 1.0)), 2L -> ((1L, 1L, 1.0)),
+      3L -> ((1L, 0L, 0.0)),
+      4L -> ((1L, 1L, 1.0)), 5L -> ((1L, 1L, 1.0))))
+    // multi-shingle partial overlap: x shares its first 3-gram with y
+    // (4 tokens => 2 shingles, 1 shared => frac 0.5)
+    val partial = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val fr = graft.queries.Dedup.ngramNovelty(partial, 3)
+      .filter($"doc_id" === 1L).select($"shared_frac").as[Double].head()
+    assert(fr == 0.5)
+  }
+
+  test("signProject: linear, deterministic, and JL-norm-preserving") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = graft.queries.Similarity.signProject(df)
+      .as[(Long, Long, Double)].collect()
+    assert(proj.length == 40 * 16)
+    val byVec = proj.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3)).toMap
+    // deterministic: a second run is bit-identical
+    val again = graft.queries.Similarity.signProject(df)
+      .as[(Long, Long, Double)].collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(byVec.forall { case (k, v) => again(k).sameElements(v) })
+    // JL property for THIS fixed seed + hash-derived signs (all
+    // deterministic): per-vector squared-norm ratio has std ≈ √(2/k)
+    // = 0.35 at k=16, so individual vectors get a loose 2.5σ band and
+    // the MEAN ratio (variance ÷ 40 vectors) gets a tight one.
+    val ratios = vecs.map { case (id, e) =>
+      val orig = e.map(x => x.toDouble * x).sum
+      val prj = byVec(id).map(y => y * y).sum
+      val r = prj / orig
+      assert(r > 0.15 && r < 2.5, s"vec $id: |y|^2/|x|^2 = $r") // ~4σ
+      r
+    }
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
+  }
 }
