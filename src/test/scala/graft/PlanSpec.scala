@@ -175,6 +175,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v10_sign_projection: pure rowwise — zero exchanges, codegen'd folds") {
+    val p = plan("v10_sign_projection")
+    assert(!p.contains("Exchange"), "projection must not shuffle")
+    assert(!p.contains("Join"), "projection must not join")
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      s"plan must contain codegen spans:\n$p")
+  }
+
+  test("d12_ngram_novelty: shingle-keyed equi-join only — no hint, no window") {
+    val p = plan("d12_ngram_novelty")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"))
+    // df-side is corpus-sized: must not carry a broadcast HINT (AQE may
+    // still pick broadcast from observed size at toy SF — that's fine)
+    val analyzed = SparkEntry.queries("d12_ngram_novelty")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "document-frequency frame must not be hint-broadcast")
+    assert(!p.contains("Window"), "per-doc fractions via hash agg, not window")
+  }
+
   test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
     // execute so AQE finalizes and codegen spans materialize in the plan
     val df = SparkEntry.queries("a15_checksum")(spark, dir)
