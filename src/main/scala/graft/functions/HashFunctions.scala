@@ -62,6 +62,16 @@ object HashFunctions {
       lit(4294967296L))
   }
 
+  /** JVM replay of [[knuthHash]] — same split-multiply u32 arithmetic,
+    * same value for any input. For driver-side constant tables and
+    * JIT-escape inner loops (v10 signs, Bloom probes).
+    */
+  @inline def knuthHashJvm(x: Long): Long = {
+    val K = 2654435761L
+    val m = ((x % 4294967296L) + 4294967296L) % 4294967296L
+    (((m >>> 16) * K % 65536L) * 65536L + (m & 65535L) * K) % 4294967296L
+  }
+
   /** Deterministic hash sample: keep rows where knuthHash(key) < frac * 2^32.
     * Same semantics as the reference's abs(hashCode)-threshold sampling
     * (`TopWikipediaSessions.scala:191-198`) with a portable hash. Scales

@@ -64,14 +64,8 @@ object BloomDecontaminate {
     }
   }
 
-  /** JVM replay of `HashFunctions.knuthHash` (same split-multiply u32
-    * arithmetic, same result for any input).
-    */
-  @inline private def knuthU32(x: Long): Long = {
-    val K = 2654435761L
-    val m = ((x % 4294967296L) + 4294967296L) % 4294967296L
-    (((m >>> 16) * K % 65536L) * 65536L + (m & 65535L) * K) % 4294967296L
-  }
+  @inline private def knuthU32(x: Long): Long =
+    HashFunctions.knuthHashJvm(x)
 
   /** Builds the filter from a column of long shingle hashes.
     *

@@ -37,24 +37,18 @@ object Similarity extends QueryModule {
 
   private val ProjDim = 16 // v10 output dimensionality
 
-  /** Achlioptas ±1 projection sign s(j, i) for output dim j, input dim i
-    * (1-based): the high bit of a DOUBLE knuth round with an xor-shift
-    * between rounds — knuth(knuth(key) ⊕ (knuth(key) >> 16)) with
-    * key = 2^20 + j·64 + i. One multiplicative round is NOT enough here:
-    * over sequential keys its high bit is a quasi-periodic (Sturmian)
+  /** DuckDB replay of the v10 Achlioptas ±1 sign s(j, i): the high bit
+    * of a DOUBLE knuth round with an xor-shift between rounds —
+    * knuth(knuth(key) ⊕ (knuth(key) >> 16)), key = 2^20 + j·64 + i
+    * (1-based i). One multiplicative round is NOT enough: over
+    * sequential keys its high bit is a quasi-periodic (Sturmian)
     * sequence, and JL needs (near-)independent signs — single-round
     * signs measurably fail norm preservation (ratio 3.2× on test
     * vectors). The xor-shift + second multiply is a standard integer
-    * finalizer, still pure u32 arithmetic, oracle-reproducible. The
-    * 2^20 offset decorrelates from the LSH planes (`planeW`).
+    * finalizer, still pure u32 arithmetic, portable. The 2^20 offset
+    * decorrelates from the LSH planes (`planeW`). The Spark side
+    * replays the same arithmetic on the driver (`signProject`).
     */
-  private def signW(j: Int, i: org.apache.spark.sql.Column) = {
-    val h1 = HashFunctions.knuthHash(lit(1048576L + j * 64L) + i)
-    val h2 = HashFunctions.knuthHash(h1.bitwiseXOR(shiftright(h1, 16)))
-    when(h2 >= lit(2147483648L), lit(1.0)).otherwise(lit(-1.0))
-  }
-
-  /** DuckDB replay of `signW` (key = the 1-based flat index expr). */
   private def signSql(keyExpr: String): String = {
     val h1 = s"(${OracleFragments.knuthU32(keyExpr)})::BIGINT"
     val h2 = OracleFragments.knuthU32(s"xor($h1, $h1 >> 16)")
@@ -402,18 +396,43 @@ object Similarity extends QueryModule {
   /** (vec_id, dim, value) long-form sign projection of an
     * (vec_id, embedding) frame — see the v10 query note. Package-visible
     * for the JL-property spec.
+    *
+    * The ±1 sign table is CONSTANT (ProjDim × 64, derived from `signW`'s
+    * hash on the driver), so the projection is a JIT-escape
+    * `mapPartitions` over a broadcast table — the v1/v9 pattern. The
+    * first Catalyst form (16 `aggregate(zip_with(...))` folds evaluating
+    * the double-knuth per element) ran interpreted inside the HOF
+    * lambdas: 1024 ~30-op hash evaluations per row, 2.8 s at sf0.1 vs
+    * ~0.2 s for this loop. Fold order (left-to-right over i, multiply
+    * then add, /4.0 last) is identical, so the doubles — and the
+    * oracle hashes — are bit-for-bit unchanged.
     */
   private[graft] def signProject(embFrame: DataFrame): DataFrame = {
-    val outs = (0 until ProjDim).map { j =>
-      aggregate(
-        zip_with(col("embedding"), sequence(lit(1), lit(64)),
-          (x, i) => x.cast("double") * signW(j, i)),
-        lit(0.0), (acc, v) => acc + v) / lit(4.0) // √ProjDim, exact
+    val spark = embFrame.sparkSession
+    import spark.implicits._
+    val signs: Array[Array[Double]] = Array.tabulate(ProjDim, 64) { (j, i0) =>
+      val h1 = HashFunctions.knuthHashJvm(1048576L + j * 64L + (i0 + 1))
+      val h2 = HashFunctions.knuthHashJvm(h1 ^ (h1 >>> 16))
+      if (h2 >= 2147483648L) 1.0 else -1.0
     }
-    embFrame
-      .select(col("vec_id"), posexplode(array(outs: _*)))
-      .select(col("vec_id"), col("pos").cast("long").as("dim"),
-        col("col").as("value"))
+    val bc = spark.sparkContext.broadcast(signs)
+    embFrame.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val s = bc.value
+        it.flatMap { case (id, e) =>
+          (0 until ProjDim).iterator.map { j =>
+            val row = s(j)
+            var acc = 0.0
+            var i = 0
+            while (i < e.length && i < 64) {
+              acc += e(i).toDouble * row(i); i += 1
+            }
+            (id, j.toLong, acc / 4.0)
+          }
+        }
+      }
+      .toDF("vec_id", "dim", "value")
   }
 
   /** DuckDB replay of the vector ops: same double promotion, same
