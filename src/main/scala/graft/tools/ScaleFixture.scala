@@ -114,7 +114,8 @@ object ScaleFixture {
     genDocuments(spark, tenX, 10); genEmbeddings(spark, tenX, 10)
 
     val queries = Seq("d2_jaccard_pairs", "d7_dup_components",
-      "d10_best_keeper", "d6_dedup_corpus", "x7_pmi_bigrams", "v6_kmeans")
+      "d10_best_keeper", "d6_dedup_corpus", "x7_pmi_bigrams", "v6_kmeans",
+      "d12_ngram_novelty", "v10_sign_projection")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
