@@ -391,6 +391,24 @@ object Similarity extends QueryModule {
     "v10_sign_projection" -> { (s, dir) =>
       signProject(emb(s, dir))
     },
+
+    // V11: ANN quality measurement — per-query recall@K of the LSH path
+    // (v3) against the exact baseline (v1). This is the evaluation loop
+    // every production ANN deployment runs before trusting the index:
+    // both sides are K-row-per-query frames (bounded by the query set),
+    // so the join and agg are toy-sized at any corpus scale — the cost
+    // is the two underlying searches, which keep their own scale shapes.
+    "v11_lsh_recall" -> { (s, dir) =>
+      import s.implicits._
+      val exact = queries("v1_knn_brute")(s, dir).select($"q_id", $"vec_id")
+      val approx = queries("v3_knn_lsh")(s, dir)
+        .select($"q_id", $"vec_id", lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_found"),
+          (sum(coalesce($"hit", lit(0L))).cast("double") / K)
+            .as("recall_at_k"))
+    },
   )
 
   /** (vec_id, dim, value) long-form sign projection of an
@@ -460,17 +478,33 @@ object Similarity extends QueryModule {
          |  (x, y) -> x + y) >= 0 THEN ${1L << i}::BIGINT ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
+  private def v1Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QuerySetSize)
+       |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
+  private def v3Sql: String =
+    s"""WITH wb AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |cands AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS sim
+       |  FROM wb q JOIN wb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QuerySetSize)
+       |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
+       |WHERE rank <= $K""".stripMargin
+
   override def oracle: Map[String, String] = Map(
-    "v1_knn_brute" ->
-      s"""WITH scored AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-         |    ${cosineSql("q.embedding", "c.embedding")} AS sim
-         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $QuerySetSize)
-         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-         |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
-         |WHERE rank <= $K""".stripMargin,
+    "v1_knn_brute" -> v1Sql,
 
     "v2_lsh_buckets" ->
       s"SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings",
@@ -484,19 +518,19 @@ object Similarity extends QueryModule {
          |    (x, y) -> x + y) / 4.0 AS value
          |FROM embeddings e, generate_series(0, ${ProjDim - 1}) AS j(j)""".stripMargin,
 
-    "v3_knn_lsh" ->
-      s"""WITH wb AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |cands AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-         |    ${cosineSql("q.embedding", "c.embedding")} AS sim
-         |  FROM wb q JOIN wb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $QuerySetSize)
-         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-         |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
-         |WHERE rank <= $K""".stripMargin,
+    "v3_knn_lsh" -> v3Sql,
+
+    "v11_lsh_recall" ->
+      s"""WITH exact AS ($v1Sql),
+         |approx AS ($v3Sql)
+         |SELECT e.q_id,
+         |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_found,
+         |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / $K AS recall_at_k
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "v4_knn_ivf" ->
       s"""WITH cents AS (

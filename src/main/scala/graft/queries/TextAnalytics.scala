@@ -146,6 +146,31 @@ object TextAnalytics extends QueryModule {
         .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_kept"))
     },
 
+    // P20: WEIGHTED without-replacement sampling via integer lottery —
+    // each doc gets w tickets (w = its source's priority 1..4, the x12
+    // convention), each ticket a portable knuth hash, and the k docs
+    // with the smallest minimum ticket win per language. P(win) rises
+    // with w (the classic min-of-w-uniforms race), selection is exact
+    // integer arithmetic — fully auditable and oracle-replayable, unlike
+    // pow/exp-keyed weighted reservoirs whose libm doubles diverge
+    // across engines. Rowwise ticket computation + one top-k per lang
+    // (window over k·n_lang survivors after partial filtering at scale
+    // via topKPerKey's shape). Ticket inputs are doc_id*131+r with
+    // r ≤ 4 < 131, so distinct docs never share a ticket key.
+    "p20_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      val w = (expr("try_cast(substring(source, 4) AS INT)") % 4 + 1)
+      val keyed = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", w.as("w"))
+        .withColumn("ticket", aggregate(
+          transform(sequence(lit(1), $"w"),
+            r => HashFunctions.knuthHash($"doc_id" * 131 + r)),
+          lit(4294967296L), (acc, x) => least(acc, x)))
+      graft.operators.KeyedOps.topKPerKey(keyed, Seq($"lang"),
+          Seq($"ticket".asc, $"doc_id".asc), 10)
+        .select($"lang", $"doc_id", $"source", $"w", $"ticket", $"rank")
+    },
+
     // J9: inverted-index build — word -> sorted posting list + document
     // frequency, the search/contamination-check index shape. One shuffle
     // keyed on the word; posting lists are per-word (vocab-bounded
@@ -746,6 +771,20 @@ object TextAnalytics extends QueryModule {
          |  0.5 * total_tokens::DOUBLE
          |    * ((try_cast(substring(source, 4) AS INT) % 4 + 1))::DOUBLE / wsum
          |GROUP BY source""".stripMargin,
+
+    "p20_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    (try_cast(substring(source, 4) AS INT) % 4 + 1) AS w,
+         |    list_min(list_transform(generate_series(1,
+         |        (try_cast(substring(source, 4) AS INT) % 4 + 1)),
+         |      r -> (${OracleFragments.knuthU32("doc_id * 131 + r")})::BIGINT))
+         |      AS ticket
+         |  FROM documents)
+         |SELECT lang, doc_id, source, w, ticket, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY ticket, doc_id) AS rank FROM t)
+         |WHERE rank <= 10""".stripMargin,
 
     "x4_fingerprint" ->
       s"""SELECT doc_id,
