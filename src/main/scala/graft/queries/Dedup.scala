@@ -109,24 +109,37 @@ object Dedup extends QueryModule {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
 
-  /** Shared Jaccard≥threshold pair frame: d6's keep rule, d7/d10's
-    * component edges, and any future curation step all consume the SAME
-    * candidate-pair derivation, and the shingle pair-gen (one blocked
-    * self-join over the whole corpus) is the single most expensive
-    * subplan in the dedup family — so it runs ONCE per (session, dir,
-    * threshold) and the resulting O(n_pairs) frame is `localCheckpoint`-
-    * pinned. Pair counts are tiny relative to the corpus (near-dup pairs,
-    * not docs), so pinning them is cheap at any scale — unlike the corpus
-    * caches this engine deliberately avoids (see `jaccardPairs`).
+  /** Shared Jaccard pair frame: d2's pair listing, d6's keep rule,
+    * d7/d10's component edges, and any future curation step all consume
+    * the SAME candidate-pair derivation, and the shingle pair-gen (one
+    * blocked self-join over the whole corpus) is the single most
+    * expensive subplan in the dedup family — so it runs ONCE per
+    * (session, dir) at [[BasePairThreshold]] (the lowest threshold any
+    * engine query uses) and every request at t ≥ base is a FILTER of the
+    * pinned frame: pair sets are monotone decreasing in the threshold,
+    * so the filtered frame is value-identical to a direct pair-gen at t
+    * (spec-asserted differentially). The pinned frame is O(n_pairs at
+    * base) — near-dup pairs, not docs — so pinning it is cheap at any
+    * scale, unlike the corpus caches this engine deliberately avoids
+    * (see `jaccardPairs`).
     */
+  private[graft] val BasePairThreshold = 0.3
+
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[graft] def sharedJaccardPairs(s: SparkSession, dir: String,
-                                        threshold: Double): DataFrame =
-    pairsCache.computeIfAbsent((s, dir, threshold), { key =>
-      jaccardPairs(key._1, key._2, key._3).localCheckpoint()
+                                        threshold: Double): DataFrame = {
+    require(threshold >= BasePairThreshold,
+      s"shared pair frame is computed at base $BasePairThreshold; " +
+        s"threshold $threshold would need a fresh pair-gen — call " +
+        "jaccardPairs directly or lower BasePairThreshold")
+    val base = pairsCache.computeIfAbsent((s, dir), { key =>
+      jaccardPairs(key._1, key._2, BasePairThreshold).localCheckpoint()
     })
+    if (threshold == BasePairThreshold) base
+    else base.filter(col("jaccard") >= threshold)
+  }
 
   /** Transitive near-dup components (Jaccard≥0.5 pair graph), shared by
     * d7/d10: pair-gen + the connected-components fixpoint run ONCE per
@@ -178,7 +191,7 @@ object Dedup extends QueryModule {
         }
       }
     }
-    drop[(SparkSession, String, Double)](pairsCache, _._1, _._2)
+    drop[(SparkSession, String)](pairsCache, _._1, _._2)
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
   }
 
@@ -194,9 +207,11 @@ object Dedup extends QueryModule {
 
     // D2: n-gram Jaccard near-dup pairs. Candidates from a self-join on
     // shared shingles (blocking join, not a cross join); Jaccard from
-    // distinct-shingle counts carried through the pair agg; threshold 0.3.
+    // distinct-shingle counts carried through the pair agg; threshold 0.3
+    // = the session-wide base, so d2 both serves and seeds the shared
+    // pair frame the rest of the dedup family filters.
     "d2_jaccard_pairs" -> { (s, dir) =>
-      jaccardPairs(s, dir, 0.3)
+      sharedJaccardPairs(s, dir, BasePairThreshold)
     },
 
     // D3a: MinHash signatures — NumPerm universal-hash permutations over

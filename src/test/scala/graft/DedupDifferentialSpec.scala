@@ -214,17 +214,33 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate corpus: no band collisions")
   }
 
-  test("shared pair frame: one pair-gen per (session, dir, threshold); evictCaches releases it") {
+  test("shared pair frame: ONE pair-gen per (session, dir); thresholds are filters") {
+    import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    val a = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
-    val b = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
-    assert(a eq b, "d6 and d7/d10 must consume the SAME pinned pair frame")
-    val other = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.3)
-    assert(!(a eq other), "different thresholds are different cache entries")
     graft.queries.Dedup.evictCaches(spark, Some(dir))
-    val c = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
-    assert(!(a eq c), "eviction must drop the pinned entry")
-    assert(c.count() == a.count(), "recomputed frame is value-identical")
+    val base = graft.queries.Dedup.sharedJaccardPairs(
+      spark, dir, graft.queries.Dedup.BasePairThreshold)
+    val again = graft.queries.Dedup.sharedJaccardPairs(
+      spark, dir, graft.queries.Dedup.BasePairThreshold)
+    assert(base eq again, "base requests must return the SAME pinned frame")
+    // a t >= base request is a filter of the pinned frame, and must be
+    // value-identical to a fresh pair-gen at t (threshold monotonicity)
+    val filtered = graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.5)
+      .select($"doc_i", $"doc_j", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = graft.queries.Dedup.jaccardPairs(spark, dir, 0.5)
+      .select($"doc_i", $"doc_j", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(filtered == direct, "filtered shared frame != direct pair-gen")
+    assert(filtered.nonEmpty, "degenerate fixture: no pairs at 0.5")
+    // below-base requests would silently need a new pair-gen: refuse
+    intercept[IllegalArgumentException] {
+      graft.queries.Dedup.sharedJaccardPairs(spark, dir, 0.1)
+    }
+    graft.queries.Dedup.evictCaches(spark, Some(dir))
+    val c = graft.queries.Dedup.sharedJaccardPairs(
+      spark, dir, graft.queries.Dedup.BasePairThreshold)
+    assert(!(c eq base), "eviction must drop the pinned entry")
     graft.queries.Dedup.evictCaches(spark)
   }
 }

@@ -58,13 +58,14 @@ class PlanSpec extends SparkSpec {
     // ResolvedHints and the physical plan zero Window nodes. (Catalyst/
     // AQE may still pick a broadcast from ACTUAL runtime sizes at small
     // SF — that is the desired size-based behavior.)
-    Seq("d2_jaccard_pairs", "d6_dedup_corpus").foreach { q =>
-      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
-      assert(!qe.analyzed.toString.contains("ResolvedHint"),
-        s"$q must not carry a join-strategy hint")
-      assert(!qe.executedPlan.toString.contains("Window"),
-        s"$q should compute n_sh rowwise pre-explode, not via window")
-    }
+    // d2 is now served from the shared pinned pair frame (a checkpoint
+    // scan), so assert on the UNDERLYING pair-gen plan directly
+    val pairgen = graft.queries.Dedup.jaccardPairs(spark, dir, 0.3)
+      .queryExecution
+    assert(!pairgen.analyzed.toString.contains("ResolvedHint"),
+      "pair-gen must not carry a join-strategy hint")
+    assert(!pairgen.executedPlan.toString.contains("Window"),
+      "pair-gen should compute n_sh rowwise pre-explode, not via window")
     // sanity: the check distinguishes — q5 DOES hint its bounded dims
     assert(SparkEntry.queries("q5_nation_revenue")(spark, dir)
       .queryExecution.analyzed.toString.contains("ResolvedHint"))
@@ -100,7 +101,9 @@ class PlanSpec extends SparkSpec {
     // a WholeStageCodegen projection — not a chain of interpreted
     // higher-order functions (transform/array_join/slice/array_distinct).
     // execute so AQE finalizes and codegen spans materialize in the plan
-    val d2df = SparkEntry.queries("d2_jaccard_pairs")(spark, dir)
+    // (the d2 QUERY serves the pinned shared frame — a checkpoint scan —
+    // so inspect the underlying pair-gen plan)
+    val d2df = graft.queries.Dedup.jaccardPairs(spark, dir, 0.3)
     d2df.collect()
     val d2 = d2df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\)[\s\S]*?hashed_shingles""".r.findFirstIn(d2).isDefined,
