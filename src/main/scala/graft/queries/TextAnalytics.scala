@@ -449,6 +449,38 @@ object TextAnalytics extends QueryModule {
         .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tokens_kept"))
     },
 
+    // X13: per-source distribution DRIFT — KL(p_source ‖ p_corpus) over
+    // unigram token distributions. The mix-monitoring signal a training
+    // pipeline tracks per ingest source: a source whose token
+    // distribution diverges from the corpus (template spam, wrong
+    // language, markup) jumps out as a high-KL row. Shuffles are
+    // vocab-bounded ((source, word) counts, then word-keyed join of the
+    // per-word corpus totals); per-source and corpus totals are derived
+    // from the SAME counts aggregate (exchange reuse, the j2 diamond
+    // pattern). ln parity: per-term double rounded to 9, decimal
+    // accumulation, final round 6 — the x9/x7/j3 convention.
+    "x13_source_divergence" -> { (s, dir) =>
+      import s.implicits._
+      val sw = Tables.documents(s, dir)
+        .select($"source", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("n_sw"))
+      val cw = sw.groupBy($"w").agg(sum($"n_sw").as("n_cw"))
+      val ns = sw.groupBy($"source").agg(sum($"n_sw").as("n_s"))
+      val nc = cw.agg(sum($"n_cw").as("n_c"))
+      sw.join(cw, "w")
+        .join(ns, "source")
+        .crossJoin(broadcast(nc)) // 1-row global total
+        .select($"source", $"n_s",
+          round($"n_sw".cast("double") *
+              (log($"n_sw".cast("double")) - log($"n_s".cast("double")) -
+               log($"n_cw".cast("double")) + log($"n_c".cast("double"))), 9)
+            .cast("decimal(28,12)").as("term"))
+        .groupBy($"source")
+        .agg(min($"n_s").as("n_tokens"),
+          round(sum($"term").cast("double") / min($"n_s").cast("double"), 6)
+            .as("kl_vs_corpus"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -722,6 +754,23 @@ object TextAnalytics extends QueryModule {
          |                  AS DECIMAL(28,12))) AS DOUBLE)
          |      / sum(n)::DOUBLE, 6) AS entropy
          |FROM c GROUP BY 1""".stripMargin,
+
+    "x13_source_divergence" ->
+      s"""WITH sw AS (
+         |  SELECT source, w, count(*) AS n_sw FROM (
+         |    SELECT source, unnest(${ws("text")}) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |cw AS (SELECT w, sum(n_sw)::BIGINT AS n_cw FROM sw GROUP BY 1),
+         |ns AS (SELECT source, sum(n_sw)::BIGINT AS n_s FROM sw GROUP BY 1),
+         |nc AS (SELECT sum(n_cw)::BIGINT AS n_c FROM cw)
+         |SELECT source, min(n_s)::BIGINT AS n_tokens,
+         |  round(CAST(sum(CAST(round(n_sw::DOUBLE *
+         |      (ln(n_sw::DOUBLE) - ln(n_s::DOUBLE)
+         |       - ln(n_cw::DOUBLE) + ln(n_c::DOUBLE)), 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / min(n_s)::DOUBLE, 6)
+         |    AS kl_vs_corpus
+         |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
+         |GROUP BY source""".stripMargin,
 
     "x10_chunks" ->
       s"""WITH th AS (

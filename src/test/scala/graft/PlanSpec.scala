@@ -166,7 +166,8 @@ class PlanSpec extends SparkSpec {
     val boundedBnlj = Set("d5_embed_neardup", "j3_tfidf",
       "j5_above_global_avg", "v4_knn_ivf", "v6_kmeans", "x7_pmi_bigrams",
       "v8_knn_int8", // 20-row query slice broadcast, corpus never loops
-      "x12_source_mix") // 1-row total-tokens + 1-row weight-sum broadcasts
+      "x12_source_mix", // 1-row total-tokens + 1-row weight-sum broadcasts
+      "x13_source_divergence") // 1-row corpus-total broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
