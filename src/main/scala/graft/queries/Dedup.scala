@@ -392,6 +392,29 @@ object Dedup extends QueryModule {
       ngramNovelty(Tables.documents(s, dir), 8)
     },
 
+    // D13: chunk-level (substring) dedup — the ExactSubstr-style method:
+    // a doc is penalized for every FULL 64-token chunk (x10's windows)
+    // whose fingerprint also appears in another document, catching long
+    // verbatim overlaps that doc-level Jaccard (d2) dilutes away and
+    // 8-gram novelty (d12) over-triggers on. Shape: distinct (doc, fp)
+    // → per-fp doc counts → fp-keyed join back — shuffle ∝ corpus
+    // chunks (≈ tokens/48), never pairs. Intra-doc repetition is NOT
+    // flagged (that is x8's repetition signal): a fp counts only when
+    // ≥ 2 distinct docs carry it.
+    "d13_chunk_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val full = TextAnalytics.chunkFrame(s, dir)
+        .filter($"chunk_len" === 64).select($"doc_id", $"fp")
+      val fpDocs = full.distinct()
+        .groupBy($"fp").agg(count(lit(1)).as("nd"))
+      full.join(fpDocs, Seq("fp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+          ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_frac"))
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -707,6 +730,18 @@ object Dedup extends QueryModule {
          |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
          |    / count(*) AS shared_frac
          |FROM sh JOIN docfreq USING (shingle)
+         |GROUP BY 1""".stripMargin,
+
+    "d13_chunk_dedup" ->
+      s"""WITH chunks AS (${TextAnalytics.chunksSql}),
+         |f AS (SELECT doc_id, fp FROM chunks WHERE chunk_len = 64),
+         |fpdocs AS (
+         |  SELECT fp, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*) AS dup_frac
+         |FROM f JOIN fpdocs USING (fp)
          |GROUP BY 1""".stripMargin,
 
     "d9_decontaminate" -> {

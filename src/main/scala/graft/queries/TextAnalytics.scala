@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{HashFunctions, RepetitionStatsExpr, TextFunctions}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` corpus — the training-data-pipeline
@@ -370,25 +370,7 @@ object TextAnalytics extends QueryModule {
     // order-sensitive fingerprint of the chunk's token hashes (proves
     // chunk CONTENT, not just boundaries). Pure rowwise explode — no
     // shuffle; at 100 TB chunking is a map-only pass.
-    "x10_chunks" -> { (s, dir) =>
-      import s.implicits._
-      val hs = transform(TextFunctions.wsTokens($"text"),
-        w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
-          lit(4294967296L)))
-      Tables.documents(s, dir)
-        // Generate barrier: token hashes computed once per row, not once
-        // per downstream chunk reference
-        .select($"doc_id", explode(array(hs)).as("hs"))
-        .filter(size($"hs") > 0)
-        // chunk i covers tokens [i*48+1, i*48+64]; i < ceil(n/48)
-        .select($"doc_id", $"hs",
-          explode(expr("sequence(0, (size(hs) + 47) div 48 - 1)")).as("i"))
-        .select($"doc_id", $"i".cast("bigint").as("chunk_idx"),
-          size(slice($"hs", $"i" * 48 + 1, lit(64))).cast("bigint")
-            .as("chunk_len"),
-          HashFunctions.polyFingerprint(slice($"hs", $"i" * 48 + 1, lit(64)))
-            .as("fp"))
-    },
+    "x10_chunks" -> { (s, dir) => chunkFrame(s, dir) },
 
     // SEQUENCE PACKING — assign docs to fixed token-budget packs (the
     // pretraining batch-assembly step): first-fit-in-order with overflow
@@ -532,6 +514,46 @@ object TextAnalytics extends QueryModule {
           round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
     },
   )
+
+  /** The x10 chunk frame (doc_id, chunk_idx, chunk_len, fp): fixed-size
+    * overlapping token windows (size 64, stride 48) with an
+    * order-sensitive fingerprint of each chunk's token hashes. Pure
+    * rowwise explode — map-only at any scale. Package-visible: d13's
+    * chunk-level dedup consumes the same frame.
+    */
+  private[queries] def chunkFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hs = transform(TextFunctions.wsTokens($"text"),
+      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+        lit(4294967296L)))
+    Tables.documents(s, dir)
+      // Generate barrier: token hashes computed once per row, not once
+      // per downstream chunk reference
+      .select($"doc_id", explode(array(hs)).as("hs"))
+      .filter(size($"hs") > 0)
+      // chunk i covers tokens [i*48+1, i*48+64]; i < ceil(n/48)
+      .select($"doc_id", $"hs",
+        explode(expr("sequence(0, (size(hs) + 47) div 48 - 1)")).as("i"))
+      .select($"doc_id", $"i".cast("bigint").as("chunk_idx"),
+        size(slice($"hs", $"i" * 48 + 1, lit(64))).cast("bigint")
+          .as("chunk_len"),
+        HashFunctions.polyFingerprint(slice($"hs", $"i" * 48 + 1, lit(64)))
+          .as("fp"))
+  }
+
+  /** DuckDB replay of [[chunkFrame]] — a full SELECT over `documents`. */
+  private[queries] def chunksSql: String =
+    s"""SELECT doc_id, i AS chunk_idx,
+       |  len(hs[i*48+1 : i*48+64])::BIGINT AS chunk_len,
+       |  list_reduce(list_prepend(0::BIGINT, hs[i*48+1 : i*48+64]),
+       |    (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+       |      % 1000000007) AS fp
+       |FROM (
+       |  SELECT doc_id, hs,
+       |    unnest(generate_series(0, (len(hs) + 47) // 48 - 1)) AS i
+       |  FROM (SELECT doc_id, list_transform(${OracleFragments.wsTokens("text")},
+       |          w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents)
+       |  WHERE len(hs) > 0)""".stripMargin
 
   private def tok(e: String) = OracleFragments.tokenize(e)
   private def ws(e: String) = OracleFragments.wsTokens(e)
@@ -772,20 +794,7 @@ object TextAnalytics extends QueryModule {
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
 
-    "x10_chunks" ->
-      s"""WITH th AS (
-         |  SELECT doc_id, list_transform(${ws("text")},
-         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents),
-         |ch AS (
-         |  SELECT doc_id, hs,
-         |    unnest(generate_series(0, (len(hs) + 47) // 48 - 1)) AS i
-         |  FROM th WHERE len(hs) > 0)
-         |SELECT doc_id, i AS chunk_idx,
-         |  len(hs[i*48+1 : i*48+64])::BIGINT AS chunk_len,
-         |  list_reduce(list_prepend(0::BIGINT, hs[i*48+1 : i*48+64]),
-         |    (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
-         |      % 1000000007) AS fp
-         |FROM ch""".stripMargin,
+    "x10_chunks" -> chunksSql,
 
     // doc_id ≥ 0, so DuckDB's signed % equals Spark's pmod here
     "x11_pack" ->
