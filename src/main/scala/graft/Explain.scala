@@ -13,7 +13,9 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q3_shipping", "q5_nation_revenue", "j1_left_outer",
-        "t1_topk_per_key", "p6_filter_project")
+        "t1_topk_per_key", "p6_filter_project",
+        "d12_ngram_novelty", "d13_chunk_dedup", "v10_sign_projection",
+        "p20_weighted_sample", "x13_source_divergence")
     val spark = graft.core.GraftSession.local(8, "graft-explain")
     names.foreach { q =>
       println(s"===== $q =====")
