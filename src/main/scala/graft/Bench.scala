@@ -86,10 +86,38 @@ object Bench {
         "state.HDFSBackedStateStoreProvider"),
       "rocksdb" -> ("org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider"))
+    // the training-pipeline streaming ops: watermark-bounded exact dedup
+    // and the quality-gate + dedup ingest curation, fed synthetic docs
+    // with a planted duplicate rate so the digest state is exercised
+    def dedupRps(curate: Boolean): Double = {
+      val in = MemoryStream[(Timestamp, String)]
+      val df = in.toDF().toDF("ts", "text")
+      val out =
+        if (curate) StreamOps.streamingCurate(df, "ts", "text",
+          minTokens = 2, maxTokens = 1000, maxDupFrac = 0.9, "10 minutes")
+        else StreamOps.streamingDedup(df, "ts", "text", "10 minutes")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until per).map { i =>
+            val j = c * per + i
+            // ~25% duplicates: every 4th doc repeats the previous text
+            val k = if (j % 4 == 3) j - 1 else j
+            (new Timestamp(base + j * 10L),
+              s"tok${k % 7919} tok${k % 6101} tok${k % 4201} body $k")
+          })
+          q.processAllAvailable()
+        })
+        n / sec
+      } finally q.stop()
+    }
+
     val ops: Seq[(String, () => Double)] = Seq(
       "windowed" -> (() => windowedRps()),
       "session" -> (() => sessionRps()),
-      "threshold" -> (() => thresholdRps()))
+      "threshold" -> (() => thresholdRps()),
+      "dedup" -> (() => dedupRps(curate = false)),
+      "curate" -> (() => dedupRps(curate = true)))
 
     for ((bName, cls) <- backends; (oName, run) <- ops) yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
