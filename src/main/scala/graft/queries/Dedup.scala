@@ -415,6 +415,27 @@ object Dedup extends QueryModule {
           ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_frac"))
     },
 
+    // D14: LSH TUNING probe — what fraction of the TRUE near-dup pairs
+    // (exact Jaccard ≥ 0.5, the d6/d7 keep-rule threshold) do the
+    // MinHash bands actually surface as candidates? This is the number
+    // that decides NumPerm/BandSize before a production dedup run:
+    // recall too low → dups survive; band volume too high → candidate
+    // explosion. Both inputs are pair-sized frames the session already
+    // derives (the pinned shared pair frame + the band self-join), so
+    // the measurement adds one pair-keyed join + a 1-row agg.
+    "d14_lsh_recall" -> { (s, dir) =>
+      import s.implicits._
+      val truePairs = sharedJaccardPairs(s, dir, 0.5)
+        .select($"doc_i", $"doc_j")
+      val cands = lshBandPairs(minhashSigs(s, dir))
+        .select($"doc_i", $"doc_j", lit(1L).as("hit"))
+      truePairs.join(cands, Seq("doc_i", "doc_j"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(coalesce($"hit", lit(0L))).as("n_caught"))
+        .select($"n_true_pairs", $"n_caught",
+          ($"n_caught".cast("double") / $"n_true_pairs").as("recall"))
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -731,6 +752,39 @@ object Dedup extends QueryModule {
          |    / count(*) AS shared_frac
          |FROM sh JOIN docfreq USING (shingle)
          |GROUP BY 1""".stripMargin,
+
+    "d14_lsh_recall" -> {
+      val bandRows = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize)
+          .map(j => s"m$j::VARCHAR").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+         |  $shSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |tp AS (
+         |  SELECT doc_i, doc_j FROM (
+         |    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) c
+         |  JOIN sz x ON c.doc_i = x.doc_id
+         |  JOIN sz y ON c.doc_j = y.doc_id
+         |  WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) >= 0.5),
+         |sigs AS ($minhashSql),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT count(*) AS n_true_pairs,
+         |  sum(CASE WHEN c.doc_i IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_caught,
+         |  sum(CASE WHEN c.doc_i IS NOT NULL THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*) AS recall
+         |FROM tp LEFT JOIN cand c USING (doc_i, doc_j)""".stripMargin
+    },
 
     "d13_chunk_dedup" ->
       s"""WITH chunks AS (${TextAnalytics.chunksSql}),
