@@ -150,12 +150,122 @@ object Multimodal {
     }
   }
 
-  /** Kind-routed codec selection: real ImageIO for images, stub for
-    * audio/video (no JDK codec exists). The routing is per-partition
-    * driver-free — the map ships in the task closure.
+  /** REAL audio codec — JDK-only (`javax.sound.sampled`), no external
+    * dependency: WAV/AIFF/AU containers with 16-bit signed PCM. Like
+    * [[ImageCodec]], every output derives from DECODED SAMPLES, not
+    * container bytes, so the same PCM in a WAV and an AIFF produces the
+    * same checksum/feature (spec-asserted). Undecodable or non-16-bit
+    * payloads raise from the Codec methods; [[decode]] returns None.
+    */
+  object AudioCodec extends Codec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+
+    /** (sampleRate, channel-0 samples) for 16-bit signed PCM payloads. */
+    def decode(payload: Array[Byte]): Option[(Float, Array[Short])] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val frameSize = f.getFrameSize // channels * 2 bytes
+            val n = bytes.length / frameSize
+            val out = new Array[Short](n)
+            val be = f.isBigEndian
+            var i = 0
+            while (i < n) {
+              val o = i * frameSize // channel 0 only
+              val s =
+                if (be) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
+                else (bytes(o + 1) << 8) | (bytes(o) & 0xff)
+              out(i) = s.toShort
+              i += 1
+            }
+            Some((f.getSampleRate, out))
+          }
+        } finally in.close()
+      } catch {
+        case _: UnsupportedAudioFileException | _: java.io.IOException => None
+      }
+
+    private def decodeOrThrow(payload: Array[Byte]): (Float, Array[Short]) =
+      decode(payload).getOrElse(throw new IllegalArgumentException(
+        s"AudioCodec: undecodable payload (${payload.length} bytes)"))
+
+    /** Rolling hash over (sample count, rate, samples) — container-
+      * invariant, sensitive to any sample change.
+      */
+    def checksum(payload: Array[Byte]): Long = {
+      val (rate, samples) = decodeOrThrow(payload)
+      var acc = (samples.length.toLong * 31 + rate.toLong) & 0xffffffffL
+      var i = 0
+      while (i < samples.length) {
+        acc = (acc * 31 + (samples(i) & 0xffffL)) & 0xffffffffL
+        i += 1
+      }
+      acc
+    }
+
+    /** 8-segment RMS energy envelope, L1-normalized — the classic cheap
+      * audio signature (loudness contour over time).
+      */
+    def feature(payload: Array[Byte]): Array[Float] = {
+      val (_, samples) = decodeOrThrow(payload)
+      val n = samples.length
+      val rms = Array.tabulate(8) { s =>
+        val from = (s.toLong * n / 8).toInt
+        val until = ((s + 1).toLong * n / 8).toInt
+        if (until <= from) 0.0
+        else {
+          var acc = 0.0
+          var i = from
+          while (i < until) {
+            val v = samples(i).toDouble; acc += v * v; i += 1
+          }
+          math.sqrt(acc / (until - from))
+        }
+      }
+      val total = math.max(rms.sum, 1e-12)
+      rms.map(v => (v / total).toFloat)
+    }
+
+    /** "Thumbnail" resample: n evenly-spaced samples re-encoded as a
+      * mono 16-bit little-endian WAV at the original rate.
+      */
+    def resize(payload: Array[Byte], n: Int): Array[Byte] = {
+      val (rate, samples) = decodeOrThrow(payload)
+      val m = math.min(n, math.max(1, samples.length))
+      val picked = Array.tabulate(m)(i =>
+        samples((i.toLong * samples.length / m).toInt))
+      val pcm = new Array[Byte](m * 2)
+      var i = 0
+      while (i < m) {
+        pcm(2 * i) = (picked(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((picked(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, m.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Kind-routed codec selection: real JDK codecs for images (ImageIO)
+    * and audio (javax.sound WAV/AIFF PCM); stub for video (no JDK
+    * codec exists). The routing is per-partition driver-free — the map
+    * ships in the task closure.
     */
   val kindCodecs: String => Codec = {
     case "image" => ImageCodec
+    case "audio" => AudioCodec
     case _       => FakeCodec
   }
 
@@ -194,6 +304,34 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       MediaRecord(i, "image", bos.toByteArray, w, h, 0L)
+    }
+  }
+
+  /** Deterministic REAL-audio fixture: n mono 16-bit sine-wave WAVs of
+    * varying pitch/duration, generated on executors.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val rate = 8000f
+      val durMs = 200L + (i % 5) * 100L
+      val nSamp = (rate * durMs / 1000).toInt
+      val freq = 220.0 * (1 + i % 8)
+      val pcm = new Array[Byte](nSamp * 2)
+      var j = 0
+      while (j < nSamp) {
+        val v = (math.sin(2 * math.Pi * freq * j / rate) * 12000).toInt
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(i, "audio", bos.toByteArray, 0, 0, durMs)
     }
   }
 

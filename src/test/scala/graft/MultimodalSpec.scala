@@ -75,4 +75,50 @@ class MultimodalSpec extends SparkSpec {
     val mixed = Multimodal.syntheticMedia(spark, 9) // fake payloads
     assert(Multimodal.imageFeatures(mixed).collect().isEmpty)
   }
+
+  test("AudioCodec decodes real WAVs; features derive from samples, not bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val audio = Multimodal.syntheticAudio(spark, 10)
+    val feats = Multimodal.extractFeatures(audio, Multimodal.kindCodecs)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 10)
+    // sine has a flat loudness contour: every envelope segment ≈ 1/8
+    feats.foreach { f =>
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5)
+      f.feature.foreach(v => assert(math.abs(v - 0.125f) < 0.02f,
+        s"media ${f.media_id}: uneven sine envelope ${f.feature.toSeq}"))
+    }
+    // decoded sample count matches the generator's duration metadata
+    val one = audio.filter(_.media_id == 3L).collect().head
+    val Some((rate, samples)) = Multimodal.AudioCodec.decode(one.payload)
+    assert(rate == 8000f)
+    assert(samples.length == (8000L * one.durationMs / 1000).toInt)
+    // container invariance: the same PCM as AIFF (big-endian JDK writer)
+    // yields the identical checksum and feature
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = {
+      val b = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        b(2 * i) = (samples(i) & 0xff).toByte
+        b(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    assert(!aiff.sameElements(one.payload), "fixture must differ at byte level")
+    assert(Multimodal.AudioCodec.checksum(aiff) ==
+      Multimodal.AudioCodec.checksum(one.payload))
+    assert(Multimodal.AudioCodec.feature(aiff).toSeq ==
+      Multimodal.AudioCodec.feature(one.payload).toSeq)
+    // resample thumbnail: decodable WAV with exactly n samples
+    val thumb = Multimodal.AudioCodec.resize(one.payload, 64)
+    val Some((_, small)) = Multimodal.AudioCodec.decode(thumb)
+    assert(small.length == 64)
+    // garbage bytes are undecodable, not a crash
+    assert(Multimodal.AudioCodec.decode(Array[Byte](9, 8, 7, 6)).isEmpty)
+  }
 }
