@@ -420,6 +420,68 @@ object Similarity extends QueryModule {
       signProject(emb(s, dir))
     },
 
+    // V13: PQ ADC SERVING — asymmetric distance computation over v9's
+    // codes, the FAISS-style scan that PQ compression exists for: each
+    // query precomputes an M×Kcb table of exact subspace L2² distances
+    // to the codebook (20 queries × 8 × 16 doubles — trivially
+    // broadcastable), and every corpus vector's approximate distance is
+    // then M table lookups + adds over its 8-byte code, never touching
+    // the original floats. Completes the compression→serving story
+    // (v7→v8 for int8, v9→v13 for PQ). All folds are index-ordered
+    // (table entries over j, distance over m), so the oracle replays
+    // bit-for-bit. Corpus-side work: one rowwise coding pass + the
+    // lookup loop — zero shuffle before the bounded top-k.
+    "v13_knn_pq_adc" -> { (s, dir) =>
+      import s.implicits._
+      val M = 8; val sub = 8; val Kcb = 16
+      val cb: Array[Array[Float]] = emb(s, dir).filter($"vec_id" < Kcb)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      val qs = emb(s, dir).filter($"vec_id" < QuerySetSize)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val tables: Array[(Long, Array[Double])] = qs.map { case (qid, qe) =>
+        val t = new Array[Double](M * Kcb)
+        var m = 0
+        while (m < M) {
+          var k = 0
+          while (k < Kcb) {
+            var acc = 0.0
+            var j = 0
+            while (j < sub) {
+              val d = qe(m * sub + j).toDouble - cb(k)(m * sub + j).toDouble
+              acc += d * d; j += 1
+            }
+            t(m * Kcb + k) = acc; k += 1
+          }
+          m += 1
+        }
+        (qid, t)
+      }
+      val bcCb = s.sparkContext.broadcast(cb)
+      val bcT = s.sparkContext.broadcast(tables)
+      val scored = emb(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val codebook = bcCb.value
+          val ts = bcT.value
+          it.flatMap { case (id, e) =>
+            val codes = Array.tabulate(M)(m =>
+              VectorFunctions.pqCodeJvm(e, codebook, m, sub))
+            ts.iterator.filter(_._1 != id).map { case (qid, t) =>
+              var acc = 0.0
+              var m = 0
+              while (m < M) { acc += t(m * Kcb + codes(m)); m += 1 }
+              (qid, id, acc)
+            }
+          }
+        }
+        .toDF("q_id", "vec_id", "dist")
+      graft.operators.KeyedOps.topKPerKey(scored, Seq($"q_id"),
+          Seq($"dist".asc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"dist", $"rank")
+    },
+
     // V11: ANN quality measurement — per-query recall@K of the
     // single-bucket LSH path (v3) AND the multi-probe path (v12)
     // against the exact baseline (v1). This is the evaluation loop
@@ -542,6 +604,25 @@ object Similarity extends QueryModule {
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY sim DESC, vec_id) AS rank FROM cands)
        |WHERE rank <= $K""".stripMargin
+
+  private def v9Sql: String =
+    """WITH cb AS (
+      |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id < 16),
+      |grid AS (
+      |  SELECT e.vec_id, ms.m, cb.k,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(generate_series(1, 8),
+      |        j -> (e.embedding[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE)
+      |           * (e.embedding[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE))),
+      |      (x, y) -> x + y) AS dist
+      |  FROM embeddings e
+      |  CROSS JOIN cb
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms)
+      |SELECT vec_id, m::BIGINT AS m, k::BIGINT AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY dist, k) AS r FROM grid)
+      |WHERE r = 1""".stripMargin
 
   private def v12Sql: String = {
     val probeList = ("bucket" +: (0 until NumPlanes).map(i =>
@@ -718,23 +799,41 @@ object Similarity extends QueryModule {
          |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
          |WHERE rank <= $K""".stripMargin,
 
-    "v9_pq" ->
-      """WITH cb AS (
-        |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id < 16),
-        |grid AS (
-        |  SELECT e.vec_id, ms.m, cb.k,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      list_transform(generate_series(1, 8),
-        |        j -> (e.embedding[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE)
-        |           * (e.embedding[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE))),
-        |      (x, y) -> x + y) AS dist
-        |  FROM embeddings e
-        |  CROSS JOIN cb
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms)
-        |SELECT vec_id, m::BIGINT AS m, k::BIGINT AS code FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |    ORDER BY dist, k) AS r FROM grid)
-        |WHERE r = 1""".stripMargin,
+    "v9_pq" -> v9Sql,
+
+    "v13_knn_pq_adc" ->
+      s"""WITH codes_long AS ($v9Sql),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS cs
+         |  FROM codes_long GROUP BY vec_id),
+         |cb AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 16),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < $QuerySetSize),
+         |dtl AS (
+         |  SELECT q.q_id, ms.m, cb.k,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 8),
+         |        j -> (q.q_emb[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE)
+         |           * (q.q_emb[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE))),
+         |      (x, y) -> x + y) AS d
+         |  FROM q
+         |  CROSS JOIN cb
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms),
+         |dt AS (SELECT q_id, list(d ORDER BY m, k) AS t FROM dtl GROUP BY q_id),
+         |scored AS (
+         |  SELECT dt.q_id, c.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 8),
+         |        m -> t[(m-1)*16 + cs[m] + 1])),
+         |      (x, y) -> x + y) AS dist
+         |  FROM dt CROSS JOIN codes c
+         |  WHERE c.vec_id <> dt.q_id)
+         |SELECT q_id, vec_id, dist, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY dist, vec_id) AS rank FROM scored)
+         |WHERE rank <= $K""".stripMargin,
   )
 }
