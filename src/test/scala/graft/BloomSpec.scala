@@ -44,6 +44,23 @@ class BloomSpec extends SparkSpec {
     assert(fp > 0, "a loaded bloom filter should show SOME false positives")
   }
 
+  test("bloom path reproduces the d9 query on the real documents table") {
+    import spark.implicits._
+    // the PRODUCTION shingle pipeline (fused 8-gram expr over documents),
+    // d9's exact hash-sample split, an oversized filter: the Bloom path
+    // must reproduce the oracle-checked d9 output verbatim
+    val dir = "/root/testdata/sf0.001"
+    val sh = graft.core.Tables.documents(spark, dir).select($"doc_id",
+      explode(graft.functions.HashedShinglesExpr
+        .hashedShingles($"text", 8)).as("shingle"))
+    val viaBloom = graft.operators.BloomDecontaminate
+      .decontaminate(spark, sh, benchFrac = 0.05, numBits = 1 << 22)
+      .as[(Long, Long)].collect().toMap
+    val exact = SparkEntry.queries("d9_decontaminate")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty && viaBloom == exact)
+  }
+
   test("decontaminate: exact-join flags are a subset; counts match on true hits") {
     import spark.implicits._
     val rows = shingleRows(nDocs = 300, perDoc = 12)
