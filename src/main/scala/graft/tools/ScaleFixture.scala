@@ -115,7 +115,9 @@ object ScaleFixture {
 
     val queries = Seq("d2_jaccard_pairs", "d7_dup_components",
       "d10_best_keeper", "d6_dedup_corpus", "x7_pmi_bigrams", "v6_kmeans",
-      "d12_ngram_novelty", "v10_sign_projection")
+      "d12_ngram_novelty", "v10_sign_projection", "d13_chunk_dedup",
+      "d14_lsh_recall", "v12_knn_multiprobe", "v13_knn_pq_adc",
+      "p20_weighted_sample", "x13_source_divergence")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
