@@ -239,6 +239,50 @@ object Behavioral extends QueryModule {
         .select($"w_start", $"event_type", $"value", $"event_id")
     },
 
+    // J10: FUNNEL sessionization — per user, the earliest chain
+    // view → click → purchase with each stage's timestamp constrained
+    // to follow the previous stage (the conversion analysis every
+    // event-analytics deployment runs). Three stage frames, each ONE
+    // filtered min-agg keyed on user_id joined to the previous stage —
+    // shuffles are (user, ts) pairs with map-side combine, never the
+    // event log; the stage joins are user-keyed equi-joins. Earliest-
+    // first greedy per stage is the standard funnel semantics (each
+    // stage minimizes its own time given the previous stage). Times as
+    // epoch micros (unix_micros ↔ epoch_us parity, cf. the dup-reading
+    // detector below); non-converting users carry NULLs forward.
+    "j10_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("t_view"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"ts_us" >= $"t_view")
+        .groupBy($"user_id").agg(min($"ts_us").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"ts_us" >= $"t_click")
+        .groupBy($"user_id").agg(min($"ts_us").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+    },
+
+    // P21: semi-structured JSON extraction — the props payload parsed
+    // with the engine's JSON path accessor (get_json_object), typed, and
+    // aggregated per event type. Pure rowwise parse inside codegen + one
+    // small-keyed hash agg; at 100 TB the parse cost is the scan and
+    // the shuffle carries 5 keys. Integer sums stay exact (no decimal
+    // dance needed).
+    "p21_json_props" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    },
+
     // T3: AutoComplete prefix top-K (flat form; recursive-trie variant in
     // `graft.operators.PrefixTopK` is plan-identical in results —
     // reference `AutoComplete.scala:257-321`). Word counts → explode
@@ -260,6 +304,32 @@ object Behavioral extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "j10_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts_us) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT ev.user_id, min(ts_us) AS t_click
+        |  FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts_us >= t_view GROUP BY 1),
+        |p AS (
+        |  SELECT ev.user_id, min(ts_us) AS t_purchase
+        |  FROM ev JOIN c ON ev.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts_us >= t_click GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "p21_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
     "a3_sum_per_key" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value

@@ -21,6 +21,7 @@ object Dedup extends QueryModule {
   private[graft] val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
   private[graft] val NumPerm = 16
   private[graft] val BandSize = 4 // => 4 bands
+  private[graft] val SourceCap = 10 // d15: max docs kept per source
 
   /** doc_id + distinct hashed 3-gram shingle set (array<long>), via the
     * fused codegen'd `HashedShinglesExpr` — tokenize, token-hash, n-gram
@@ -72,15 +73,8 @@ object Dedup extends QueryModule {
     // would pin executor storage memory for no plan benefit.
     maxShingleDf match {
       case None =>
-        val sh = shingleArr(s, dir)
-          .select($"doc_id", size($"arr").cast("long").as("n_sh"),
-            explode($"arr").as("shingle"))
-        pairAgg(sh.as("a"), sh.as("b"))
-          .agg(count(lit(1)).as("n_common"),
-            min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
-          .select($"doc_i", $"doc_j",
-            ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
-              .as("jaccard"))
+        pairStats(s, dir)
+          .select($"doc_i", $"doc_j", $"jaccard")
           .filter($"jaccard" >= threshold)
       case Some(cap) =>
         val sh = shingleArr(s, dir)
@@ -109,6 +103,32 @@ object Dedup extends QueryModule {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
 
+  /** UNFILTERED per-pair set statistics + both set-overlap measures —
+    * the single pair aggregation every exact dedup measure derives from:
+    * Jaccard (symmetric, d2/d6/d7) AND CONTAINMENT
+    * n_common/min(n_i, n_j) (asymmetric, d16) read off the same
+    * (n_common, n_i, n_j) row. Same scale shape as before the
+    * generalization: rowwise sizes ride the shingle rows, the blocked
+    * self-join shuffles longs only, and candidate volume is bounded by
+    * shared-shingle blocking (a pair with NO shared shingle — overlap
+    * zero — never materializes, which is fine for both measures since
+    * both are 0 there).
+    */
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleArr(s, dir)
+      .select($"doc_id", size($"arr").cast("long").as("n_sh"),
+        explode($"arr").as("shingle"))
+    pairAgg(sh.as("a"), sh.as("b"))
+      .agg(count(lit(1)).as("n_common"),
+        min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
+      .select($"doc_i", $"doc_j", $"n_common", $"n_i", $"n_j",
+        ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+          .as("jaccard"),
+        ($"n_common".cast("double") / least($"n_i", $"n_j"))
+          .as("containment"))
+  }
+
   /** Shared Jaccard pair frame: d2's pair listing, d6's keep rule,
     * d7/d10's component edges, and any future curation step all consume
     * the SAME candidate-pair derivation, and the shingle pair-gen (one
@@ -125,8 +145,33 @@ object Dedup extends QueryModule {
     */
   private[graft] val BasePairThreshold = 0.3
 
+  /** Base threshold of the shared frame's CONTAINMENT side (d16): a pair
+    * is retained in the pinned stats frame if EITHER measure clears its
+    * base, so one pair-gen serves both the symmetric (Jaccard) and
+    * asymmetric (containment) dedup families. Containment-only pairs —
+    * a small doc inside a much larger one, Jaccard diluted below base —
+    * are exactly what the OR keeps that a Jaccard-only frame would lose.
+    */
+  private[graft] val ContainBaseThreshold = 0.9
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The ONE pinned pair frame behind the whole exact-dedup family:
+    * `pairStats` filtered to (jaccard ≥ [[BasePairThreshold]] OR
+    * containment ≥ [[ContainBaseThreshold]]), `localCheckpoint`-pinned.
+    * Still O(near-dup pairs), not corpus-sized.
+    */
+  private def sharedPairStats(s: SparkSession, dir: String): DataFrame =
+    statsCache.computeIfAbsent((s, dir), { key =>
+      pairStats(key._1, key._2)
+        .filter(col("jaccard") >= BasePairThreshold ||
+          col("containment") >= ContainBaseThreshold)
+        .localCheckpoint()
+    })
 
   private[graft] def sharedJaccardPairs(s: SparkSession, dir: String,
                                         threshold: Double): DataFrame = {
@@ -135,10 +180,27 @@ object Dedup extends QueryModule {
         s"threshold $threshold would need a fresh pair-gen — call " +
         "jaccardPairs directly or lower BasePairThreshold")
     val base = pairsCache.computeIfAbsent((s, dir), { key =>
-      jaccardPairs(key._1, key._2, BasePairThreshold).localCheckpoint()
+      sharedPairStats(key._1, key._2)
+        .filter(col("jaccard") >= BasePairThreshold)
+        .select(col("doc_i"), col("doc_j"), col("jaccard"))
     })
     if (threshold == BasePairThreshold) base
     else base.filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment-thresholded pairs off the same pinned stats frame —
+    * d16's accessor. Same monotone-filter contract as
+    * [[sharedJaccardPairs]], against the containment base.
+    */
+  private[graft] def sharedContainmentPairs(s: SparkSession, dir: String,
+                                            threshold: Double): DataFrame = {
+    require(threshold >= ContainBaseThreshold,
+      s"shared stats frame keeps containment >= $ContainBaseThreshold; " +
+        s"threshold $threshold would need a fresh pair-gen")
+    sharedPairStats(s, dir)
+      .filter(col("containment") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("n_common"),
+        col("n_i"), col("n_j"), col("containment"), col("jaccard"))
   }
 
   /** Transitive near-dup components (Jaccard≥0.5 pair graph), shared by
@@ -191,6 +253,7 @@ object Dedup extends QueryModule {
         }
       }
     }
+    drop[(SparkSession, String)](statsCache, _._1, _._2)
     drop[(SparkSession, String)](pairsCache, _._1, _._2)
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
   }
@@ -436,6 +499,66 @@ object Dedup extends QueryModule {
           ($"n_caught".cast("double") / $"n_true_pairs").as("recall"))
     },
 
+    // D15: PER-SOURCE CAP — keep at most SourceCap docs per source,
+    // chosen by the portable Knuth hash of doc_id (tiebreak doc_id) —
+    // the per-domain cap every web-corpus pipeline applies so that one
+    // crawler-friendly domain can't dominate the training mix. Hash
+    // order (not doc_id order) makes the kept subset a uniform sample
+    // of each source rather than its earliest rows, and row-by-row
+    // auditable (p19's reproducible-sampling rationale). Implementation
+    // is T1's bounded selection machinery (topKPerKey) keyed on the
+    // source — at 100 TB the hot-domain skew this op EXISTS to fix is
+    // the skew topKPerKeySalted/TopKAggregator already handle; swap in
+    // either for a pathological domain without changing the result.
+    "d15_source_cap" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.KeyedOps.topKPerKey(
+          Tables.documents(s, dir)
+            .select($"source", $"doc_id",
+              HashFunctions.knuthHash($"doc_id").as("h")),
+          Seq($"source"), Seq($"h".asc, $"doc_id".asc), SourceCap)
+        .select($"source", $"doc_id", $"h", $"rank")
+    },
+
+    // D16: CONTAINMENT near-dup pairs — the asymmetric overlap measure
+    // n_common/min(n_i, n_j): a short doc quoted wholesale inside a
+    // longer one scores containment ≈ 1 while its Jaccard is diluted
+    // toward n_small/n_large — the pair Jaccard-thresholded dedup (d2)
+    // structurally misses. Reads off the SAME pinned pair-stats frame
+    // as d2/d6/d7 (one pair-gen per session serves both measures; the
+    // base predicate is the OR of the two bases), so the marginal cost
+    // of the second measure is a filter.
+    "d16_containment" -> { (s, dir) =>
+      sharedContainmentPairs(s, dir, ContainBaseThreshold)
+    },
+
+    // D17: EDIT-DISTANCE VERIFICATION of near-dup candidates — the
+    // Levenshtein pass that separates true page-level near-dups (small
+    // character edits) from docs that merely share vocabulary (high
+    // set overlap, heavy rewrites). Candidates come from the pinned
+    // shared pair frame, texts join ON the candidate pairs (pair-sized
+    // shuffles, never corpus²), and the O(len²) distance runs once per
+    // candidate — the only place the engine pays quadratic-in-length
+    // cost, bounded by candidate count by construction. At production
+    // length ceilings, Spark's 3-arg levenshtein(l, r, maxDist) bound
+    // turns each evaluation into O(len·maxDist); kept 2-arg here for
+    // oracle parity. `verified` = relative distance ≤ 5% of the longer
+    // text.
+    "d17_edit_verify" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      sharedJaccardPairs(s, dir, BasePairThreshold)
+        .join(docs.select($"doc_id".as("doc_i"), $"text".as("text_i")), "doc_i")
+        .join(docs.select($"doc_id".as("doc_j"), $"text".as("text_j")), "doc_j")
+        .select($"doc_i", $"doc_j", $"jaccard",
+          levenshtein($"text_i", $"text_j").cast("long").as("lev"),
+          (levenshtein($"text_i", $"text_j").cast("double") /
+            greatest(length($"text_i"), length($"text_j")))
+            .as("rel_dist"))
+        .select($"doc_i", $"doc_j", $"jaccard", $"lev", $"rel_dist",
+          when($"rel_dist" <= 0.05, 1L).otherwise(0L).as("verified"))
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -614,6 +737,60 @@ object Dedup extends QueryModule {
       """SELECT md5(text) AS digest, min(doc_id) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d15_source_cap" ->
+      s"""SELECT source, doc_id, h, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT source, doc_id,
+         |    (${OracleFragments.knuthU32("doc_id")})::BIGINT AS h,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY (${OracleFragments.knuthU32("doc_id")}), doc_id)
+         |      AS rank
+         |  FROM documents)
+         |WHERE rank <= $SourceCap""".stripMargin,
+
+    "d16_containment" ->
+      s"""WITH sh AS (
+         |  $shSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_i, doc_j, n_common,
+         |  x.n_sh AS n_i, y.n_sh AS n_j,
+         |  n_common::DOUBLE / least(x.n_sh, y.n_sh) AS containment,
+         |  n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) AS jaccard
+         |FROM common
+         |JOIN sz x ON doc_i = x.doc_id
+         |JOIN sz y ON doc_j = y.doc_id
+         |WHERE n_common::DOUBLE / least(x.n_sh, y.n_sh)
+         |  >= $ContainBaseThreshold""".stripMargin,
+
+    "d17_edit_verify" ->
+      s"""WITH sh AS (
+         |  $shSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT doc_i, doc_j,
+         |    n_common::DOUBLE / (x.n_sh + y.n_sh - n_common) AS jaccard
+         |  FROM (
+         |    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_common
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) c
+         |  JOIN sz x ON c.doc_i = x.doc_id
+         |  JOIN sz y ON c.doc_j = y.doc_id
+         |  WHERE n_common::DOUBLE / (x.n_sh + y.n_sh - n_common)
+         |    >= $BasePairThreshold)
+         |SELECT doc_i, doc_j, jaccard,
+         |  levenshtein(a.text, b.text)::BIGINT AS lev,
+         |  levenshtein(a.text, b.text)::DOUBLE
+         |    / greatest(len(a.text), len(b.text)) AS rel_dist,
+         |  CASE WHEN levenshtein(a.text, b.text)::DOUBLE
+         |      / greatest(len(a.text), len(b.text)) <= 0.05
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS verified
+         |FROM pairs
+         |JOIN documents a ON doc_i = a.doc_id
+         |JOIN documents b ON doc_j = b.doc_id""".stripMargin,
 
     "d2_jaccard_pairs" ->
       s"""WITH sh AS (

@@ -482,6 +482,99 @@ object Similarity extends QueryModule {
         .select($"q_id", $"vec_id", $"dist", $"rank")
     },
 
+    // V14: the FULL production ANN serving pipeline — IVF coarse
+    // pruning (v4's inverted lists, nprobe=2) → PQ ADC ranking within
+    // the probed lists (v13's table lookups, never touching floats) →
+    // EXACT cosine re-rank of the top-R ADC shortlist. This is the
+    // FAISS IVFPQ + refine composition every large-scale vector
+    // deployment serves: the coarse stage bounds candidates to
+    // corpus/n_lists × nprobe, ADC scores them at 8 bytes/vector, and
+    // the exact pass touches only R×n_queries original vectors (a
+    // bounded join-back, not a scan). Every stage is deterministic
+    // (index-ordered folds, id tiebreaks), so the oracle replays the
+    // whole three-stage pipeline bit-for-bit.
+    "v14_knn_ivf_adc" -> { (s, dir) =>
+      import s.implicits._
+      val M = 8; val sub = 8; val Kcb = 16; val R = 20
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+      val cents = corpus.filter($"vec_id" < 10)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"))
+      val assign = graft.operators.KeyedOps.topKPerKey(
+          corpus.crossJoin(broadcast(cents))
+            .select($"vec_id", $"embedding", $"cid",
+              VectorFunctions.cosine($"embedding", $"c_emb").as("csim")),
+          Seq($"vec_id"), Seq($"csim".desc, $"cid"), 1, "crank")
+        .select($"vec_id", $"embedding", $"cid")
+      val probes = graft.operators.KeyedOps.topKPerKey(
+          corpus.filter($"vec_id" < QuerySetSize)
+            .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+            .crossJoin(broadcast(cents))
+            .select($"q_id", $"q_emb", $"cid",
+              VectorFunctions.cosine($"q_emb", $"c_emb").as("csim")),
+          Seq($"q_id"), Seq($"csim".desc, $"cid"), 2, "crank")
+        .select($"q_id", $"cid")
+      // driver-side ADC tables over the v9/v13 codebook (bounded:
+      // n_queries × M × Kcb doubles)
+      val cb: Array[Array[Float]] = emb(s, dir).filter($"vec_id" < Kcb)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      val qs = emb(s, dir).filter($"vec_id" < QuerySetSize)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val tables: Map[Long, Array[Double]] = qs.map { case (qid, qe) =>
+        val t = new Array[Double](M * Kcb)
+        var m = 0
+        while (m < M) {
+          var k = 0
+          while (k < Kcb) {
+            var acc = 0.0
+            var j = 0
+            while (j < sub) {
+              val d = qe(m * sub + j).toDouble - cb(k)(m * sub + j).toDouble
+              acc += d * d; j += 1
+            }
+            t(m * Kcb + k) = acc; k += 1
+          }
+          m += 1
+        }
+        qid -> t
+      }.toMap
+      val bcCb = s.sparkContext.broadcast(cb)
+      val bcT = s.sparkContext.broadcast(tables)
+      val adc = assign.join(broadcast(probes), Seq("cid"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", $"embedding")
+        .as[(Long, Long, Array[Float])]
+        .mapPartitions { it =>
+          val codebook = bcCb.value
+          val ts = bcT.value
+          it.map { case (qid, id, e) =>
+            val t = ts(qid)
+            var acc = 0.0
+            var m = 0
+            while (m < M) {
+              acc += t(m * Kcb + VectorFunctions.pqCodeJvm(e, codebook, m, sub))
+              m += 1
+            }
+            (qid, id, acc)
+          }
+        }
+        .toDF("q_id", "vec_id", "dist")
+      val shortlist = graft.operators.KeyedOps.topKPerKey(adc, Seq($"q_id"),
+          Seq($"dist".asc, $"vec_id"), R, "adc_rank")
+        .select($"q_id", $"vec_id")
+      val qemb = emb(s, dir).filter($"vec_id" < QuerySetSize)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val rer = shortlist
+        .join(corpus, "vec_id")
+        .join(broadcast(qemb), "q_id")
+        .select($"q_id", $"vec_id",
+          VectorFunctions.cosine($"q_emb", $"embedding").as("sim"))
+      graft.operators.KeyedOps.topKPerKey(rer, Seq($"q_id"),
+          Seq($"sim".desc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"sim", $"rank")
+    },
+
     // V11: ANN quality measurement — per-query recall@K of the
     // single-bucket LSH path (v3) AND the multi-probe path (v12)
     // against the exact baseline (v1). This is the evaluation loop
@@ -834,6 +927,73 @@ object Similarity extends QueryModule {
          |SELECT q_id, vec_id, dist, CAST(rank AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY dist, vec_id) AS rank FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+
+    "v14_knn_ivf_adc" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 10),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crank = 1),
+         |probes AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT e.vec_id AS q_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id < $QuerySetSize)
+         |  WHERE crank <= 2),
+         |codes_long AS ($v9Sql),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS cs
+         |  FROM codes_long GROUP BY vec_id),
+         |cb AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 16),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < $QuerySetSize),
+         |dtl AS (
+         |  SELECT q.q_id, ms.m, cb.k,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 8),
+         |        j -> (q.q_emb[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE)
+         |           * (q.q_emb[ms.m*8+j]::DOUBLE - cb.c_emb[ms.m*8+j]::DOUBLE))),
+         |      (x, y) -> x + y) AS d
+         |  FROM q
+         |  CROSS JOIN cb
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms),
+         |dt AS (SELECT q_id, list(d ORDER BY m, k) AS t FROM dtl GROUP BY q_id),
+         |adc AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 8),
+         |        m -> t[(m-1)*16 + cs[m] + 1])),
+         |      (x, y) -> x + y) AS dist
+         |  FROM assign a
+         |  JOIN probes p ON a.cid = p.cid
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  JOIN dt ON dt.q_id = p.q_id
+         |  WHERE a.vec_id <> p.q_id),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, vec_id) AS r FROM adc)
+         |  WHERE r <= 20),
+         |rer AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    ${cosineSql("q.q_emb", "e.embedding")} AS sim
+         |  FROM short s
+         |  JOIN embeddings e ON e.vec_id = s.vec_id
+         |  JOIN q ON q.q_id = s.q_id)
+         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, vec_id) AS rank FROM rer)
          |WHERE rank <= $K""".stripMargin,
   )
 }

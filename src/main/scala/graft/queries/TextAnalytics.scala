@@ -463,6 +463,39 @@ object TextAnalytics extends QueryModule {
             .as("kl_vs_corpus"))
     },
 
+    // X14: per-document mean token log-probability under the corpus
+    // unigram LM (add-one smoothing) — the CCNet-style fluency/quality
+    // signal a pretraining pipeline uses to rank documents before
+    // filtering: template spam and wrong-segmentation text score far
+    // below fluent prose under the corpus's own distribution. Derivation
+    // is the j2/j3 diamond over ONE (doc_id, w) counts aggregate: corpus
+    // word totals, vocab size, and corpus size all reduce from it
+    // (exchange reuse — the corpus is tokenized and shuffled once), then
+    // one vocab-keyed join back. logp(w) = ln((n_w + 1)/(n_c + V)); the
+    // per-doc mean weights by the doc's own term counts. Shuffles are
+    // (doc_id, w) counts then the vocab-bounded word join — never the
+    // corpus. ln parity: per-term double rounded to 9, decimal
+    // accumulation, final round 6 (the x13 convention).
+    "x14_unigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val dw = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
+      val cw = dw.groupBy($"w").agg(sum($"n_dw").as("n_w"))
+      val tot = cw.agg(sum($"n_w").as("n_c"), count(lit(1)).as("v"))
+      dw.join(cw, "w")
+        .crossJoin(broadcast(tot)) // 1-row corpus totals
+        .select($"doc_id", $"n_dw",
+          round($"n_dw".cast("double") *
+              (log(($"n_w" + 1).cast("double")) -
+               log(($"n_c" + $"v").cast("double"))), 9)
+            .cast("decimal(28,12)").as("term"))
+        .groupBy($"doc_id")
+        .agg(sum($"n_dw").as("n_tokens"),
+          round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
+            .as("mean_logprob"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -793,6 +826,22 @@ object TextAnalytics extends QueryModule {
          |    AS kl_vs_corpus
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
+
+    "x14_unigram_logprob" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, w, count(*) AS n_dw FROM (
+         |    SELECT doc_id, unnest(${ws("text")}) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |cw AS (SELECT w, sum(n_dw)::BIGINT AS n_w FROM dw GROUP BY 1),
+         |tot AS (SELECT sum(n_w)::BIGINT AS n_c, count(*)::BIGINT AS v
+         |        FROM cw)
+         |SELECT doc_id, sum(n_dw)::BIGINT AS n_tokens,
+         |  round(CAST(sum(CAST(round(n_dw::DOUBLE *
+         |      (ln((n_w + 1)::DOUBLE) - ln((n_c + v)::DOUBLE)), 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / sum(n_dw)::DOUBLE, 6)
+         |    AS mean_logprob
+         |FROM dw JOIN cw USING (w), tot
+         |GROUP BY doc_id""".stripMargin,
 
     "x10_chunks" -> chunksSql,
 

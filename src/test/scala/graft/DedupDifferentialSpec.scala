@@ -243,4 +243,43 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(!(c eq base), "eviction must drop the pinned entry")
     graft.queries.Dedup.evictCaches(spark)
   }
+
+  test("containment (d16) keeps subset pairs the Jaccard threshold loses") {
+    import spark.implicits._
+    // small = the first 8 words of big → every small shingle is in big:
+    // containment 1.0, but Jaccard = 6/38 ≈ 0.16 < base 0.3. The OR
+    // base predicate of the shared stats frame must retain the pair for
+    // the containment side while the Jaccard side never sees it.
+    val words = (1 to 40).map(i => s"w$i")
+    val big = words.mkString(" ")               // 38 shingles
+    val small = words.take(8).mkString(" ")     // 6 shingles, all ⊂ big
+    val other = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, small), (1L, big), (2L, other))
+      .map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    try {
+      val cont = graft.queries.Dedup.sharedContainmentPairs(
+          spark, dir, graft.queries.Dedup.ContainBaseThreshold)
+        .select($"doc_i", $"doc_j", $"containment", $"jaccard")
+        .as[(Long, Long, Double, Double)].collect()
+      assert(cont.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+        s"expected exactly the subset pair, got ${cont.toSeq}")
+      val (_, _, containment, jaccard) = cont.head
+      assert(containment == 1.0, s"full subset must score 1.0, got $containment")
+      assert(jaccard < graft.queries.Dedup.BasePairThreshold,
+        "fixture must be a containment-ONLY pair (jaccard below base)")
+      // the Jaccard accessor over the SAME pinned frame must not leak it
+      val jac = graft.queries.Dedup.sharedJaccardPairs(
+          spark, dir, graft.queries.Dedup.BasePairThreshold)
+        .select($"doc_i", $"doc_j").as[(Long, Long)].collect().toSet
+      assert(!jac.contains((0L, 1L)),
+        "jaccard side must filter out the below-base subset pair")
+      // containment >= jaccard on every retained pair (measure algebra)
+      cont.foreach { case (i, j, c, jx) =>
+        assert(c >= jx && c <= 1.0, s"($i,$j): containment $c vs jaccard $jx")
+      }
+    } finally graft.queries.Dedup.evictCaches(spark, Some(dir))
+  }
 }

@@ -269,4 +269,57 @@ class PropertySpec extends SparkSpec {
     val mean = ratios.sum / ratios.length
     assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
   }
+
+  test("funnel (j10): stage times ordered, stages match a driver replay") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("j10_funnel")(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // driver-side replay over the raw events
+    val ev = graft.core.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    val expected = ev.flatMap { case (u, rows) =>
+      def minAfter(tpe: String, from: Long): Option[Long] = {
+        val ts = rows.collect { case (_, t, x) if t == tpe && x >= from => x }
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      minAfter("view", Long.MinValue).map { tv =>
+        val tc = minAfter("click", tv)
+        val tp = tc.flatMap(c => minAfter("purchase", c))
+        u -> (tv, tc, tp)
+      }
+    }
+    assert(got == expected)
+    // invariant: monotone stage times wherever present
+    got.values.foreach { case (tv, tc, tp) =>
+      tc.foreach(c => assert(c >= tv))
+      (tc, tp) match {
+        case (Some(c), Some(p)) => assert(p >= c)
+        case (None, Some(_)) => fail("purchase without click")
+        case _ => ()
+      }
+    }
+    assert(got.values.exists(_._3.isDefined), "degenerate: nobody converts")
+  }
+
+  test("source cap (d15): ≤ cap rows per source, lowest-hash docs win") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("d15_source_cap")(spark, dir)
+      .select($"source", $"doc_id")
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    val expected = docs.groupBy(_._1).view.mapValues { rows =>
+      rows.map(_._2)
+        .sortBy(id => (graft.functions.HashFunctions.knuthHashJvm(id), id))
+        .take(graft.queries.Dedup.SourceCap).toSet
+    }.toMap
+    assert(got == expected)
+    got.values.foreach(ids =>
+      assert(ids.size <= graft.queries.Dedup.SourceCap))
+  }
 }
