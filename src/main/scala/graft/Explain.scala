@@ -15,7 +15,8 @@ object Explain {
       else Seq("q1_agg", "q3_shipping", "q5_nation_revenue", "j1_left_outer",
         "t1_topk_per_key", "p6_filter_project",
         "d12_ngram_novelty", "d13_chunk_dedup", "v10_sign_projection",
-        "p20_weighted_sample", "x13_source_divergence")
+        "p20_weighted_sample", "x13_source_divergence",
+        "x14_unigram_logprob", "j10_funnel", "d15_source_cap")
     val spark = graft.core.GraftSession.local(8, "graft-explain")
     names.foreach { q =>
       println(s"===== $q =====")

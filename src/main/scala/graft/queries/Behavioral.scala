@@ -283,6 +283,30 @@ object Behavioral extends QueryModule {
           min($"k").as("min_k"), max($"k").as("max_k"))
     },
 
+    // P22: SESSIONIZATION — assign each event its per-user session index
+    // (30-minute inactivity gap rule). Where W3's session_window
+    // AGGREGATES per session, this emits the per-event session-id
+    // column downstream joins key on (the labeling transform itself —
+    // episode construction for behavioral training data). One window
+    // pass partitioned on user_id: lag(ts) flags session starts, a
+    // running sum turns flags into indices. Per-user partitions keep the
+    // sort data-parallel at any scale (no global window); ties break on
+    // event_id in both engines.
+    "p22_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val gapMs = 30L * 60 * 1000000 // 30 min in micros
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("new_sess",
+          when(lag($"ts_us", 1).over(w).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > gapMs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"event_id", $"user_id", $"ts_us", $"session_id")
+    },
+
     // T3: AutoComplete prefix top-K (flat form; recursive-trie variant in
     // `graft.operators.PrefixTopK` is plan-identical in results —
     // reference `AutoComplete.scala:257-321`). Word counts → explode
@@ -322,6 +346,21 @@ object Behavioral extends QueryModule {
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "p22_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT event_id, user_id, ts_us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |FROM flagged""".stripMargin,
 
     "p21_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -496,6 +496,70 @@ object TextAnalytics extends QueryModule {
             .as("mean_logprob"))
     },
 
+    // X15: corpus-wide QUALITY DECILE assignment — the bucketing step of
+    // quality-stratified mixing / curriculum ordering (keep the top
+    // decile for an annealing phase, downsample the bottom two, etc.).
+    // The scale-correct plan: exact interpolated decile BOUNDARIES from
+    // ONE percentile aggregate (9 doubles, broadcast), then a rowwise
+    // classification — never the global-sort ntile window whose single
+    // partition would serialize the corpus. decile = #boundaries
+    // strictly below the score (ties at a boundary fall to the lower
+    // bucket, same rule both engines). At 100 TB the exact percentile's
+    // per-partition value buffers are the cost knob — swap in
+    // approx_percentile and re-derive (the x6 trade, documented there);
+    // the oracle needs the exact form.
+    "x15_quality_deciles" -> { (s, dir) =>
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", qualityCol($"text").as("quality"))
+      val bounds = scored.agg(percentile($"quality",
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+      scored.crossJoin(broadcast(bounds)) // 1-row boundary frame
+        .select($"doc_id", $"quality",
+          aggregate($"bs", lit(0L),
+            (acc, b) => acc + when($"quality" > b, 1L).otherwise(0L))
+            .as("decile"))
+    },
+
+    // X16: per-doc BIGRAM-LM log-probability — x14's fluency signal
+    // upgraded from unigram to conditional bigram probabilities
+    // p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), the closest an exact
+    // SQL-replayable score gets to the perplexity filters production
+    // curation runs (a doc of common words in an uncommon ORDER now
+    // scores low, which x14 cannot see). Context counts c(w1) fold from
+    // the bigram table itself (no third corpus pass); V is the unigram
+    // vocab size. Shuffles: (doc, bigram) counts, then bigram- and
+    // context-keyed joins — all vocab-bounded. Docs with < 2 tokens
+    // have no bigrams and no row. ln parity: x13/x14 convention.
+    "x16_bigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
+      val db = toks.filter(size($"ts") >= 2)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"ts") - 1),
+            i => struct(element_at($"ts", i).as("w1"),
+              element_at($"ts", i + 1).as("w2")))).as("b"))
+        .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .agg(count(lit(1)).as("n_dw"))
+      val c12 = db.groupBy($"w1", $"w2").agg(sum($"n_dw").as("c12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+      val v = toks.select(explode($"ts").as("w"))
+        .agg(count_distinct($"w").as("v"))
+      db.join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v)) // 1-row vocab size
+        .select($"doc_id", $"n_dw",
+          round($"n_dw".cast("double") *
+              (log(($"c12" + 1).cast("double")) -
+               log(($"c1" + $"v").cast("double"))), 9)
+            .cast("decimal(28,12)").as("term"))
+        .groupBy($"doc_id")
+        .agg(sum($"n_dw").as("n_bigrams"),
+          round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
+            .as("mean_logprob"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -826,6 +890,38 @@ object TextAnalytics extends QueryModule {
          |    AS kl_vs_corpus
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
+
+    "x16_bigram_logprob" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${ws("text")} AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id, w1, w2, count(*) AS n_dw FROM (
+         |    SELECT doc_id,
+         |      unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+         |      unnest(list_slice(toks, 2, len(toks))) AS w2
+         |    FROM t WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, sum(n_dw)::BIGINT AS c12
+         |        FROM db GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w)::BIGINT AS v FROM (
+         |        SELECT unnest(toks) AS w FROM t))
+         |SELECT doc_id, sum(n_dw)::BIGINT AS n_bigrams,
+         |  round(CAST(sum(CAST(round(n_dw::DOUBLE *
+         |      (ln((c12 + 1)::DOUBLE) - ln((c1 + v)::DOUBLE)), 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / sum(n_dw)::DOUBLE, 6)
+         |    AS mean_logprob
+         |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vv
+         |GROUP BY doc_id""".stripMargin,
+
+    "x15_quality_deciles" ->
+      s"""WITH q AS ($qualitySubSql),
+         |b AS (SELECT quantile_cont(quality,
+         |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+         |      FROM q)
+         |SELECT doc_id, quality,
+         |  len(list_filter(bs, x -> quality > x))::BIGINT AS decile
+         |FROM q, b""".stripMargin,
 
     "x14_unigram_logprob" ->
       s"""WITH dw AS (

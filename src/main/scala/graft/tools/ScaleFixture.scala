@@ -113,11 +113,13 @@ object ScaleFixture {
     genDocuments(spark, oneX, 1); genEmbeddings(spark, oneX, 1)
     genDocuments(spark, tenX, 10); genEmbeddings(spark, tenX, 10)
 
-    val queries = Seq("d2_jaccard_pairs", "d7_dup_components",
+    val queries = Seq("d2_jaccard_pairs", "d16_containment",
+      "d17_edit_verify", "d7_dup_components",
       "d10_best_keeper", "d6_dedup_corpus", "x7_pmi_bigrams", "v6_kmeans",
       "d12_ngram_novelty", "v10_sign_projection", "d13_chunk_dedup",
       "d14_lsh_recall", "v12_knn_multiprobe", "v13_knn_pq_adc",
-      "p20_weighted_sample", "x13_source_divergence")
+      "v14_knn_ivf_adc", "p20_weighted_sample", "x13_source_divergence",
+      "x14_unigram_logprob", "d15_source_cap")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

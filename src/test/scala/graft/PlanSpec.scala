@@ -166,8 +166,12 @@ class PlanSpec extends SparkSpec {
     val boundedBnlj = Set("d5_embed_neardup", "j3_tfidf",
       "j5_above_global_avg", "v4_knn_ivf", "v6_kmeans", "x7_pmi_bigrams",
       "v8_knn_int8", // 20-row query slice broadcast, corpus never loops
+      "v14_knn_ivf_adc", // 10-row centroid codebook broadcast (v4 shape)
       "x12_source_mix", // 1-row total-tokens + 1-row weight-sum broadcasts
-      "x13_source_divergence") // 1-row corpus-total broadcast
+      "x13_source_divergence", // 1-row corpus-total broadcast
+      "x14_unigram_logprob", // 1-row corpus-totals broadcast
+      "x15_quality_deciles", // 1-row decile-boundary broadcast
+      "x16_bigram_logprob") // 1-row vocab-size broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
