@@ -559,6 +559,39 @@ object Dedup extends QueryModule {
           when($"rel_dist" <= 0.05, 1L).otherwise(0L).as("verified"))
     },
 
+    // D18: INCREMENTAL dedup — the production ingest shape the
+    // intra-corpus family (d2/d6/d7) stops short of: a NEW batch
+    // deduped against an existing REFERENCE corpus (here: a
+    // deterministic 50% hash-split stands in for the two sides). The
+    // candidate join is new-shingles × reference-shingles — shuffle ∝
+    // the NEW batch plus the reference's shingle index (which a real
+    // deployment keeps materialized), never reference², and the new
+    // batch never self-joins: cost scales with the increment, which is
+    // the whole point of incremental ingest. Emits each flagged new doc
+    // with its dup-partner count and best (max-Jaccard, min-id) match.
+    "d18_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleArr(s, dir)
+        .select($"doc_id", size($"arr").cast("long").as("n_sh"),
+          explode($"arr").as("shingle"))
+      val isRef = HashFunctions.hashSample($"doc_id", 0.5)
+      val ref = sh.filter(isRef)
+      val fresh = sh.filter(!isRef)
+      fresh.as("a").join(ref.as("b"), Seq("shingle"))
+        .groupBy($"a.doc_id".as("doc_id"), $"b.doc_id".as("ref_id"))
+        .agg(count(lit(1)).as("n_common"),
+          min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
+        .select($"doc_id", $"ref_id",
+          ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
+            .as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_dup_partners"),
+          max(struct($"jaccard", (-$"ref_id").as("negid"))).as("m"))
+        .select($"doc_id", $"n_dup_partners",
+          $"m.jaccard".as("best_jaccard"), (-$"m.negid").as("best_ref"))
+    },
+
     // D9: test-set DECONTAMINATION — flag training docs sharing any
     // hashed 8-gram with a held-out benchmark set (here: a deterministic
     // 5% hash-sample of the corpus standing in for the benchmark).
@@ -737,6 +770,27 @@ object Dedup extends QueryModule {
       """SELECT md5(text) AS digest, min(doc_id) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // 0.5 * 2^32 = 2147483648 — hashSample's driver-truncated threshold
+    "d18_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  $shSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |tagged AS (
+         |  SELECT sh.doc_id, shingle, n_sh,
+         |    (${OracleFragments.knuthU32("sh.doc_id")}) < 2147483648 AS is_ref
+         |  FROM sh JOIN sz USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id, b.doc_id AS ref_id,
+         |    count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)) AS jaccard
+         |  FROM tagged a JOIN tagged b ON a.shingle = b.shingle
+         |  WHERE NOT a.is_ref AND b.is_ref
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+         |SELECT doc_id, count(*) AS n_dup_partners,
+         |  max(jaccard) AS best_jaccard,
+         |  first(ref_id ORDER BY jaccard DESC, ref_id) AS best_ref
+         |FROM pairs WHERE jaccard >= 0.5
+         |GROUP BY doc_id""".stripMargin,
 
     "d15_source_cap" ->
       s"""SELECT source, doc_id, h, CAST(rank AS INTEGER) AS rank FROM (

@@ -560,6 +560,33 @@ object TextAnalytics extends QueryModule {
             .as("mean_logprob"))
     },
 
+    // X17: FEATURE-HASHED document embeddings — the text→vector bridge:
+    // each doc becomes an L2-normalized 16-dim signed bag-of-words
+    // vector (hashing trick: dim = h mod 16, sign = bit 16 of h — two
+    // independent bit fields of the token's u32 Java hash), the cheap
+    // deterministic stand-in for model embeddings that lets the whole
+    // v-family (LSH buckets, kNN, k-means, near-dup) run on raw text
+    // corpora. Long-form sparse output (absent dims are zero), exact
+    // integer accumulation, one (doc, dim) hash agg + one doc-keyed
+    // norm join — both shuffles carry ≤ 16 longs per doc.
+    "x17_hash_embedding" -> { (s, dir) =>
+      import s.implicits._
+      val raw = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .select($"doc_id",
+          pmod(HashFunctions.javaStringHashCode($"w").cast("long"),
+            lit(4294967296L)).as("h"))
+        .select($"doc_id", ($"h" % 16).as("dim"),
+          (shiftright($"h", 16).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+        .groupBy($"doc_id", $"dim").agg(sum($"sign").as("raw"))
+      val norms = raw.groupBy($"doc_id")
+        .agg(sqrt(sum($"raw" * $"raw").cast("double")).as("norm"))
+      raw.join(norms, "doc_id")
+        .select($"doc_id", $"dim",
+          when($"norm" === 0.0, lit(0.0))
+            .otherwise($"raw".cast("double") / $"norm").as("value"))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -890,6 +917,21 @@ object TextAnalytics extends QueryModule {
          |    AS kl_vs_corpus
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
+
+    "x17_hash_embedding" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${OracleFragments.javaHashU32("w")} AS h FROM (
+         |    SELECT doc_id, unnest(${ws("text")}) AS w FROM documents)),
+         |raw AS (
+         |  SELECT doc_id, (h % 16)::BIGINT AS dim,
+         |    sum(((h // 65536) % 2) * 2 - 1)::BIGINT AS raw
+         |  FROM tok GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT doc_id, sqrt(sum(raw * raw)::DOUBLE) AS norm
+         |  FROM raw GROUP BY 1)
+         |SELECT doc_id, dim,
+         |  CASE WHEN norm = 0 THEN 0.0 ELSE raw::DOUBLE / norm END AS value
+         |FROM raw JOIN norms USING (doc_id)""".stripMargin,
 
     "x16_bigram_logprob" ->
       s"""WITH t AS (
