@@ -53,12 +53,18 @@ object HashFunctions {
     * (x·K) mod 2^32 = ((xh·K mod 2^16)·2^16 + xl·K) mod 2^32 with every
     * intermediate ≤ 2^16·K ≈ 1.7e14 ≪ Long.MaxValue.
     */
-  def knuthHash(c: Column): Column = {
-    val K = 2654435761L
+  def knuthHash(c: Column): Column = mulU32(c, 2654435761L)
+
+  /** (x·a) mod 2^32 for any odd u32 multiplier `a` — the universal
+    * multiply family behind [[knuthHash]] and the t6 count-min row
+    * hashes, with the same overflow-safe 16-bit split (see the
+    * [[knuthHash]] note). Oracle replay: `(x::HUGEINT * a) % 4294967296`.
+    */
+  def mulU32(c: Column, a: Long): Column = {
     val x = pmod(c.cast("long"), lit(4294967296L))
     val xh = shiftright(x, 16)
     val xl = x.bitwiseAND(lit(65535L))
-    pmod(pmod(xh * lit(K), lit(65536L)) * lit(65536L) + xl * lit(K),
+    pmod(pmod(xh * lit(a), lit(65536L)) * lit(65536L) + xl * lit(a),
       lit(4294967296L))
   }
 

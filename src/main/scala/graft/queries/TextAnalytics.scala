@@ -587,6 +587,100 @@ object TextAnalytics extends QueryModule {
             .otherwise($"raw".cast("double") / $"norm").as("value"))
     },
 
+    // T6: COUNT-MIN SKETCH heavy hitters — the mergeable-sketch answer
+    // to "which tokens dominate the corpus" when the exact vocab table
+    // itself is too hot to materialize: each partition folds its tokens
+    // into a 4×1024 cell grid (multiply-shift row hashes — top 10 bits
+    // of h·a_r mod 2^32, the classic universal family with public
+    // xxhash/murmur odd constants), cell-wise SUM is the merge (a plain
+    // distributive aggregate — at 100 TB the sketch build is one
+    // map-side-combined shuffle of ≤ 4096 cells per partition), and
+    // est(w) = min over rows of w's cell. Emits words whose estimate
+    // clears 1% of corpus tokens, with the exact count alongside so the
+    // one-sided CMS error (est ≥ true, surplus ≤ collisions) is visible
+    // and oracle-checked. Everything is u32 integer arithmetic —
+    // bit-replayable in any engine.
+    "t6_cms_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val as = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .select($"w", $"c",
+          pmod(HashFunctions.javaStringHashCode($"w").cast("long"),
+            lit(4294967296L)).as("h"))
+      // cell grid: each word feeds one bucket per row; SUM per cell is
+      // the sketch (merge = +, so partial aggs compose at any scale)
+      val entries = counts.select($"w", $"c", $"h", posexplode(
+          array(as.map(a =>
+            shiftright(HashFunctions.mulU32($"h", a), 22)): _*)))
+        .select($"w", $"c", $"h", $"pos".as("row"),
+          $"col".cast("long").as("bucket"))
+      val cells = entries.groupBy($"row", $"bucket")
+        .agg(sum($"c").as("cell"))
+      val total = counts.agg(sum($"c").as("n_total"))
+      entries.join(cells, Seq("row", "bucket"))
+        .groupBy($"w")
+        .agg(min($"cell").as("est"), min($"c").as("n_true"))
+        .crossJoin(broadcast(total)) // 1-row corpus total
+        .filter($"est" * 100 >= $"n_total")
+        .select($"w", $"est", $"n_true")
+    },
+
+    // X18: HYPERLOGLOG distinct-token estimate per source, next to the
+    // exact count — the register-merge sketch that answers per-source
+    // cardinality with 256 bytes of state where exact distinct needs a
+    // vocab shuffle. Register = top 8 bits of the avalanched token hash
+    // (v10's double-knuth finalizer: one multiplicative round's high
+    // bits are quasi-periodic, which HLL registers would inherit as a
+    // systematic bias); rank = leading-zero count of the low 24 bits
+    // via bin()-string length (integer/string ops only — no libm log2
+    // at power-of-two boundaries); merge = MAX per register (one hash
+    // agg). The estimate folds 2^-rank as 1/(1<<rank) — exact dyadic
+    // doubles whose ≤256-term sum stays below 2^53 dynamic range, so
+    // the fold is order-independent and the raw-HLL double is
+    // bit-reproducible. The standard small-range correction applies
+    // (raw ≤ 2.5m with empty registers → linear counting m·ln(m/empty),
+    // the regime toy-SF sources live in; one scalar ln per source,
+    // round-6 for libm parity); exact distinct rides alongside for the
+    // error check.
+    "x18_hll_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val h1 = pmod(HashFunctions.javaStringHashCode($"w").cast("long"),
+        lit(4294967296L))
+      val hw = Tables.documents(s, dir)
+        .select($"source", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .distinct() // registers are per distinct (source, token)
+        .select($"source", $"w",
+          HashFunctions.knuthHash(HashFunctions.knuthHash(h1)
+            .bitwiseXOR(shiftright(HashFunctions.knuthHash(h1), 16))).as("h"))
+      val regs = hw
+        .select($"source", $"w", shiftright($"h", 24).as("reg"),
+          $"h".bitwiseAND(lit(0xFFFFFFL)).as("low"))
+        .select($"source", $"w", $"reg",
+          when($"low" === 0, lit(25L))
+            .otherwise(lit(25L) - length(bin($"low"))).as("rank"))
+        .groupBy($"source", $"reg").agg(max($"rank").as("r"))
+      val exact = hw.select($"source", $"w").distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_exact"))
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      regs.groupBy($"source")
+        .agg(sum(expr(
+            "1.0 / cast(shiftleft(cast(1 as bigint), cast(r as int)) as double)"))
+            .as("present_sum"),
+          count(lit(1)).as("n_regs"))
+        .select($"source", (lit(256L) - $"n_regs").as("empty"),
+          (lit(alpha * 256.0 * 256.0) /
+            ($"present_sum" + (lit(256L) - $"n_regs").cast("double")))
+            .as("raw"))
+        .select($"source",
+          when($"raw" <= 640.0 && $"empty" > 0,
+            round(lit(256.0) * log(lit(256.0) / $"empty".cast("double")), 6))
+            .otherwise(round($"raw", 6)).as("n_hll"))
+        .join(exact, "source")
+        .select($"source", $"n_exact", $"n_hll")
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -917,6 +1011,57 @@ object TextAnalytics extends QueryModule {
          |    AS kl_vs_corpus
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
+
+    "t6_cms_heavy_hitters" ->
+      s"""WITH counts AS (
+         |  SELECT w, count(*) AS c,
+         |    (${OracleFragments.javaHashU32("w")})::BIGINT AS h
+         |  FROM (SELECT unnest(${ws("text")}) AS w FROM documents)
+         |  GROUP BY w),
+         |entries AS (
+         |  SELECT w, c, r.row,
+         |    (((h::HUGEINT * r.a) % 4294967296) // 4194304)::BIGINT AS bucket
+         |  FROM counts, (VALUES (0, 2654435761), (1, 2246822519),
+         |    (2, 3266489917), (3, 668265263)) AS r(row, a)),
+         |cells AS (
+         |  SELECT row, bucket, sum(c)::BIGINT AS cell
+         |  FROM entries GROUP BY 1, 2),
+         |tot AS (SELECT sum(c)::BIGINT AS n_total FROM counts)
+         |SELECT w, min(cell)::BIGINT AS est, min(c)::BIGINT AS n_true
+         |FROM entries JOIN cells USING (row, bucket), tot
+         |GROUP BY w, n_total
+         |HAVING min(cell) * 100 >= n_total""".stripMargin,
+
+    "x18_hll_distinct" -> {
+      val h1 = s"(${OracleFragments.javaHashU32("w")})::BIGINT"
+      val k1 = s"(${OracleFragments.knuthU32(h1)})::BIGINT"
+      val h = OracleFragments.knuthU32(s"xor($k1, $k1 >> 16)")
+      s"""WITH hw AS (
+         |  SELECT source, w, ($h)::BIGINT AS h FROM (
+         |    SELECT DISTINCT source, unnest(${ws("text")}) AS w
+         |    FROM documents)),
+         |ranked AS (
+         |  SELECT source, h >> 24 AS reg,
+         |    CASE WHEN (h & 16777215) = 0 THEN 25
+         |      ELSE 25 - length(bin(h & 16777215)) END AS rank
+         |  FROM hw),
+         |regs AS (
+         |  SELECT source, reg, max(rank) AS r
+         |  FROM ranked GROUP BY 1, 2),
+         |est AS (
+         |  SELECT source, (256 - count(*)) AS empty,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+         |      (sum(1.0 / (1::BIGINT << r)::DOUBLE)
+         |       + (256 - count(*))::DOUBLE) AS raw
+         |  FROM regs GROUP BY source),
+         |exact AS (
+         |  SELECT source, count(DISTINCT w) AS n_exact FROM hw GROUP BY 1)
+         |SELECT source, n_exact,
+         |  CASE WHEN raw <= 640.0 AND empty > 0
+         |    THEN round(256.0 * ln(256.0 / empty::DOUBLE), 6)
+         |    ELSE round(raw, 6) END AS n_hll
+         |FROM est JOIN exact USING (source)""".stripMargin
+    },
 
     "x17_hash_embedding" ->
       s"""WITH tok AS (

@@ -120,7 +120,8 @@ object ScaleFixture {
       "d14_lsh_recall", "v12_knn_multiprobe", "v13_knn_pq_adc",
       "v14_knn_ivf_adc", "p20_weighted_sample", "x13_source_divergence",
       "x14_unigram_logprob", "d15_source_cap", "d18_incremental_dedup",
-      "x16_bigram_logprob", "x17_hash_embedding")
+      "x16_bigram_logprob", "x17_hash_embedding", "t6_cms_heavy_hitters",
+      "x18_hll_distinct")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

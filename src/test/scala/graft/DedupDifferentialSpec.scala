@@ -244,6 +244,35 @@ class DedupDifferentialSpec extends SparkSpec {
     graft.queries.Dedup.evictCaches(spark)
   }
 
+  test("incremental dedup (d18): flags new-vs-ref dups only, never new-vs-new") {
+    import spark.implicits._
+    // hashSample(doc_id, 0.5) splits ids into ref/new deterministically;
+    // find one id of each side, then plant: one NEW doc duplicating a
+    // REF doc (must flag) and two identical NEW docs (must NOT flag —
+    // the increment never self-joins; intra-batch dedup is d1/d2's job).
+    def isRef(id: Long): Boolean =
+      graft.functions.HashFunctions.knuthHashJvm(id) < 2147483648L
+    val refId = (0L to 100L).find(isRef).get
+    val newIds = (0L to 100L).filterNot(isRef).take(3)
+    val Seq(n1, n2, n3) = newIds
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "uno dos tres cuatro cinco seis siete ocho"
+    val docs = Seq(
+      (refId, a), // reference original
+      (n1, a),    // new dup of the reference doc → flagged
+      (n2, b), (n3, b)) // identical new docs → NOT flagged
+      .map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d18_incremental_dedup")(spark, dir)
+      .select($"doc_id", $"n_dup_partners", $"best_ref")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(n1), s"only the ref-dup flags, got $got")
+    assert(got(n1) == ((1L, refId)))
+  }
+
   test("containment (d16) keeps subset pairs the Jaccard threshold loses") {
     import spark.implicits._
     // small = the first 8 words of big → every small shingle is in big:

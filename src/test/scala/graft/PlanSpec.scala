@@ -169,6 +169,7 @@ class PlanSpec extends SparkSpec {
       "v14_knn_ivf_adc", // 10-row centroid codebook broadcast (v4 shape)
       "x12_source_mix", // 1-row total-tokens + 1-row weight-sum broadcasts
       "x13_source_divergence", // 1-row corpus-total broadcast
+      "t6_cms_heavy_hitters", // 1-row corpus-total broadcast
       "x14_unigram_logprob", // 1-row corpus-totals broadcast
       "x15_quality_deciles", // 1-row decile-boundary broadcast
       "x16_bigram_logprob") // 1-row vocab-size broadcast

@@ -304,6 +304,23 @@ class PropertySpec extends SparkSpec {
     assert(got.values.exists(_._3.isDefined), "degenerate: nobody converts")
   }
 
+  test("hash embedding (x17): unit L2 norm per doc, values in [-1, 1]") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("x17_hash_embedding")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dim, v) =>
+      assert(dim >= 0 && dim < 16)
+      assert(v >= -1.0 && v <= 1.0)
+    }
+    rows.groupBy(_._1).foreach { case (doc, vs) =>
+      val norm2 = vs.map(t => t._3 * t._3).sum
+      // raw/||raw|| exactly; FP rounding only
+      assert(math.abs(norm2 - 1.0) < 1e-9, s"doc $doc: |v|^2 = $norm2")
+    }
+  }
+
   test("source cap (d15): ≤ cap rows per source, lowest-hash docs win") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
