@@ -321,6 +321,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("count-min (t6): estimate ≥ true count for every word (one-sided)") {
+    import spark.implicits._
+    // one-sided error is CMS's defining contract; the emitted heavy
+    // hitters carry (est, n_true) side by side precisely so it can be
+    // checked here and by the oracle compare
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("t6_cms_heavy_hitters")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty, "degenerate: no heavy hitters at sf0.001")
+    got.foreach { case (w, est, nTrue) =>
+      assert(est >= nTrue, s"CMS must never underestimate: $w $est < $nTrue")
+    }
+  }
+
+  test("HLL (x18): estimate within the 256-register error band of exact") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("x18_hll_distinct")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // linear-counting regime at toy SF: generous ±20% band (the
+    // asymptotic HLL band is 1.04/√256 ≈ 6.5%; small-range correction
+    // error is larger but bounded)
+    rows.foreach { case (src, exact, est) =>
+      assert(est > exact * 0.8 && est < exact * 1.2,
+        s"$src: HLL $est vs exact $exact")
+    }
+  }
+
   test("source cap (d15): ≤ cap rows per source, lowest-hash docs win") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
