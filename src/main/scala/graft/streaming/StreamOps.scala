@@ -370,4 +370,33 @@ object StreamOps {
       .drop("__rep")
     streamingDedup(kept, tsCol, textCol, horizon)
   }
+
+  /** STREAM-STREAM attribution join — j10's streaming sibling and the
+    * one Structured Streaming join kind the rest of the engine doesn't
+    * exercise: purchases matched to SAME-USER views that happened at
+    * most `horizon` before them, both sides unbounded. The equi-key
+    * (user_id) plus the event-time RANGE predicate is what makes this
+    * tractable at scale: Spark buffers each side in the state store
+    * keyed on user, and the watermark + range bound let it GC a
+    * buffered view once no future purchase can reach back to it
+    * (state ∝ per-user events inside one horizon, not the stream).
+    * Inner join: a purchase with no in-horizon view emits nothing —
+    * attribution, not enrichment. Both inputs must carry event-time
+    * columns named `ts` (view side) / `p_ts` (purchase side).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      horizon: String): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", horizon)
+    val p = purchases
+      .select(col("user_id"), col("p_ts"), col("amount"))
+      .withWatermark("p_ts", horizon)
+    p.join(v,
+      p("user_id") === v("user_id") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(p("user_id"), col("v_ts"), col("p_ts"), col("amount"))
+  }
 }

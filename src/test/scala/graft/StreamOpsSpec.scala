@@ -391,4 +391,38 @@ class StreamOpsSpec extends SparkSpec {
       assert(ids == Set(1L, 5L), s"got $ids")
     } finally q.stop()
   }
+
+  test("stream-stream attribution join: purchases match in-horizon views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamOps.attributionJoin(
+      views.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "p_ts", "amount"),
+      "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      // user 1: view at 10:01, purchase at 10:05 → attributed
+      // user 2: view at 10:00, purchase at 10:20 → OUTSIDE the horizon
+      // user 3: purchase with no view at all → no row (inner join)
+      // user 1's second view at 10:04 → BOTH views attribute (1:N)
+      views.addData((1L, ts(1)), (1L, ts(4)), (2L, ts(0)))
+      purchases.addData((1L, ts(5), 9.99), (2L, ts(20), 5.0),
+        (3L, ts(6), 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      // (disjoint sentinel users — they must not attribute to each other)
+      views.addData((8L, ts(59)))
+      purchases.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test")
+        .select($"user_id", $"v_ts", $"p_ts", $"amount")
+        .as[(Long, Timestamp, Timestamp, Double)].collect().toSet
+      assert(rows == Set(
+        (1L, ts(1), ts(5), 9.99),
+        (1L, ts(4), ts(5), 9.99)), s"got $rows")
+    } finally q.stop()
+  }
 }
