@@ -239,6 +239,35 @@ object Behavioral extends QueryModule {
         .select($"w_start", $"event_type", $"value", $"event_id")
     },
 
+    // A17: per-type VARIANCE + 3σ outlier counts — the second moment the
+    // aggregate surface (count/sum/max/mean) lacked, and the rule-based
+    // anomaly flagging monitoring pipelines run per event class.
+    // Population variance from exact decimal Σx/Σx² (values carry ≤ 2dp
+    // so x² ≤ 4dp: the decimal(22,6) casts are exact, no cross-engine
+    // rounding divergence), converted to double once — (sx2 − sx²/n)/n
+    // evaluates in the same IEEE order in both engines, so the 3σ
+    // comparison per row is bit-stable. Two scans (stats, then the
+    // flagging join on the 5-key stats frame) — at 100 TB both are
+    // map-side-combined single shuffles on event_type.
+    "a17_variance_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val stats = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum($"value").as("sx"),
+          dsum($"value" * $"value").as("sx2"))
+        .select($"event_type", $"n", ($"sx" / $"n").as("mean"),
+          (($"sx2" - $"sx" * $"sx" / $"n") / $"n").as("variance"))
+      Tables.events(s, dir)
+        .join(stats, "event_type")
+        .groupBy($"event_type")
+        .agg(min($"n").as("n"),
+          round(min($"mean"), 6).as("mean"),
+          round(min($"variance"), 6).as("variance"),
+          sum(when(abs($"value" - $"mean") > lit(3.0) * sqrt($"variance"),
+            1L).otherwise(0L)).as("n_outliers"))
+    },
+
     // J10: FUNNEL sessionization — per user, the earliest chain
     // view → click → purchase with each stage's timestamp constrained
     // to follow the previous stage (the conversion analysis every
@@ -328,6 +357,24 @@ object Behavioral extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "a17_variance_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(22,6))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, sx / n AS mean,
+        |    (sx2 - sx * sx / n) / n AS variance
+        |  FROM stats)
+        |SELECT e.event_type, min(n)::BIGINT AS n,
+        |  round(min(mean), 6) AS mean,
+        |  round(min(variance), 6) AS variance,
+        |  sum(CASE WHEN abs(value - mean) > 3.0 * sqrt(variance)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
     "j10_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
