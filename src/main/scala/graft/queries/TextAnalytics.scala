@@ -681,6 +681,21 @@ object TextAnalytics extends QueryModule {
         .select($"source", $"n_exact", $"n_hll")
     },
 
+    // X19: CONTENT-DEFINED chunking — chunk boundaries cut where the
+    // Knuth hash of the token itself satisfies knuth(h) % 16 == 0
+    // (expected chunk ≈ 16 tokens), so an insertion near the head of a
+    // document only perturbs chunks up to the next boundary and every
+    // chunk after it REALIGNS — the property that makes chunk-level
+    // dedup robust to edits where x10/d13's fixed-stride windows all
+    // shift and nothing matches (spec-proven differentially). Shape:
+    // rowwise token hashing + boundary flags, a per-doc window prefix
+    // sum for chunk ids (doc-bounded partitions, the p22 pattern), one
+    // (doc, chunk) agg folding the order-sensitive x4 fingerprint, and
+    // an fp-keyed sharing join — shuffle ∝ corpus tokens then chunks.
+    "x19_cdc_chunks" -> { (s, dir) =>
+      cdcChunkFrame(Tables.documents(s, dir))
+    },
+
     // Document fingerprint: polynomial rolling hash over Java-hashed
     // tokens (order-sensitive — reorderings get different fingerprints).
     "x4_fingerprint" -> { (s, dir) =>
@@ -739,7 +754,7 @@ object TextAnalytics extends QueryModule {
     * rowwise explode — map-only at any scale. Package-visible: d13's
     * chunk-level dedup consumes the same frame.
     */
-  private[queries] def chunkFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hs = transform(TextFunctions.wsTokens($"text"),
       w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
@@ -757,6 +772,36 @@ object TextAnalytics extends QueryModule {
           .as("chunk_len"),
         HashFunctions.polyFingerprint(slice($"hs", $"i" * 48 + 1, lit(64)))
           .as("fp"))
+  }
+
+  /** CDC chunk frame (see the x19 query note): (doc_id, chunk_id,
+    * chunk_len, fp, shared). Takes the documents frame directly so the
+    * shift-robustness spec can feed planted corpora.
+    */
+  private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = transform(TextFunctions.wsTokens(col("text")),
+      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+        lit(4294967296L)))
+    val tok = docs
+      .select(col("doc_id"), posexplode(hs))
+      .select(col("doc_id"), col("pos"), col("col").as("h"),
+        when(col("pos") > 0 &&
+          pmod(HashFunctions.knuthHash(col("col")), lit(16L)) === 0, 1L)
+          .otherwise(0L).as("b"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val frame = tok.withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("chunk_len"),
+        HashFunctions.polyFingerprint(
+          transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+            x => x("h"))).as("fp"))
+    val fpDocs = frame.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    frame.join(fpDocs, Seq("fp"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_len"), col("fp"),
+        when(col("nd") >= 2, 1L).otherwise(0L).as("shared"))
   }
 
   /** DuckDB replay of [[chunkFrame]] — a full SELECT over `documents`. */
@@ -1011,6 +1056,37 @@ object TextAnalytics extends QueryModule {
          |    AS kl_vs_corpus
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
+
+    "x19_cdc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents),
+         |ih AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(hs))) AS i,
+         |    unnest(hs) AS h
+         |  FROM t),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, h,
+         |    CASE WHEN i > 1 AND (${OracleFragments.knuthU32("h")}) % 16 = 0
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM ih),
+         |chunked AS (
+         |  SELECT doc_id, pos, h,
+         |    (sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS chunk_id
+         |  FROM tok),
+         |frame AS (
+         |  SELECT doc_id, chunk_id, count(*) AS chunk_len,
+         |    list_reduce(list_prepend(0::BIGINT, list(h ORDER BY pos)),
+         |      (acc, x) -> ((acc * 31 + x) % 1000000007 + 1000000007)
+         |        % 1000000007) AS fp
+         |  FROM chunked GROUP BY 1, 2),
+         |fpd AS (
+         |  SELECT fp, count(*) AS nd FROM (
+         |    SELECT DISTINCT doc_id, fp FROM frame) GROUP BY 1)
+         |SELECT doc_id, chunk_id, chunk_len, fp,
+         |  CASE WHEN nd >= 2 THEN 1::BIGINT ELSE 0::BIGINT END AS shared
+         |FROM frame JOIN fpd USING (fp)""".stripMargin,
 
     "t6_cms_heavy_hitters" ->
       s"""WITH counts AS (

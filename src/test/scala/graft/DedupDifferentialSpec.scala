@@ -273,6 +273,41 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(got(n1) == ((1L, refId)))
   }
 
+  test("CDC chunks (x19) realign after an insertion; fixed-stride chunks don't") {
+    import spark.implicits._
+    // base = 200 distinct tokens; shifted = one token INSERTED at the
+    // front. Fixed-stride windows (x10's 64/48) all slide by one token
+    // → zero shared fingerprints. CDC boundaries depend on token
+    // content, so every chunk after the first boundary is identical in
+    // both docs → shared fingerprints survive the edit. This is the
+    // property content-defined chunking exists for.
+    val baseToks = (0 until 200).map(i => s"cdc$i")
+    val docs = Seq(
+      (0L, baseToks.mkString(" ")),
+      (1L, ("INS" +: baseToks).mkString(" ")))
+      .map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val cdc = graft.queries.TextAnalytics.cdcChunkFrame(
+        graft.core.Tables.documents(spark, dir))
+      .select($"doc_id", $"fp").as[(Long, Long)].collect()
+    val cdcShared = cdc.filter(_._1 == 0L).map(_._2).toSet
+      .intersect(cdc.filter(_._1 == 1L).map(_._2).toSet)
+    assert(cdcShared.nonEmpty,
+      "CDC chunks must realign downstream of the first content boundary")
+    // fixed-stride comparison on the SAME corpus: x10's chunk frame
+    val fixed = graft.queries.TextAnalytics.chunkFrame(spark, dir)
+      .select($"doc_id", $"fp").as[(Long, Long)].collect()
+    val fixedShared = fixed.filter(_._1 == 0L).map(_._2).toSet
+      .intersect(fixed.filter(_._1 == 1L).map(_._2).toSet)
+    assert(fixedShared.isEmpty,
+      "fixed-stride windows must all shift under a head insertion " +
+        s"(got shared $fixedShared)")
+    // sanity: both docs produced multiple CDC chunks (boundaries fired)
+    assert(cdc.count(_._1 == 0L) > 1, "no content boundary fired in 200 tokens")
+  }
+
   test("containment (d16) keeps subset pairs the Jaccard threshold loses") {
     import spark.implicits._
     // small = the first 8 words of big → every small shingle is in big:
