@@ -68,6 +68,58 @@ object Similarity extends QueryModule {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  private val SemTau = 0.4 // d19 semantic-dup cosine threshold (= d5's)
+
+  /** v6's deterministic 2-round Lloyd assignment, factored so d19 (and
+    * the spec's planted corpora) reuse it: init = first k vectors,
+    * argmax cosine with ties on cid, decimal-exact centroid update.
+    * Output: (vec_id, embedding, cid).
+    */
+  private[graft] def kmeansAssign(corpus: DataFrame, k: Int): DataFrame = {
+    val cents0 = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    def assignTo(cents: DataFrame): DataFrame =
+      graft.operators.KeyedOps.topKPerKey(
+          corpus.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("embedding"), col("cid"),
+              VectorFunctions.cosine(col("embedding"), col("c_emb"))
+                .as("csim")),
+          Seq(col("vec_id")), Seq(col("csim").desc, col("cid")), 1, "crank")
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    val cents1 = assignTo(cents0)
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(22,8)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), x => x("m")).as("c_emb"))
+    assignTo(cents1)
+  }
+
+  /** d19 frame (see the query note): (vec_id, cid, n_dups, dropped).
+    * The assignment localCheckpoints once — the cid self-join would
+    * otherwise run both Lloyd rounds (two corpus passes each) twice.
+    */
+  private[graft] def semanticDedupFrame(corpus: DataFrame, k: Int,
+      tau: Double): DataFrame = {
+    val assign = kmeansAssign(corpus, k).localCheckpoint()
+    val a = assign.select(col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("cid"))
+    val b = assign.select(col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("cid"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        VectorFunctions.cosine(col("e_a"), col("e_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id")).agg(count(lit(1)).as("n_dups"))
+    assign.select(col("vec_id"), col("cid").cast("bigint").as("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(coalesce(col("n_dups"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("dropped"))
+  }
+
   /** Shared symmetric int8 quantization pipeline (v7/v8): per vector,
     * scale = max|x|/127 and codes q_i = floor(x_i/scale + 0.5)
     * (floor-shift, NOT round() — HALF_UP vs HALF_EVEN diverges between
@@ -215,25 +267,25 @@ object Similarity extends QueryModule {
     // stay K rows regardless of corpus size.
     "v6_kmeans" -> { (s, dir) =>
       import s.implicits._
-      val corpus = emb(s, dir).select($"vec_id", $"embedding")
-      val cents0 = corpus.filter($"vec_id" < KmK)
-        .select($"vec_id".as("cid"), $"embedding".as("c_emb"))
-      def assignTo(cents: DataFrame): DataFrame =
-        graft.operators.KeyedOps.topKPerKey(
-            corpus.crossJoin(broadcast(cents))
-              .select($"vec_id", $"embedding", $"cid",
-                VectorFunctions.cosine($"embedding", $"c_emb").as("csim")),
-            Seq($"vec_id"), Seq($"csim".desc, $"cid"), 1, "crank")
-          .select($"vec_id", $"embedding", $"cid")
-      val cents1 = assignTo(cents0)
-        .select($"cid", posexplode($"embedding"))
-        .groupBy($"cid", $"pos")
-        .agg((sum($"col".cast("double").cast("decimal(22,8)")).cast("double")
-          / count(lit(1))).as("m"))
-        .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-        .select($"cid", transform($"pm", x => x("m")).as("c_emb"))
-      assignTo(cents1).select($"vec_id", $"cid".cast("bigint").as("cid"))
+      kmeansAssign(emb(s, dir).select($"vec_id", $"embedding"), KmK)
+        .select($"vec_id", $"cid".cast("bigint").as("cid"))
+    },
+
+    // D19: SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): cluster
+    // the embeddings (v6's deterministic 2-round k-means), generate
+    // cosine-over-threshold pairs ONLY within a cluster, and apply the
+    // keep-first exemplar policy (a vector drops iff a smaller-id
+    // same-cluster neighbor sits at cosine >= tau). The published
+    // economics: candidate pairs fall from corpus^2 (d5's exact
+    // triangular grid) to sum(cluster^2) ~ corpus^2/K, and K scales
+    // with the cluster count — the within-cluster self-join is keyed on
+    // cid, so each task scores one cluster and the corpus never
+    // broadcasts. d5 stays the exact-recall path; this is the
+    // documented-approximation path (misses cross-cluster pairs —
+    // `DedupDifferentialSpec` measures exactly that differential).
+    "d19_semantic_dedup" -> { (s, dir) =>
+      semanticDedupFrame(emb(s, dir).select(col("vec_id"), col("embedding")),
+        KmK, SemTau)
     },
 
     // V5: per-label centroid (element-wise mean embedding) — grouped
@@ -660,6 +712,36 @@ object Similarity extends QueryModule {
     s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
        |  list_transform($a, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))""".stripMargin
 
+  /** DuckDB replay of [[kmeansAssign]] at k = KmK: CTEs ending in
+    * `assign1(vec_id, embedding, cid)` — shared by v6 and d19.
+    */
+  private lazy val kmeansCteSql: String =
+    s"""cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < $KmK),
+       |a0 AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+       |    FROM embeddings e CROSS JOIN cents0 c)
+       |  WHERE crank = 1),
+       |dimmean AS (
+       |  SELECT cid, i,
+       |    CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(22,8))) AS DOUBLE)
+       |      / count(*) AS m
+       |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+       |  GROUP BY 1, 2),
+       |cents1 AS (
+       |  SELECT cid, list(m ORDER BY i) AS c_emb FROM dimmean GROUP BY cid),
+       |assign1 AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
+       |    FROM embeddings e CROSS JOIN cents1 c)
+       |  WHERE crank = 1)""".stripMargin
+
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
 
@@ -804,30 +886,22 @@ object Similarity extends QueryModule {
          |WHERE rank <= $K""".stripMargin,
 
     "v6_kmeans" ->
-      s"""WITH cents0 AS (
-         |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id < $KmK),
-         |a0 AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
-         |    FROM embeddings e CROSS JOIN cents0 c)
-         |  WHERE crank = 1),
-         |dimmean AS (
-         |  SELECT cid, i,
-         |    CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(22,8))) AS DOUBLE)
-         |      / count(*) AS m
-         |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
-         |  GROUP BY 1, 2),
-         |cents1 AS (
-         |  SELECT cid, list(m ORDER BY i) AS c_emb FROM dimmean GROUP BY cid)
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS crank
-         |  FROM embeddings e CROSS JOIN cents1 c)
-         |WHERE crank = 1""".stripMargin,
+      s"""WITH $kmeansCteSql
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM assign1""".stripMargin,
+
+    "d19_semantic_dedup" ->
+      s"""WITH $kmeansCteSql,
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, count(*) AS n_dups
+         |  FROM assign1 a JOIN assign1 b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $SemTau
+         |  GROUP BY 1)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+         |  coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+         |  CASE WHEN coalesce(d.n_dups, 0) > 0 THEN 1::BIGINT
+         |    ELSE 0::BIGINT END AS dropped
+         |FROM assign1 a LEFT JOIN dups d ON a.vec_id = d.vec_id""".stripMargin,
 
     "v5_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, i - 1 AS pos,

@@ -165,6 +165,7 @@ class PlanSpec extends SparkSpec {
     // accidental quadratic plan and must fail this sweep.
     val boundedBnlj = Set("d5_embed_neardup", "j3_tfidf",
       "j5_above_global_avg", "v4_knn_ivf", "v6_kmeans", "x7_pmi_bigrams",
+      "d19_semantic_dedup", // K-row centroid broadcast (v6's assignment)
       "v8_knn_int8", // 20-row query slice broadcast, corpus never loops
       "v14_knn_ivf_adc", // 10-row centroid codebook broadcast (v4 shape)
       "x12_source_mix", // 1-row total-tokens + 1-row weight-sum broadcasts
