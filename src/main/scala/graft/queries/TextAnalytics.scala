@@ -22,6 +22,9 @@ object TextAnalytics extends QueryModule {
   /** Per-language stopword profiles for the n-gram/token language-ID
     * heuristic (tiny, broadcast as literals into codegen).
     */
+  /** x20's designated target domain (the DSIR "high-quality" side). */
+  private val DsirTarget = "src0"
+
   /** Char-trigram profiles for the n-gram language-ID variant. */
   private val charProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "ing", "and", " th", "er "),
@@ -681,6 +684,51 @@ object TextAnalytics extends QueryModule {
         .select($"source", $"n_exact", $"n_hll")
     },
 
+    // X20: DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every document by its summed log-likelihood ratio between a
+    // TARGET-domain unigram LM (docs from DsirTarget) and the raw-corpus
+    // LM, both add-one smoothed over the shared vocab —
+    // w_d = Σ_w n_dw·[ln p_t(w) − ln p_r(w)] — then flag the top
+    // quartile as selected (x15's exact boundary-from-ONE-aggregate
+    // pattern, never a global-sort window). The paper scores hashed
+    // n-gram features; exact unigrams keep the score SQL-replayable
+    // while preserving the estimator's shape. Plan: ONE (doc, source, w)
+    // counts aggregate feeds both LMs (exchange reuse), a vocab-bounded
+    // left join aligns them (unseen-in-target words get the smoothing
+    // floor), totals broadcast as 1 row. Shuffles carry (doc, w) counts
+    // then the vocab — never the corpus. ln parity: x13/x14 convention.
+    "x20_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      val dw = Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"doc_id", $"source", $"w").agg(count(lit(1)).as("n_dw"))
+      val rw = dw.groupBy($"w").agg(sum($"n_dw").as("n_rw"))
+      val tw = dw.filter($"source" === DsirTarget)
+        .groupBy($"w").agg(sum($"n_dw").as("n_tw"))
+      val vocab = rw.join(tw, Seq("w"), "left")
+        .select($"w", $"n_rw", coalesce($"n_tw", lit(0L)).as("n_tw"))
+      val tot = vocab.agg(sum($"n_rw").as("n_r"), sum($"n_tw").as("n_t"),
+        count(lit(1)).as("v"))
+      val scored = dw.join(vocab, "w")
+        .crossJoin(broadcast(tot)) // 1-row LM totals
+        .select($"doc_id", $"n_dw",
+          round($"n_dw".cast("double") *
+              (log(($"n_tw" + 1).cast("double")) -
+               log(($"n_t" + $"v").cast("double")) -
+               log(($"n_rw" + 1).cast("double")) +
+               log(($"n_r" + $"v").cast("double"))), 9)
+            .cast("decimal(28,12)").as("term"))
+        .groupBy($"doc_id")
+        .agg(sum($"n_dw").as("n_tokens"),
+          round(sum($"term").cast("double"), 6).as("logratio"))
+      val bound = scored.agg(percentile($"logratio", lit(0.75)).as("b"))
+      scored.crossJoin(broadcast(bound)) // 1-row quartile boundary
+        .select($"doc_id", $"n_tokens", $"logratio",
+          when($"logratio" > $"b", 1L).otherwise(0L).as("selected"))
+    },
+
     // X19: CONTENT-DEFINED chunking — chunk boundaries cut where the
     // Knuth hash of the token itself satisfies knuth(h) % 16 == 0
     // (expected chunk ≈ 16 tokens), so an insertion near the head of a
@@ -1056,6 +1104,34 @@ object TextAnalytics extends QueryModule {
          |    AS kl_vs_corpus
          |FROM sw JOIN cw USING (w) JOIN ns USING (source), nc
          |GROUP BY source""".stripMargin,
+
+    "x20_dsir_weights" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, source, w, count(*) AS n_dw FROM (
+         |    SELECT doc_id, source, unnest(${ws("text")}) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |rw AS (SELECT w, sum(n_dw)::BIGINT AS n_rw FROM dw GROUP BY 1),
+         |tw AS (SELECT w, sum(n_dw)::BIGINT AS n_tw FROM dw
+         |       WHERE source = '$DsirTarget' GROUP BY 1),
+         |vocab AS (
+         |  SELECT r.w, r.n_rw, coalesce(t.n_tw, 0)::BIGINT AS n_tw
+         |  FROM rw r LEFT JOIN tw t ON r.w = t.w),
+         |tot AS (SELECT sum(n_rw)::BIGINT AS n_r, sum(n_tw)::BIGINT AS n_t,
+         |        count(*)::BIGINT AS v FROM vocab),
+         |scored AS (
+         |  SELECT doc_id, sum(n_dw)::BIGINT AS n_tokens,
+         |    round(CAST(sum(CAST(round(n_dw::DOUBLE *
+         |        (ln((n_tw + 1)::DOUBLE) - ln((n_t + v)::DOUBLE)
+         |         - ln((n_rw + 1)::DOUBLE) + ln((n_r + v)::DOUBLE)), 9)
+         |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS logratio
+         |  FROM dw JOIN vocab USING (w), tot
+         |  GROUP BY doc_id),
+         |b AS (SELECT quantile_cont(logratio, 0.75) AS b FROM scored)
+         |SELECT doc_id, n_tokens, logratio,
+         |  CASE WHEN logratio > b THEN 1::BIGINT ELSE 0::BIGINT END
+         |    AS selected
+         |FROM scored, b""".stripMargin,
 
     "x19_cdc_chunks" ->
       s"""WITH t AS (

@@ -368,4 +368,33 @@ class PropertySpec extends SparkSpec {
     got.values.foreach(ids =>
       assert(ids.size <= graft.queries.Dedup.SourceCap))
   }
+
+  test("DSIR weights (x20): target-vocabulary docs outscore off-target docs") {
+    import spark.implicits._
+    // target domain (src0) speaks vocab A; the raw corpus also holds
+    // vocab-B docs. A candidate written in vocab A must get a higher
+    // importance weight than one written in vocab B — the resampling
+    // signal DSIR selects on. Equal doc lengths isolate the LM ratio.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "src0"),
+      (1L, "beta gamma delta alpha", "src0"),
+      (2L, "omega sigma tau phi", "src1"),
+      (3L, "sigma tau phi omega", "src1"),
+      (10L, "alpha beta gamma delta", "src2"), // target-like candidate
+      (11L, "omega sigma tau phi", "src2")) // off-target candidate
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("x20_dsir_weights")(spark, dir)
+      .select($"doc_id", $"logratio", $"selected")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(got(10L)._1 > got(11L)._1,
+      s"target-vocab doc must outscore off-target: $got")
+    assert(got(0L)._1 > got(2L)._1, "target docs themselves score high")
+    // the top quartile of 6 docs = the docs strictly above the p75
+    // boundary; the off-target candidates must not be in it
+    assert(got(11L)._2 == 0L && got(2L)._2 == 0L && got(3L)._2 == 0L)
+  }
 }
