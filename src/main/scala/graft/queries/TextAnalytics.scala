@@ -190,6 +190,55 @@ object TextAnalytics extends QueryModule {
           array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
     },
 
+    // J11: BM25 ranked retrieval — the lexical serving path the
+    // inverted index (j9) exists for, and the keyword complement of the
+    // vector ANN family (v3/v12/v14): Okapi BM25 with k1=1.2, b=0.75,
+    // IDF = ln(1 + (N − df + 0.5)/(df + 0.5)). Queries are
+    // query-by-example: the first 3 tokens of docs 0–4 (qid = doc_id) —
+    // derived from the data, so the oracle replays them. Plan: ONE
+    // (doc, w) counts aggregate feeds doc lengths, df, AND postings
+    // (exchange reuse); the ≤15-term query set and its df slice
+    // broadcast, so the scoring join touches only the query terms'
+    // postings — cost ∝ df of the query vocabulary, never the corpus;
+    // top-10 per query via the T1 rank machinery. Double parity: IDF
+    // ln round-9 (x13 convention), the TF fraction is pure IEEE double
+    // arithmetic written in the same operation order in both engines,
+    // per-term product round-9, decimal sum, final round-6.
+    "j11_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val dw = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
+      val len = dw.groupBy($"doc_id").agg(sum($"n_dw").as("len_d"))
+      val df = dw.groupBy($"w").agg(count(lit(1)).as("df"))
+      val tot = len.agg(count(lit(1)).as("n_docs"),
+        (sum($"len_d").cast("double") / count(lit(1))).as("avglen"))
+      val q = Tables.documents(s, dir).filter($"doc_id" < 5)
+        .select($"doc_id".as("qid"),
+          explode(slice(TextFunctions.wsTokens($"text"), 1, 3)).as("w"))
+        .distinct()
+      val dfq = df.join(broadcast(q.select($"w").distinct()), "w")
+      val scored = dw.join(broadcast(q), "w")
+        .join(broadcast(dfq), "w")
+        .join(len, "doc_id")
+        .crossJoin(broadcast(tot)) // 1-row (n_docs, avglen)
+        .select($"qid", $"doc_id",
+          round(
+            round(log(lit(1.0) +
+                ($"n_docs".cast("double") - $"df" + lit(0.5)) /
+                ($"df" + lit(0.5))), 9) *
+              (($"n_dw" * lit(1.2 + 1)) /
+               ($"n_dw".cast("double") + lit(1.2) *
+                 (lit(1 - 0.75) + lit(0.75) *
+                   $"len_d".cast("double") / $"avglen"))), 9)
+            .cast("decimal(28,12)").as("term"))
+        .groupBy($"qid", $"doc_id")
+        .agg(round(sum($"term").cast("double"), 6).as("score"))
+      graft.operators.KeyedOps.topKPerKey(scored, Seq($"qid"),
+          Seq($"score".desc, $"doc_id"), 10)
+        .select($"qid", $"doc_id", $"score", $"rank")
+    },
+
     // X7: bigram PMI — collocation strength of consecutive token pairs
     // (the n-gram LM / contamination-fingerprint table). Three hash aggs
     // (bigrams, unigrams, total) + two vocab-sized joins; ln rounded to
@@ -941,6 +990,38 @@ object TextAnalytics extends QueryModule {
          |FROM (SELECT DISTINCT doc_id, unnest(${tok("text")}) AS word
          |      FROM documents)
          |GROUP BY word""".stripMargin,
+
+    "j11_bm25" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, w, count(*) AS n_dw FROM (
+         |    SELECT doc_id, unnest(${ws("text")}) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |len AS (SELECT doc_id, sum(n_dw)::BIGINT AS len_d FROM dw
+         |        GROUP BY 1),
+         |df AS (SELECT w, count(*)::BIGINT AS df FROM dw GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_docs,
+         |        sum(len_d)::DOUBLE / count(*) AS avglen FROM len),
+         |q AS (
+         |  SELECT DISTINCT qid, w FROM (
+         |    SELECT doc_id AS qid,
+         |      unnest(list_slice(${ws("text")}, 1, 3)) AS w
+         |    FROM documents WHERE doc_id < 5)),
+         |scored AS (
+         |  SELECT q.qid, dw.doc_id,
+         |    round(CAST(sum(CAST(round(
+         |        round(ln(1.0 + (n_docs::DOUBLE - df + 0.5) / (df + 0.5)),
+         |          9) *
+         |        ((n_dw * (1.2 + 1)) /
+         |         (n_dw::DOUBLE + 1.2 *
+         |           ((1 - 0.75) + 0.75 * len_d::DOUBLE / avglen))), 9)
+         |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+         |  FROM dw JOIN q USING (w) JOIN df USING (w)
+         |    JOIN len ON dw.doc_id = len.doc_id, tot
+         |  GROUP BY 1, 2)
+         |SELECT qid, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, doc_id) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
 
     "x7_pmi_bigrams" ->
       s"""WITH toks AS (
