@@ -268,6 +268,48 @@ object Behavioral extends QueryModule {
             1L).otherwise(0L)).as("n_outliers"))
     },
 
+    // A18: per-user TRAILING-HOUR window stats — the time-RANGE frame
+    // (`RANGE BETWEEN 1h PRECEDING AND CURRENT ROW`) the window surface
+    // lacked: rows/prefix frames (x12/p22/a11) count rows, this one
+    // bounds the frame by the ORDERING VALUE, the shape of rate
+    // limiting, trailing-activity features, and rolling QoS stats.
+    // Partitioned on user_id — high-cardinality, so partitions stay
+    // bounded at 100 TB (the same frame keyed on the 5-value event_type
+    // would serialize each type through one task: the known low-
+    // cardinality range-window trap — shard first if you need that).
+    // Ties on ts_us are frame PEERS in both engines (all included), so
+    // the result is order-insensitive. Mean = decimal window sum cast
+    // double / count, round 6 (a17's parity convention).
+    "a18_trailing_hour" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"value".cast("decimal(22,6)").as("v"))
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum($"v").over(w).cast("double") / count(lit(1)).over(w), 6)
+            .as("mean_1h"))
+    },
+
+    // A19: ROLLUP aggregation — the multi-level grouping-sets surface
+    // (per (lang, source), per lang, grand total in ONE aggregate):
+    // the cube/rollup machinery reporting layers run instead of three
+    // separate groupBys + union. Catalyst expands the rollup to
+    // grouping sets inside a single Expand + hash aggregate with
+    // map-side combine — one shuffle carrying ≤3× the group cardinality
+    // (bounded by lang×source, not the corpus). gid is the standard
+    // grouping bit-vector (lang = MSB), identical in both engines.
+    "a19_rollup_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .rollup($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          grouping_id().as("gid"))
+    },
+
     // J10: FUNNEL sessionization — per user, the earliest chain
     // view → click → purchase with each stage's timestamp constrained
     // to follow the previous stage (the conversion analysis every
@@ -374,6 +416,21 @@ object Behavioral extends QueryModule {
         |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM events e JOIN m USING (event_type)
         |GROUP BY 1""".stripMargin,
+
+    "a18_trailing_hour" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(CAST(sum(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
+        |    / (count(*) OVER w), 6) AS mean_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a19_rollup_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  (2 * GROUPING(lang) + GROUPING(source))::BIGINT AS gid
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "j10_funnel" ->
       """WITH ev AS (
