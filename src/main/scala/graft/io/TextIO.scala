@@ -45,6 +45,45 @@ object TextIO {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(dir)
 
+  /** JSONL (one JSON object per line) corpus ingest — the standard
+    * training-data interchange format. PERMISSIVE mode with an explicit
+    * `_corrupt` column: malformed lines survive as a corrupt-record row
+    * instead of failing the job (the P13 tolerant-parse policy applied
+    * to the IO layer), so a 100 TB crawl drop with a few bad shards
+    * still loads; callers split on `_corrupt IS NULL` and count the
+    * rejects (`jsonlRejects`). The schema is caller-supplied — schema
+    * inference would be a second full pass over the data.
+    */
+  def readJsonl(spark: SparkSession, dir: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+
+  /** Writes one JSON object per line (sharded like [[writeLines]]). */
+  def writeJsonl(df: DataFrame, dir: String, shards: Int = 1): Unit =
+    df.repartition(shards).write.mode("overwrite").json(dir)
+
+  /** The reject count for a [[readJsonl]] directory (a P5-style
+    * counter). Spark forbids querying ONLY the corrupt column off the
+    * native json source (it would prune the scan to nothing), and
+    * caching a 100 TB frame just to count rejects is not a plan — so
+    * this is one independent codegen'd text scan + `from_json` with the
+    * same corrupt-record contract as [[readJsonl]].
+    */
+  def jsonlRejects(spark: SparkSession, dir: String,
+                   schema: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(dir)
+      .select(from_json(col("value"), schema.add("_corrupt", "string"),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .filter(col("r._corrupt").isNotNull)
+      .count()
+  }
+
   /** S4 batch: one output directory per window — `partitionBy` on the
     * window-start column (reference windowed `FilenamePolicy`,
     * `WriteOneFilePerWindow.java:46-116`).

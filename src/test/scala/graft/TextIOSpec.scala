@@ -115,4 +115,27 @@ class TextIOSpec extends SparkSpec {
     assert(ev.count(e => e.eventTimeMs != e.arrivalMs) == 4)
     assert(ev == Injector.events(20, Seq("a", "b"), 0L, 1000L, 5, 60000L))
   }
+
+  test("S13: JSONL roundtrip; corrupt lines survive as counted rejects") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    // write a valid JSONL shard, then append a hand-broken one
+    val docs = Seq((1L, "alpha", "en"), (2L, "beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    TextIO.writeJsonl(docs, s"$dir/out")
+    val extra = new java.io.PrintWriter(s"$dir/out/part-corrupt.json")
+    extra.println("""{"doc_id": 3, "text": "gamma", "lang": "fr"}""")
+    extra.println("""{"doc_id": 4, "text": BROKEN""")
+    extra.close()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val got = TextIO.readJsonl(spark, s"$dir/out", schema)
+    assert(TextIO.jsonlRejects(spark, s"$dir/out", schema) == 1,
+      "exactly the broken line rejects")
+    val ok = got.filter($"_corrupt".isNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(ok == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")),
+      s"valid rows must all load: $ok")
+  }
 }
