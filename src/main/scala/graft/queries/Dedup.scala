@@ -41,6 +41,31 @@ object Dedup extends QueryModule {
     shingleArr(s, dir).select($"doc_id", explode($"arr").as("shingle"))
   }
 
+  /** ROWWISE MinHash band keys — the same NumPerm/BandSize signature as
+    * [[minhashSigsOf]]/[[lshBandPairs]] (identical permutation
+    * constants, so a row's keys equal the batch path's bit-for-bit) but
+    * computed per row with no groupBy: `array_min` over the fused
+    * shingle array replaces the per-doc min-aggregate. This is what a
+    * STREAMING near-dup filter needs — band keys must exist before the
+    * first stateful operator. Keys are prefixed with the band index
+    * (`"idx|k1,k2,.."`), matching lshBandPairs' (band_idx, band_key)
+    * equality. Empty-shingle docs (< width tokens) get an empty array.
+    */
+  private[graft] def rowwiseBandKeys(text: Column): Column = {
+    val sh = HashedShinglesExpr.hashedShingles(text, 3)
+    val sig = array((0 until NumPerm).map { j =>
+      array_min(transform(sh,
+        x => pmod(x * lit(2L * j + 1) + lit(12345L * j + 1), lit(P))))
+    }: _*)
+    when(size(sh) > 0,
+      transform(sequence(lit(0), lit(NumPerm / BandSize - 1)), b =>
+        concat_ws("|", b.cast("string"),
+          array_join(transform(
+            slice(sig, b * lit(BandSize) + lit(1), lit(BandSize)),
+            x => x.cast("string")), ","))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Near-dup candidate pairs with exact Jaccard, `jaccard >= threshold`.
     *
     * Scale shape: each doc's distinct-shingle count is computed ROWWISE

@@ -371,6 +371,94 @@ object StreamOps {
     streamingDedup(kept, tsCol, textCol, horizon)
   }
 
+  case class BandRow(band: String, docId: Long, ts: Timestamp)
+  case class BandOwner(ownerId: Long, lastTsMs: Long)
+  case class BandVerdict(docId: Long, ts: Timestamp, hit: Long, owner: Long)
+
+  /** STREAMING NEAR-dup filter — `streamingDedup`'s MinHash sibling:
+    * the online form of the batch d3 LSH path, for ingest pipelines
+    * that must flag near-duplicates (not just byte-identical copies) as
+    * documents arrive. Band keys are computed ROWWISE
+    * ([[graft.queries.Dedup.rowwiseBandKeys]] — bit-identical to the
+    * batch signatures, which is what the symmetry spec asserts), then
+    * ONE `flatMapGroupsWithState` keyed on the band claims each band
+    * for its first-seen doc and emits a hit for every later doc landing
+    * on an owned band within `horizonMs`; a downstream per-(doc, ts)
+    * aggregation folds the per-band verdicts into
+    * `(doc_id, ts, n_band_hits, dup_of)` — `dup_of` = the smallest
+    * owning doc, NULL for novel docs. Expiry is two-layered: the data
+    * path re-claims a band whose owner has fallen `horizonMs` behind
+    * the watermark (state may linger until a quiet batch), and
+    * EventTimeTimeout GCs silent bands — state is bounded by the bands
+    * seen per horizon, sharded across the cluster by band key. Docs
+    * with no shingles (< 3 tokens) produce no bands and no output row;
+    * union them back as trivially-novel if needed. Results for a doc
+    * emit once the watermark passes its event time.
+    *
+    * Spark's static multi-stateful-operator check rejects EVERY
+    * fmgws → aggregation chain, because an arbitrary fmgws could emit
+    * event times older than the watermark (late for the downstream
+    * agg). This one cannot: every verdict carries its input row's `ts`
+    * UNCHANGED, input rows are already watermark-filtered, and timeout
+    * processing emits nothing — so no emitted row can be late for the
+    * identical downstream watermark. The operator therefore disables
+    * `statefulOperator.checkCorrectness` on the session (the check is
+    * static, not per-query, so this is the supported escape hatch).
+    */
+  def streamingNearDedup(docs: DataFrame, tsCol: String, idCol: String,
+                         textCol: String, horizonMs: Long)
+                        (implicit spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false") // safe: see the scaladoc invariant
+    val bands = docs
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
+        explode(graft.queries.Dedup.rowwiseBandKeys(col(textCol)))
+          .as("band"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select($"band", $"docId", $"ts").as[BandRow]
+    val verdicts = bands.groupByKey(_.band)
+      .flatMapGroupsWithState[BandOwner, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[BandRow], state: GroupState[BandOwner]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // deterministic within-batch order: event time, then id
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            val out = List.newBuilder[BandVerdict]
+            var owner = state.getOption
+              // data-path expiry: a stale owner no longer blocks claims
+              .filter(_.lastTsMs + horizonMs > wm)
+            sorted.foreach { r =>
+              owner match {
+                case Some(o) =>
+                  out += BandVerdict(r.docId, r.ts,
+                    if (r.docId == o.ownerId) 0L else 1L, o.ownerId)
+                  owner = Some(o.copy(
+                    lastTsMs = math.max(o.lastTsMs, r.ts.getTime)))
+                case None =>
+                  owner = Some(BandOwner(r.docId, r.ts.getTime))
+                  out += BandVerdict(r.docId, r.ts, 0L, r.docId)
+              }
+            }
+            owner.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(
+                math.max(o.lastTsMs + horizonMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+    verdicts.toDF()
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .groupBy($"docId".as("doc_id"), $"ts")
+      .agg(sum($"hit").as("n_band_hits"),
+        min(when($"hit" === 1, $"owner")).as("dup_of"))
+  }
+
   /** STREAM-STREAM attribution join — j10's streaming sibling and the
     * one Structured Streaming join kind the rest of the engine doesn't
     * exercise: purchases matched to SAME-USER views that happened at

@@ -425,4 +425,70 @@ class StreamOpsSpec extends SparkSpec {
         (1L, ts(4), ts(5), 9.99)), s"got $rows")
     } finally q.stop()
   }
+
+  test("streaming near-dedup: LSH band hits match the batch algebra; band state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val aTxt = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val bTxt = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val cTxt = "completely different content about spark structured streaming state stores"
+    val xTxt = "yet another unrelated filler document advancing the watermark forward now"
+    // fixture validation against the BATCH algebra: (A, B) must be an
+    // LSH band pair, C must pair with nothing, and the rowwise band
+    // keys must equal the batch signatures band-for-band
+    val docs = Seq((0L, aTxt), (1L, bTxt), (2L, cTxt)).toDF("doc_id", "text")
+    val shingleRows = docs.select($"doc_id",
+      explode(graft.functions.HashedShinglesExpr.hashedShingles($"text", 3))
+        .as("shingle"))
+    val sigs = graft.queries.Dedup.minhashSigsOf(shingleRows)
+    val pairs = graft.queries.Dedup.lshBandPairs(sigs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)),
+      s"fixture: expected exactly the (A,B) band pair, got $pairs")
+    val batchBands = sigs.as[(Long, Seq[Long])].collect().map {
+      case (id, sig) =>
+        id -> sig.grouped(4).zipWithIndex
+          .map { case (b, i) => s"$i|${b.mkString(",")}" }.toSet
+    }.toMap
+    val rowwise = docs.select($"doc_id",
+        graft.queries.Dedup.rowwiseBandKeys($"text").as("bks"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, bks) => id -> bks.toSet }.toMap
+    assert(rowwise == batchBands,
+      "rowwise band keys must be bit-identical to the batch signatures")
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingNearDedup(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      horizonMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sneardup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: A first, near-dup B and distinct C within the horizon
+      in.addData((ts(0), 0L, aTxt), (ts(0, 20), 1L, bTxt),
+        (ts(0, 40), 2L, cTxt))
+      q.processAllAvailable()
+      // batch 2: filler advances the watermark to 10:04 — past every
+      // batch-1 band's expiry (last sighting 10:00:20 + 60 s)
+      in.addData((ts(5), 9L, xTxt))
+      q.processAllAvailable()
+      // batch 3: a byte-copy of A AFTER expiry must re-claim, not flag
+      in.addData((ts(5, 30), 3L, aTxt))
+      q.processAllAvailable()
+      // batch 4: advance the watermark past batch 3 so its row emits
+      in.addData((ts(10), 10L, xTxt))
+      q.processAllAvailable()
+      val got = spark.table("sneardup_test")
+        .select($"doc_id", $"n_band_hits",
+          coalesce($"dup_of", lit(-1L)).as("dup_of"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got(1L)._1 >= 1L && got(1L)._2 == 0L,
+        s"near-dup B must hit >=1 of A's bands: $got")
+      assert(got(0L) == ((0L, -1L)), s"first-seen A is novel: $got")
+      assert(got(2L) == ((0L, -1L)), s"distinct C is novel: $got")
+      assert(got(3L) == ((0L, -1L)),
+        s"post-expiry copy must re-claim A's bands, not flag: $got")
+    } finally q.stop()
+  }
 }
