@@ -112,12 +112,35 @@ object Bench {
       } finally q.stop()
     }
 
+    // the near-dup sibling: rowwise MinHash banding + band-keyed state,
+    // same planted ~25% duplicate rate (copies collide on all 4 bands)
+    def nearDedupRps(): Double = {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamOps.streamingNearDedup(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        horizonMs = 600000L)
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until per).map { i =>
+            val j = c * per + i
+            val k = if (j % 4 == 3) j - 1 else j
+            (new Timestamp(base + j * 10L), j.toLong,
+              s"tok${k % 7919} tok${k % 6101} tok${k % 4201} body $k")
+          })
+          q.processAllAvailable()
+        })
+        n / sec
+      } finally q.stop()
+    }
+
     val ops: Seq[(String, () => Double)] = Seq(
       "windowed" -> (() => windowedRps()),
       "session" -> (() => sessionRps()),
       "threshold" -> (() => thresholdRps()),
       "dedup" -> (() => dedupRps(curate = false)),
-      "curate" -> (() => dedupRps(curate = true)))
+      "curate" -> (() => dedupRps(curate = true)),
+      "neardup" -> (() => nearDedupRps()))
 
     for ((bName, cls) <- backends; (oName, run) <- ops) yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
