@@ -322,6 +322,46 @@ object Dedup extends QueryModule {
       lshBandPairs(minhashSigs(s, dir))
     },
 
+    // D20: PageRank centrality over the near-dup graph — 2 unrolled
+    // iterations, damping 0.85, uniform init over ALL documents. The
+    // graph-analytics class the engine lacked (d7's components label
+    // connectivity; PageRank ranks WITHIN it): high-PR docs are the
+    // template hubs a curation run inspects first, the "which
+    // boilerplate family dominates" signal. Each iteration is one
+    // edges⋈deg⋈pr join + one dst-keyed aggregate — shuffle ∝ edges
+    // with map-side combine, the standard distributed-PR shape (no
+    // driver-side graph). Edges localCheckpoint once: both iterations
+    // and deg reuse the materialized pair set instead of re-running the
+    // minhash pipeline per reference. Dangling docs (no near-dup
+    // partner) hold the (1-d)/N floor — mass from dangling nodes is
+    // NOT redistributed (documented simplified variant; both engines
+    // apply the same rule). Parity: per-contribution round-9 +
+    // decimal accumulation, intermediate round-9, final round-6.
+    "d20_dup_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id")
+      val pairs = lshBandPairs(minhashSigs(s, dir)).localCheckpoint()
+      val edges = pairs.select($"doc_i".as("src"), $"doc_j".as("dst"))
+        .union(pairs.select($"doc_j".as("src"), $"doc_i".as("dst")))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nF = docs.agg(count(lit(1)).as("n"))
+      def step(pr: DataFrame, scale: Int): DataFrame =
+        docs.join(
+            edges.join(deg, "src")
+              .join(pr.toDF("src", "p"), "src")
+              .select($"dst".as("doc_id"),
+                round($"p" / $"deg", 9).cast("decimal(28,12)").as("t"))
+              .groupBy($"doc_id").agg(sum($"t").cast("double").as("m")),
+            Seq("doc_id"), "left")
+          .crossJoin(broadcast(nF)) // 1-row doc count
+          .select($"doc_id",
+            round(lit(0.15) / $"n" + lit(0.85) * coalesce($"m", lit(0.0)),
+              scale).as("pr"))
+      val pr0 = docs.crossJoin(broadcast(nF))
+        .select($"doc_id", (lit(1.0) / $"n").as("pr"))
+      step(step(pr0, 9), 6)
+    },
+
     // D6: dedup MATERIALIZATION — the corpus with near-dups removed:
     // drop any doc having a Jaccard>=0.5 partner with a smaller doc_id
     // (deterministic one-pass keep rule; transitive closure would need
@@ -911,6 +951,47 @@ object Dedup extends QueryModule {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "d20_dup_pagerank" -> {
+      val bandRows = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize)
+          .map(j => s"m$j::VARCHAR").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      def contrib(pr: String): String =
+        s"""SELECT dst AS doc_id,
+           |    CAST(sum(CAST(round(p.pr / deg.deg, 9) AS DECIMAL(28,12)))
+           |      AS DOUBLE) AS m
+           |  FROM edges JOIN deg ON edges.src = deg.src
+           |    JOIN $pr p ON edges.src = p.doc_id
+           |  GROUP BY 1""".stripMargin
+      def rankOf(c: String, scale: Int): String =
+        s"""SELECT d.doc_id,
+           |    round(0.15 / n + 0.85 * coalesce($c.m, 0.0), $scale) AS pr
+           |  FROM (SELECT doc_id FROM documents) d
+           |  LEFT JOIN $c ON d.doc_id = $c.doc_id, n""".stripMargin
+      s"""WITH sigs AS ($minhashSql),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_i AS src, doc_j AS dst FROM pairs
+         |  UNION ALL SELECT doc_j AS src, doc_i AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |pr0 AS (SELECT doc_id, 1.0 / n AS pr FROM documents, n),
+         |c1 AS (
+         |  ${contrib("pr0")}),
+         |pr1 AS (
+         |  ${rankOf("c1", 9)}),
+         |c2 AS (
+         |  ${contrib("pr1")})
+         |${rankOf("c2", 6)}""".stripMargin
     },
 
     "d6_dedup_corpus" ->

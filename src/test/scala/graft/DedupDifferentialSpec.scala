@@ -415,4 +415,26 @@ class DedupDifferentialSpec extends SparkSpec {
       "fixture regressed: no cross-cluster exact pair left to miss")
     assert(within.nonEmpty, "fixture regressed: no within-cluster pair")
   }
+
+  test("dup-graph PageRank (d20): isolated docs hold the (1-d)/N floor, hub docs rise above it") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pr = graft.SparkEntry.queries("d20_dup_pagerank")(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    val inGraph = graft.SparkEntry.queries("d3_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect().flatMap(p => Seq(p._1, p._2)).toSet
+    val n = graft.core.Tables.documents(spark, dir).count()
+    val floor = BigDecimal(0.15 / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(inGraph.nonEmpty, "fixture regressed: dup graph is empty")
+    pr.foreach { case (id, p) =>
+      if (inGraph.contains(id))
+        assert(p > floor, s"doc $id is in the dup graph but sits at $p")
+      else assert(p == floor,
+        s"isolated doc $id must hold the floor $floor, got $p")
+    }
+    // probability-mass sanity: total rank <= 1 (dangling mass is lost,
+    // never created)
+    assert(pr.values.sum <= 1.0 + 1e-6)
+  }
 }

@@ -175,6 +175,7 @@ class PlanSpec extends SparkSpec {
       "x15_quality_deciles", // 1-row decile-boundary broadcast
       "x20_dsir_weights", // 1-row LM-totals + 1-row quartile broadcasts
       "j11_bm25", // 1-row (n_docs, avglen) broadcast
+      "d20_dup_pagerank", // 1-row doc-count broadcast per iteration
       "x16_bigram_logprob") // 1-row vocab-size broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir)
