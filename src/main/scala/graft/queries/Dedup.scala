@@ -362,6 +362,32 @@ object Dedup extends QueryModule {
       step(step(pr0, 9), 6)
     },
 
+    // D21: LEAKAGE-FREE train/val/test split — the assignment unit is
+    // the TRANSITIVE near-dup cluster (d7's components), not the
+    // document: a doc-level hash split leaks when one copy of a
+    // near-dup pair lands in train and the other in eval (the held-out
+    // "unseen" doc was effectively memorized). Hashing the component
+    // label instead guarantees every near-dup chain moves as a unit —
+    // the CC property makes the guarantee transitive, which pair-level
+    // fixes are not. Portable knuth hash of the label mod 100 →
+    // 80/10/10; rowwise over the shared pinned component frame (the CC
+    // fixpoint is the only non-trivial cost and it's amortized across
+    // d7/d10/d21), 3-row output. At 100 TB the split is a map-only pass
+    // over the label frame — no new shuffle beyond what d7 already paid.
+    "d21_leakage_split" -> { (s, dir) =>
+      import s.implicits._
+      dupComponents(s, dir)
+        .select($"id", $"component",
+          (HashFunctions.knuthHash($"component") % 100).as("bucket"))
+        .select($"id", $"component",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"component").as("n_components"))
+    },
+
     // D6: dedup MATERIALIZATION — the corpus with near-dups removed:
     // drop any doc having a Jaccard>=0.5 partner with a smaller doc_id
     // (deterministic one-pass keep rule; transitive closure would need
@@ -993,6 +1019,20 @@ object Dedup extends QueryModule {
          |  ${contrib("pr1")})
          |${rankOf("c2", 6)}""".stripMargin
     },
+
+    "d21_leakage_split" ->
+      s"""$componentsCteSql,
+         |labeled AS (
+         |  SELECT id, component,
+         |    (${OracleFragments.knuthU32("component")}) % 100 AS bucket
+         |  FROM comp)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT component) AS n_components
+         |FROM labeled
+         |GROUP BY 1""".stripMargin,
 
     "d6_dedup_corpus" ->
       s"""WITH sh AS (

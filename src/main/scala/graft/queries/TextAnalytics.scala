@@ -515,6 +515,104 @@ object TextAnalytics extends QueryModule {
             .as("kl_vs_corpus"))
     },
 
+    // X21: TEMPERATURE-SCALED SOURCE MIXING WEIGHTS (α = 1/2) — the
+    // multinomial up/down-sampling rates (XLM-R/mT5 style) that flatten
+    // a raw crawl's source skew: p_s ∝ n_s^α, here α = 1/2 so the weight
+    // is sqrt(n_tokens) — IEEE-754 sqrt is correctly rounded in every
+    // engine, making the temperature curve bit-reproducible (a fractional
+    // pow() would be libm-divergent, the p20 lesson). One 20-row source
+    // aggregate + a 1-row weight-sum broadcast + rowwise shares; the
+    // denominator accumulates round-9 decimals so the sum is
+    // order-independent (x9 convention). budget_tokens = each source's
+    // integer token allocation at a 1M-token budget (floor — exact).
+    "x21_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      val perSource = Tables.documents(s, dir)
+        .select($"source",
+          size(TextFunctions.wsTokens($"text")).cast("long").as("n"))
+        .groupBy($"source").agg(sum($"n").as("n_tokens"))
+        .select($"source", $"n_tokens",
+          sqrt($"n_tokens".cast("double")).as("w"))
+      val wsum = perSource.agg(
+        sum(round($"w", 9).cast("decimal(38,12)")).cast("double").as("wsum"))
+      perSource.crossJoin(broadcast(wsum)) // 1-row weight sum
+        .select($"source", $"n_tokens",
+          round($"w" / $"wsum", 9).as("share"),
+          floor((lit(1000000.0) * $"w") / $"wsum").cast("long")
+            .as("budget_tokens"))
+    },
+
+    // X22: ZIPF SLOPE — OLS fit of ln(freq) against ln(rank) over the
+    // token frequency table (capped at the top 1000 ranks): the corpus
+    // health number a data pipeline tracks per ingest batch — natural
+    // text sits near slope −1, template/boilerplate-heavy batches
+    // flatten or steepen it. The frequency agg shuffles (w) — vocab-
+    // bounded; the rank window runs over the VOCAB frame (≪ corpus —
+    // the documented bounded-window class; a corpus-sized frame would
+    // use the x12 sharded prefix-sum instead). Deterministic rank ties:
+    // (n desc, w asc). Parity: ln on integer args, per-term round-9
+    // products, decimal accumulation, final round-6 — the x9/x13
+    // convention; the intercept reuses the UNROUNDED slope expression so
+    // both engines evaluate the identical double formula.
+    "x22_zipf_slope" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      val pts = freq
+        .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"w".asc)))
+        .filter($"r" <= 1000)
+        .select(round(log($"r".cast("double")), 9).as("x"),
+          round(log($"n".cast("double")), 9).as("y"))
+      val slopeRaw = ($"k" * $"sxy" - $"sx" * $"sy") /
+        ($"k" * $"sxx" - $"sx" * $"sx")
+      pts.agg(
+          count(lit(1)).cast("double").as("k"),
+          sum($"x".cast("decimal(38,12)")).cast("double").as("sx"),
+          sum($"y".cast("decimal(38,12)")).cast("double").as("sy"),
+          sum(round($"x" * $"y", 9).cast("decimal(38,12)")).cast("double")
+            .as("sxy"),
+          sum(round($"x" * $"x", 9).cast("decimal(38,12)")).cast("double")
+            .as("sxx"))
+        .select($"k".cast("long").as("n_ranks"),
+          round(slopeRaw, 6).as("slope"),
+          round(($"sy" - slopeRaw * $"sx") / $"k", 6).as("intercept"))
+    },
+
+    // X23: MERGEABLE HISTOGRAM QUANTILE SKETCH — per-source equal-width
+    // histogram (16 bins of width 16 over doc token counts, top bin
+    // clamped) + interpolated median estimate read off the bins. The
+    // third mergeable sketch next to t6's count-min and x18's HLL:
+    // bin counts merge by cell-wise sum, so partial histograms compose
+    // map-side / cross-shard / cross-day without re-reading documents —
+    // the streaming-compatible stand-in for x6's exact per-group
+    // quantiles (which need the full value multiset). ONE hash agg over
+    // (source, bin); the quantile extraction windows over ≤ 16 rows per
+    // source. est_p50 = bin_lo + width · (n/2 − cum_below)/bin_n at the
+    // bin where the cumulative count crosses n/2 — all-integer inputs
+    // to one double division, round-6.
+    "x23_hist_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, dir)
+        .select($"source",
+          least(floor(size(TextFunctions.wsTokens($"text")) / 16), lit(15))
+            .cast("long").as("bin"))
+        .groupBy($"source", $"bin").agg(count(lit(1)).as("bin_n"))
+      val w = Window.partitionBy($"source").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy($"source")
+      hist
+        .withColumn("cum", sum($"bin_n").over(w))
+        .withColumn("n", sum($"bin_n").over(tot))
+        .filter($"cum" * 2 >= $"n" && ($"cum" - $"bin_n") * 2 < $"n")
+        .select($"source", $"n".as("n_docs"), $"bin".as("median_bin"),
+          round($"bin" * 16 +
+            lit(16.0) * ($"n".cast("double") / 2 - ($"cum" - $"bin_n")) /
+              $"bin_n", 6).as("est_p50"))
+    },
+
     // X14: per-document mean token log-probability under the corpus
     // unigram LM (add-one smoothing) — the CCNet-style fluency/quality
     // signal a pretraining pipeline uses to rank documents before
@@ -1394,6 +1492,56 @@ object TextAnalytics extends QueryModule {
          |  0.5 * total_tokens::DOUBLE
          |    * ((try_cast(substring(source, 4) AS INT) % 4 + 1))::DOUBLE / wsum
          |GROUP BY source""".stripMargin,
+
+    "x21_temperature_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, sum(len(${ws("text")}))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tw AS (SELECT *, sqrt(n_tokens::DOUBLE) AS w FROM t),
+         |s AS (SELECT CAST(sum(CAST(round(w, 9) AS DECIMAL(38,12)))
+         |        AS DOUBLE) AS wsum FROM tw)
+         |SELECT source, n_tokens,
+         |  round(w / wsum, 9) AS share,
+         |  CAST(floor((1000000.0 * w) / wsum) AS BIGINT) AS budget_tokens
+         |FROM tw, s""".stripMargin,
+
+    "x22_zipf_slope" ->
+      s"""WITH f AS (
+         |  SELECT w, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest(${ws("text")}) AS w FROM documents)
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT round(ln(r::DOUBLE), 9) AS x, round(ln(n::DOUBLE), 9) AS y
+         |  FROM (SELECT *, row_number() OVER (ORDER BY n DESC, w) AS r FROM f)
+         |  WHERE r <= 1000),
+         |a AS (
+         |  SELECT count(*)::DOUBLE AS k,
+         |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+         |  FROM p)
+         |SELECT CAST(k AS BIGINT) AS n_ranks,
+         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+         |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         |    AS intercept
+         |FROM a""".stripMargin,
+
+    "x23_hist_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT source, least(floor(len(${ws("text")}) / 16), 15)::BIGINT AS bin,
+         |    count(*)::BIGINT AS bin_n
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, sum(bin_n) OVER (PARTITION BY source
+         |      ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(bin_n) OVER (PARTITION BY source) AS n
+         |  FROM h)
+         |SELECT source, n::BIGINT AS n_docs, bin AS median_bin,
+         |  round(bin * 16 +
+         |    16.0 * (n::DOUBLE / 2 - (cum - bin_n)) / bin_n, 6) AS est_p50
+         |FROM c
+         |WHERE cum * 2 >= n AND (cum - bin_n) * 2 < n""".stripMargin,
 
     "p20_weighted_sample" ->
       s"""WITH t AS (

@@ -437,4 +437,35 @@ class DedupDifferentialSpec extends SparkSpec {
     // never created)
     assert(pr.values.sum <= 1.0 + 1e-6)
   }
+
+  test("leakage-free split (d21): no near-dup pair straddles splits; component is the unit") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def splitOf(component: Long): String = {
+      val b = graft.functions.HashFunctions.knuthHashJvm(component) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val comp = graft.queries.Dedup.dupComponents(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    // the leakage guarantee itself: every Jaccard>=0.5 pair — including
+    // transitive chains, via the CC labels — moves as one unit
+    val pairs = graft.SparkEntry.queries("d2_jaccard_pairs")(spark, dir)
+      .select("doc_i", "doc_j", "jaccard").as[(Long, Long, Double)]
+      .collect().filter(_._3 >= 0.5)
+    assert(pairs.nonEmpty, "fixture regressed: no near-dup pairs to protect")
+    pairs.foreach { case (i, j, _) =>
+      assert(splitOf(comp(i)) == splitOf(comp(j)),
+        s"near-dup pair ($i,$j) straddles train/eval splits")
+    }
+    // the aggregated query output is exactly the per-doc recomputation,
+    // and all three splits are populated on this corpus
+    val got = graft.SparkEntry.queries("d21_leakage_split")(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exp = comp.toSeq.groupBy { case (_, c) => splitOf(c) }
+      .map { case (sp, xs) =>
+        sp -> ((xs.size.toLong, xs.map(_._2).distinct.size.toLong)) }
+    assert(got == exp, s"aggregated split stats mismatch: $got vs $exp")
+    assert(got.keySet == Set("train", "val", "test"))
+  }
 }

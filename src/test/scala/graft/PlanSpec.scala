@@ -176,7 +176,8 @@ class PlanSpec extends SparkSpec {
       "x20_dsir_weights", // 1-row LM-totals + 1-row quartile broadcasts
       "j11_bm25", // 1-row (n_docs, avglen) broadcast
       "d20_dup_pagerank", // 1-row doc-count broadcast per iteration
-      "x16_bigram_logprob") // 1-row vocab-size broadcast
+      "x16_bigram_logprob", // 1-row vocab-size broadcast
+      "x21_temperature_mix") // 1-row weight-sum broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
