@@ -48,6 +48,44 @@ object TextAnalytics extends QueryModule {
       (lit(1.0) - TextFunctions.punctRatio(text)) * lit(0.3)
   }
 
+  /** (doc_id, lang, source, text, n_toks, quality, shard) — the x25
+    * curriculum shard assignment: shard = quality OCTILE from ONE exact
+    * percentile aggregate broadcast as a 1-row boundary frame (the x15
+    * decile machinery at n=8; never a global-sort ntile). Octile
+    * fractions k/8 are exactly representable doubles, so boundaries are
+    * bit-identical cross-engine. Shared by the `x25_shard_manifest`
+    * oracle query and the physical writer `io/TrainExport`.
+    */
+  private[graft] def curriculumFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"text",
+        size(TextFunctions.wsTokens($"text")).cast("long").as("n_toks"),
+        qualityCol($"text").as("quality"))
+    val bounds = scored.agg(percentile($"quality",
+      array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bs"))
+    scored.crossJoin(broadcast(bounds)) // 1-row boundary frame
+      .select($"doc_id", $"lang", $"source", $"text", $"n_toks", $"quality",
+        aggregate($"bs", lit(0L),
+          (acc, b) => acc + when($"quality" > b, 1L).otherwise(0L))
+          .as("shard"))
+  }
+
+  /** The 8-row manifest of a [[curriculumFrame]] export — per-shard
+    * doc/token totals, quality range, and an order-insensitive
+    * Σ knuthHash(doc_id) id-checksum a resumed or re-run export is
+    * verified against (column pruning drops `text` here, so the
+    * manifest pass never carries the corpus bytes).
+    */
+  private[graft] def shardManifest(frame: DataFrame): DataFrame =
+    frame
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(min(col("quality")), 6).as("q_min"),
+        round(max(col("quality")), 6).as("q_max"),
+        sum(HashFunctions.knuthHash(col("doc_id"))).as("id_checksum"))
+
   /** Per-language stopword-profile hit counts (profile order). */
   private def langHits(text: Column): Seq[Column] = {
     val toks = TextFunctions.wsTokens(text)
@@ -612,6 +650,64 @@ object TextAnalytics extends QueryModule {
             lit(16.0) * ($"n".cast("double") / 2 - ($"cum" - $"bin_n")) /
               $"bin_n", 6).as("est_p50"))
     },
+
+    // X24: PII SCRUB — regex detection + redaction of emails / phone
+    // numbers with per-source audit counts and a redacted-corpus
+    // checksum. The synthetic corpus carries no PII, so the query
+    // PLANTS it deterministically first (the p17 late-inject pattern):
+    // docs with doc_id%7==0 gain an email and doc_id%5==0 a NANP-style
+    // phone, both derived from doc_id, so Spark and the oracle build
+    // the identical augmented corpus. Patterns stay inside the
+    // RE2 ∩ java.util.regex common subset (character classes only — no
+    // backrefs, lookaround, or \d-class ambiguity) so both engines
+    // match identical spans. ONE rowwise pass (two scans + two
+    // replaces) + a ~20-row source agg: at 100 TB this is the map-only
+    // scrub stage of ingest and the only shuffle is the audit
+    // aggregate. checksum = Σ javaHash(redacted) proves the redacted
+    // BYTES agree cross-engine, not just the match counts.
+    "x24_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val aug = concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" call +1-202-555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select($"source", aug.as("aug"))
+        .select($"source",
+          size(regexp_extract_all($"aug", lit(emailRe), lit(0)))
+            .cast("long").as("n_e"),
+          size(regexp_extract_all($"aug", lit(phoneRe), lit(0)))
+            .cast("long").as("n_p"),
+          regexp_replace(regexp_replace($"aug", emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("red"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_e" + $"n_p" > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum($"n_e").as("n_emails"),
+          sum($"n_p").as("n_phones"),
+          sum(HashFunctions.javaStringHashCode($"red").cast("long"))
+            .as("checksum"))
+    },
+
+    // X25: CURRICULUM SHARD MANIFEST — the integrity record of a
+    // quality-ordered training export: shard = quality OCTILE (boundary
+    // array from ONE exact-percentile aggregate, broadcast — the x15
+    // decile machinery at n=8, never a global-sort ntile), manifest =
+    // per-shard doc/token totals, quality range, and an
+    // order-insensitive Σ knuthHash(doc_id) id-checksum a resumed or
+    // re-run export can be verified against byte-for-byte. Octile
+    // fractions k/8 are exactly representable doubles, so the
+    // boundaries are bit-identical cross-engine. One corpus pass + a
+    // 1-row boundary broadcast + an 8-row agg; `io/TrainExport` is the
+    // physical writer that materializes exactly this layout.
+    "x25_shard_manifest" -> { (s, dir) => shardManifest(curriculumFrame(s, dir)) },
 
     // X14: per-document mean token log-probability under the corpus
     // unigram LM (add-one smoothing) — the CCNet-style fluency/quality
@@ -1542,6 +1638,49 @@ object TextAnalytics extends QueryModule {
          |    16.0 * (n::DOUBLE / 2 - (cum - bin_n)) / bin_n, 6) AS est_p50
          |FROM c
          |WHERE cum * 2 >= n AND (cum - bin_n) * 2 < n""".stripMargin,
+
+    "x24_pii_scrub" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      s"""WITH a AS (
+         |  SELECT source,
+         |    text ||
+         |      CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+         |        doc_id::VARCHAR || '@example.com now' ELSE '' END ||
+         |      CASE WHEN doc_id % 5 = 0 THEN ' call +1-202-555-' ||
+         |        lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS aug
+         |  FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(aug, '$emailRe'))::BIGINT AS n_e,
+         |    len(regexp_extract_all(aug, '$phoneRe'))::BIGINT AS n_p,
+         |    regexp_replace(regexp_replace(aug, '$emailRe', '[EMAIL]', 'g'),
+         |      '$phoneRe', '[PHONE]', 'g') AS red
+         |  FROM a)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN n_e + n_p > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS docs_with_pii,
+         |  sum(n_e)::BIGINT AS n_emails,
+         |  sum(n_p)::BIGINT AS n_phones,
+         |  sum(${OracleFragments.javaHash("red")})::BIGINT AS checksum
+         |FROM r GROUP BY source""".stripMargin
+    },
+
+    "x25_shard_manifest" ->
+      s"""WITH q AS ($qualitySubSql),
+         |t AS (SELECT doc_id, len(${ws("text")})::BIGINT AS n_toks
+         |      FROM documents),
+         |b AS (SELECT quantile_cont(quality,
+         |        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+         |      FROM q)
+         |SELECT len(list_filter(bs, x -> quality > x))::BIGINT AS shard,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  round(min(quality), 6) AS q_min,
+         |  round(max(quality), 6) AS q_max,
+         |  sum(${OracleFragments.knuthU32("doc_id")})::BIGINT AS id_checksum
+         |FROM q JOIN t USING (doc_id), b
+         |GROUP BY 1""".stripMargin,
 
     "p20_weighted_sample" ->
       s"""WITH t AS (

@@ -177,7 +177,8 @@ class PlanSpec extends SparkSpec {
       "j11_bm25", // 1-row (n_docs, avglen) broadcast
       "d20_dup_pagerank", // 1-row doc-count broadcast per iteration
       "x16_bigram_logprob", // 1-row vocab-size broadcast
-      "x21_temperature_mix") // 1-row weight-sum broadcast
+      "x21_temperature_mix", // 1-row weight-sum broadcast
+      "x25_shard_manifest") // 1-row octile-boundary broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
