@@ -388,6 +388,69 @@ object Dedup extends QueryModule {
           countDistinct($"component").as("n_components"))
     },
 
+    // D22: CORPUS SNAPSHOT DIFF — the versioning primitive of an
+    // iterating dataset: which docs were added / removed / changed
+    // between two corpus snapshots, as one content-hash full-outer
+    // join. Snapshot B is DERIVED deterministically from the base
+    // corpus (the p17/x24 injection pattern: %11 docs dropped, %13
+    // texts revised, %17 docs re-added under shifted ids), so both
+    // engines diff the identical pair of snapshots. Only (doc_id, md5)
+    // pairs ever shuffle — the text reduces map-side to its 32-char
+    // digest, so at 100 TB the join carries ~48 bytes/doc regardless
+    // of doc size, hash-partitioned on doc_id. Audit output per
+    // status: row count + order-insensitive Σ knuthHash(doc_id).
+    "d22_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val a = docs.select($"doc_id", md5($"text".cast("binary")).as("ha"))
+      val bDocs = docs.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"))
+        .union(docs.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat(lit("new "), $"text").as("text")))
+      val b = bDocs.select($"doc_id", md5($"text".cast("binary")).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"hb".isNull, "removed")
+            .when($"ha".isNull, "added")
+            .when($"ha" =!= $"hb", "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(HashFunctions.knuthHash($"doc_id")).as("id_checksum"))
+    },
+
+    // D23: CROSS-SOURCE CONTAMINATION MATRIX — pairwise 8-gram overlap
+    // between ingest sources (the d9 decontamination machinery turned
+    // source×source): which feeds are re-crawling each other's content.
+    // Shuffles are ∝ distinct (source, shingle) rows — the corpus
+    // reduces to its shingle set map-side via the fused codegen'd
+    // hashed_shingles pass; the self-join is shingle-keyed (never
+    // all-pairs over docs) and a shingle shared by all S sources
+    // contributes at most S(S-1)/2 pair rows, so the output and the
+    // join fan-out are bounded by sources², not corpus². Jaccard over
+    // per-source distinct-shingle universes.
+    "d23_source_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val ss = Tables.documents(s, dir)
+        .select($"source",
+          explode(HashedShinglesExpr.hashedShingles($"text", 8))
+            .as("shingle"))
+        .distinct()
+      val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+      ss.as("a").join(ss.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_i"), $"b.source".as("src_j"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select($"source".as("src_i"), $"n".as("n_i")), "src_i")
+        .join(sizes.select($"source".as("src_j"), $"n".as("n_j")), "src_j")
+        .select($"src_i", $"src_j", $"n_common",
+          round($"n_common".cast("double") /
+            ($"n_i" + $"n_j" - $"n_common").cast("double"), 6).as("jaccard"))
+    },
+
     // D6: dedup MATERIALIZATION — the corpus with near-dups removed:
     // drop any doc having a Jaccard>=0.5 partner with a smaller doc_id
     // (deterministic one-pass keep rule; transitive closure would need
@@ -1033,6 +1096,44 @@ object Dedup extends QueryModule {
          |  count(DISTINCT component) AS n_components
          |FROM labeled
          |GROUP BY 1""".stripMargin,
+
+    "d22_snapshot_diff" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |ah AS (SELECT doc_id, md5(text) AS ha FROM documents),
+         |bh AS (SELECT doc_id, md5(text) AS hb FROM b),
+         |j AS (
+         |  SELECT coalesce(ah.doc_id, bh.doc_id) AS doc_id, ha, hb
+         |  FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id)
+         |SELECT CASE WHEN hb IS NULL THEN 'removed'
+         |            WHEN ha IS NULL THEN 'added'
+         |            WHEN ha <> hb THEN 'changed'
+         |            ELSE 'unchanged' END AS status,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(${OracleFragments.knuthU32("doc_id")})::BIGINT AS id_checksum
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "d23_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT source, unnest(${shingleListSqlN("hs", 8)}) AS shingle
+         |  FROM (SELECT source, list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents)),
+         |ss AS (SELECT DISTINCT source, shingle FROM sh),
+         |sz AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1)
+         |SELECT a.source AS src_i, b.source AS src_j,
+         |  count(*)::BIGINT AS n_common,
+         |  round(count(*)::DOUBLE / (si.n + sj.n - count(*))::DOUBLE, 6)
+         |    AS jaccard
+         |FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |JOIN sz si ON si.source = a.source
+         |JOIN sz sj ON sj.source = b.source
+         |GROUP BY a.source, b.source, si.n, sj.n""".stripMargin,
 
     "d6_dedup_corpus" ->
       s"""WITH sh AS (

@@ -468,4 +468,35 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(got == exp, s"aggregated split stats mismatch: $got vs $exp")
     assert(got.keySet == Set("train", "val", "test"))
   }
+
+  test("snapshot diff (d22): status counts match the derivation rules") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id").as[Long].collect()
+    // replay the snapshot-B derivation rules doc-by-doc
+    val removed = ids.count(_ % 11 == 0).toLong
+    val changed = ids.count(i => i % 11 != 0 && i % 13 == 0).toLong
+    val added = ids.count(_ % 17 == 0).toLong
+    val unchanged = ids.length - removed - changed
+    val got = graft.SparkEntry.queries("d22_snapshot_diff")(spark, dir)
+      .select($"status", $"n_docs").as[(String, Long)].collect().toMap
+    assert(got == Map("removed" -> removed, "changed" -> changed,
+      "added" -> added, "unchanged" -> unchanged),
+      s"status counts diverge from derivation rules: $got")
+  }
+
+  test("source overlap (d23): canonical pair order, jaccard bounds, nonempty") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("d23_source_overlap")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty, "fixture regressed: no cross-source 8-gram overlap")
+    rows.foreach { case (i, j, n, jac) =>
+      assert(i < j, s"pair ($i,$j) not in canonical order")
+      assert(n > 0 && jac > 0.0 && jac <= 1.0, s"jaccard out of range: $jac")
+    }
+    // no duplicate pair rows
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
 }
