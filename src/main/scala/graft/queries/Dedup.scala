@@ -425,24 +425,33 @@ object Dedup extends QueryModule {
     // D23: CROSS-SOURCE CONTAMINATION MATRIX — pairwise 8-gram overlap
     // between ingest sources (the d9 decontamination machinery turned
     // source×source): which feeds are re-crawling each other's content.
-    // Shuffles are ∝ distinct (source, shingle) rows — the corpus
-    // reduces to its shingle set map-side via the fused codegen'd
-    // hashed_shingles pass; the self-join is shingle-keyed (never
-    // all-pairs over docs) and a shingle shared by all S sources
-    // contributes at most S(S-1)/2 pair rows, so the output and the
-    // join fan-out are bounded by sources², not corpus². Jaccard over
-    // per-source distinct-shingle universes.
+    // ONE corpus shuffle: group by shingle → per-shingle source SET
+    // (bounded by source cardinality, not corpus), then the i<j pairs
+    // fan out MAP-SIDE from the sorted set — at most S(S-1)/2 rows per
+    // shingle, so downstream cost is bounded by sources², never a
+    // second corpus-shingle shuffle (the self-join shape this replaces
+    // paid distinct + join = two). Per-source universe sizes explode
+    // from the SAME grouped frame (ReusedExchange, the j2/x13 diamond
+    // pattern). Jaccard over per-source distinct-shingle universes.
     "d23_source_overlap" -> { (s, dir) =>
       import s.implicits._
-      val ss = Tables.documents(s, dir)
+      val perShingle = Tables.documents(s, dir)
         .select($"source",
           explode(HashedShinglesExpr.hashedShingles($"text", 8))
             .as("shingle"))
-        .distinct()
-      val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
-      ss.as("a").join(ss.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.source" < $"b.source")
-        .groupBy($"a.source".as("src_i"), $"b.source".as("src_j"))
+        .groupBy($"shingle")
+        .agg(sort_array(collect_set($"source")).as("srcs"))
+      val sizes = perShingle
+        .select(explode($"srcs").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      val pairCol = flatten(transform(
+        sequence(lit(1), size($"srcs") - 1),
+        i => transform(slice($"srcs", i + 1, size($"srcs")),
+          b => struct(element_at($"srcs", i).as("src_i"), b.as("src_j")))))
+      perShingle
+        .filter(size($"srcs") >= 2) // sequence(1, 0) would count DOWN
+        .select(explode(pairCol).as("p"))
+        .groupBy($"p.src_i".as("src_i"), $"p.src_j".as("src_j"))
         .agg(count(lit(1)).as("n_common"))
         .join(sizes.select($"source".as("src_i"), $"n".as("n_i")), "src_i")
         .join(sizes.select($"source".as("src_j"), $"n".as("n_j")), "src_j")
