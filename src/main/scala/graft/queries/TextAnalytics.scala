@@ -55,6 +55,13 @@ object TextAnalytics extends QueryModule {
     * fractions k/8 are exactly representable doubles, so boundaries are
     * bit-identical cross-engine. Shared by the `x25_shard_manifest`
     * oracle query and the physical writer `io/TrainExport`.
+    *
+    * Scale note: exact `percentile` keeps a value map ∝ distinct
+    * quality doubles (∝ docs — measured 6.0× at the fixture's 10×).
+    * The 100 TB swap is `approx_percentile` (mergeable summary,
+    * bounded state, deterministic at fixed accuracy) feeding the same
+    * broadcast-boundary classify; exact is kept here for bit-exact
+    * DuckDB `quantile_cont` parity at test SF.
     */
   private[graft] def curriculumFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

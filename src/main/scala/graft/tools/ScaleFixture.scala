@@ -121,7 +121,14 @@ object ScaleFixture {
       "v14_knn_ivf_adc", "p20_weighted_sample", "x13_source_divergence",
       "x14_unigram_logprob", "d15_source_cap", "d18_incremental_dedup",
       "x16_bigram_logprob", "x17_hash_embedding", "t6_cms_heavy_hitters",
-      "x18_hll_distinct")
+      "x18_hll_distinct",
+      // round-8 additions over documents/embeddings (event-table ops are
+      // out of fixture scope; a17-a19 are covered by the bench instead)
+      "x19_cdc_chunks", "d19_semantic_dedup", "x20_dsir_weights",
+      "j11_bm25", "d20_dup_pagerank", "d21_leakage_split",
+      "x21_temperature_mix", "x22_zipf_slope", "x23_hist_quantiles",
+      "x24_pii_scrub", "x25_shard_manifest", "d22_snapshot_diff",
+      "d23_source_overlap")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
       s"the counts exchange must be reused across the diamond:\n$p")
   }
 
+  test("d23_source_overlap: one corpus-shingle shuffle, grouped frame reused") {
+    // The per-shingle source-set aggregate is consumed twice (pair
+    // fan-out + universe sizes); its exchange must be REUSED, not
+    // recomputed — under AQE reuse lands at runtime, so execute first.
+    val df = SparkEntry.queries("d23_source_overlap")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the per-shingle aggregate must be computed once:\n$p")
+  }
+
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
     // The block frames aggregate to B=16 rows each; the grid join of two
     // 16-row frames is the ONLY join. Corpus-sized data moves through one
