@@ -422,6 +422,36 @@ object Dedup extends QueryModule {
           sum(HashFunctions.knuthHash($"doc_id")).as("id_checksum"))
     },
 
+    // D24: NORMALIZED EXACT DEDUP — the C4-style first dedup stage:
+    // case-fold + strip non-letters + collapse whitespace, THEN hash,
+    // so trivially-reformatted copies (uppercase mirrors, punctuation
+    // variants) collapse to one digest where raw-md5 d1 sees distinct
+    // texts. The corpus has no such variants, so the query PLANTS them
+    // (the d22/x24 injection pattern): docs with doc_id%9==0 gain an
+    // UPPERCASED '!!'-suffixed twin under a shifted id — both engines
+    // derive the identical augmented corpus, and normalization must
+    // collapse exactly those pairs. Normalization rides the existing
+    // tokenize (lower + letter-runs, codegen'd); only (digest 32B,
+    // doc_id) ever shuffles — ONE hash agg with map-side combine, the
+    // d1 shape with a rowwise normalize bolted in front.
+    "d24_normalized_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val aug = docs.select($"doc_id", $"text")
+        .union(docs.filter($"doc_id" % 9 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat(upper($"text"), lit(" !!")).as("text")))
+      aug
+        .select($"doc_id",
+          md5(array_join(TextFunctions.tokenize($"text"), " ")
+            .cast("binary")).as("digest"))
+        .groupBy($"digest")
+        .agg(min($"doc_id").as("keeper"),
+          count(lit(1)).as("n_docs"),
+          sum(HashFunctions.knuthHash($"doc_id")).as("id_checksum"))
+        .filter($"n_docs" >= 2)
+    },
+
     // D23: CROSS-SOURCE CONTAMINATION MATRIX — pairwise 8-gram overlap
     // between ingest sources (the d9 decontamination machinery turned
     // source×source): which feeds are re-crawling each other's content.
@@ -1127,6 +1157,21 @@ object Dedup extends QueryModule {
          |  count(*)::BIGINT AS n_docs,
          |  sum(${OracleFragments.knuthU32("doc_id")})::BIGINT AS id_checksum
          |FROM j GROUP BY 1""".stripMargin,
+
+    "d24_normalized_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, upper(text) || ' !!' AS text
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |h AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(${OracleFragments.tokenize("text")}, ' '))
+         |      AS digest
+         |  FROM aug)
+         |SELECT digest, min(doc_id) AS keeper, count(*)::BIGINT AS n_docs,
+         |  sum(${OracleFragments.knuthU32("doc_id")})::BIGINT AS id_checksum
+         |FROM h GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "d23_source_overlap" ->
       s"""WITH sh AS (

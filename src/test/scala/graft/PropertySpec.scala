@@ -397,4 +397,101 @@ class PropertySpec extends SparkSpec {
     // boundary; the off-target candidates must not be in it
     assert(got(11L)._2 == 0L && got(2L)._2 == 0L && got(3L)._2 == 0L)
   }
+
+  test("histogram sketch (x23): half-corpus histograms merge cell-wise into the whole") {
+    import spark.implicits._
+    // THE mergeability claim: bin counts composed from disjoint doc
+    // subsets by cell-wise sum must equal the single-pass histogram —
+    // what lets partial sketches compose map-side / cross-shard.
+    val dir = "/root/testdata/sf0.001"
+    def hist(parity: Option[Int]) = {
+      val base = graft.core.Tables.documents(spark, dir)
+      val docs = parity.map(p => base.filter($"doc_id" % 2 === p))
+        .getOrElse(base)
+      docs.select($"source",
+          least(floor(size(graft.functions.TextFunctions.wsTokens($"text"))
+            / 16), lit(15)).cast("long").as("bin"))
+        .groupBy($"source", $"bin").agg(count(lit(1)).as("n"))
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    val whole = hist(None)
+    val even = hist(Some(0))
+    val odd = hist(Some(1))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "cell-wise merge must reproduce the whole")
+  }
+
+  test("temperature mix (x21): shares sum to 1, budgets respect the token budget") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("x21_temperature_mix")(
+        spark, "/root/testdata/sf0.001")
+      .select($"n_tokens", $"share", $"budget_tokens")
+      .as[(Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_._2).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"shares must sum to 1: $shareSum")
+    val budget = rows.map(_._3).sum
+    // floor() loses < 1 token per source, never over-allocates
+    assert(budget <= 1000000L && budget > 1000000L - rows.length,
+      s"budget allocation out of bounds: $budget")
+    // temperature flattening: weights are sqrt, so budget ordering
+    // follows token ordering (sqrt is monotone)
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((n1, _, b1), (n2, _, b2)) =>
+        if (n1 < n2) assert(b1 <= b2, "budgets must be monotone in size")
+      case _ =>
+    }
+  }
+
+  test("PII scrub (x24): redaction is idempotent and leaves no matches") {
+    import spark.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val texts = Seq(
+      "reach me at jane.doe+spam@mail.example.org today",
+      "call +1-415-555-0199 or +1-202-555-0000 now",
+      "mixed a@b.co and +1-111-222-3333 inline",
+      "no pii here at all")
+    def scrub(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]")
+    val df = texts.toDF("t")
+      .select($"t", scrub($"t").as("once"))
+      .select($"t", $"once", scrub($"once").as("twice"),
+        size(regexp_extract_all($"once", lit(emailRe), lit(0))).as("e"),
+        size(regexp_extract_all($"once", lit(phoneRe), lit(0))).as("p"))
+      .as[(String, String, String, Int, Int)].collect()
+    df.foreach { case (t, once, twice, e, p) =>
+      assert(once == twice, s"scrub must be idempotent on: $t")
+      assert(e == 0 && p == 0, s"scrubbed text still matches PII: $once")
+    }
+    assert(df.count(r => r._1 != r._2) == 3, "three rows carried PII")
+  }
+
+  test("Zipf slope (x22): natural-ish corpus fits a negative slope") {
+    import spark.implicits._
+    val (n, slope) = graft.SparkEntry.queries("x22_zipf_slope")(
+        spark, "/root/testdata/sf0.001")
+      .select($"n_ranks", $"slope").as[(Long, Double)].collect().head
+    assert(n > 10, "rank window must be populated")
+    assert(slope < 0.0, s"token frequencies must fall with rank: $slope")
+  }
+
+  test("normalized dedup (d24): exactly the planted case/punct twins collapse") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val planted = graft.core.Tables.documents(spark, dir)
+      .filter($"doc_id" % 9 === 0).select($"doc_id").as[Long].collect().toSet
+    val groups = graft.SparkEntry.queries("d24_normalized_dedup")(spark, dir)
+      .select($"keeper", $"n_docs").as[(Long, Long)].collect()
+    assert(groups.nonEmpty)
+    // every group is one (original, uppercased twin) pair, keeper = original
+    assert(groups.map(_._1).toSet == planted, "keepers must be the planted ids")
+    groups.foreach { case (k, n) =>
+      assert(n == 2L, s"group of keeper $k has $n members, expected the pair")
+    }
+  }
 }
