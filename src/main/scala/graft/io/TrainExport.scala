@@ -35,8 +35,17 @@ object TrainExport {
     * id_checksum).
     */
   def exportCurriculum(spark: SparkSession, sfDir: String,
-      outDir: String): DataFrame = {
-    val frame = TextAnalytics.curriculumFrame(spark, sfDir)
+      outDir: String): DataFrame =
+    exportFrame(TextAnalytics.curriculumFrame(spark, sfDir), outDir)
+
+  /** Export an arbitrary curated docs frame (doc_id, lang, source,
+    * text) — octile shards re-balance over the GIVEN corpus (the
+    * curation pipeline's last stage).
+    */
+  def exportCurated(docs: DataFrame, outDir: String): DataFrame =
+    exportFrame(TextAnalytics.curriculumFrameOf(docs), outDir)
+
+  private def exportFrame(frame: DataFrame, outDir: String): DataFrame = {
     frame
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("quality"), col("doc_id"))

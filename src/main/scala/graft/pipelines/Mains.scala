@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.io.TextIO
+import graft.io.{TextIO, TrainExport}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -365,6 +365,64 @@ object GameStatsMain {
   * cumulative score with an emission each time the total crosses a
   * multiple of the threshold (W15 ValueState), crossings appended as CSV.
   */
+/** End-to-end training-data curation (beyond the reference surface —
+  * the capstone composition of the engine's pipeline operators):
+  * documents → quality gate → normalized exact dedup → optional
+  * near-dup removal → PII scrub → quality-octile curriculum export
+  * with a checksummed manifest, plus a funnel report
+  * (`_funnel.json`) recording per-stage survivor counts.
+  *
+  * Scale shape: every stage is the already-audited operator (rowwise
+  * quality gate; digest-only dedup shuffle; the shared d6 pair frame
+  * for near-dups; map-only scrub; one shard-keyed export shuffle).
+  * The funnel counts are separate bounded actions here for clarity —
+  * a 100 TB run would fold them into `observe()` metrics on the one
+  * export pass (the a16 pattern) to avoid re-reads.
+  */
+object CuratePipelineMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("CuratePipelineMain", args,
+      Map("minQuality" -> "0.35", "neardup" -> "true"),
+      required = Seq("input", "output"))
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      Opts.session("graft-curate")
+    import spark.implicits._
+    import graft.queries.{Dedup, TextAnalytics}
+
+    val docs = graft.core.Tables.documents(spark, o("input"))
+    val nIn = docs.count()
+
+    val quality = docs
+      .filter(TextAnalytics.qualityCol($"text") >= o("minQuality").toDouble)
+    val nQuality = quality.count()
+
+    val unique = Dedup.normalizedKeepers(quality)
+    val nUnique = unique.count()
+
+    val kept =
+      if (o.bool("neardup")) {
+        val losers = Dedup.sharedJaccardPairs(spark, o("input"), 0.5)
+          .select($"doc_j".as("doc_id")).distinct()
+        unique.join(losers, Seq("doc_id"), "left_anti")
+      } else unique
+    val nKept = kept.count()
+
+    val nPii = kept
+      .agg(sum(TextAnalytics.piiCount($"text"))).as[Long].head()
+    val scrubbed = kept.withColumn("text", TextAnalytics.piiScrub($"text"))
+
+    TrainExport.exportCurated(
+      scrubbed.select($"doc_id", $"lang", $"source", $"text"), o("output"))
+
+    val funnel =
+      s"""{"n_in":$nIn,"n_quality":$nQuality,"n_unique":$nUnique,""" +
+        s""""n_kept":$nKept,"pii_redacted":$nPii}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(o("output"), "_funnel.json"), funnel)
+    println(s"curate: $funnel -> ${o("output")}")
+  }
+}
+
 object StatefulTeamScoreMain {
   def main(args: Array[String]): Unit = {
     val o = Opts.parse("StatefulTeamScoreMain", args,

@@ -262,6 +262,21 @@ object Dedup extends QueryModule {
     * curation pass is finished; entries for other sessions are untouched.
     * Passing `dir=Some(d)` scopes the eviction to one data directory.
     */
+  /** d24's normalize→digest keep rule over an arbitrary docs frame:
+    * keeps the minimum-doc_id member of every normalized-digest group
+    * (case-fold + letter-runs + md5 — reformatted copies collapse).
+    * Only (32-byte digest, doc_id) shuffles; the semi-join back carries
+    * doc_id alone. The curation pipeline's exact-dedup stage.
+    */
+  private[graft] def normalizedKeepers(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .select(col("doc_id"),
+        md5(array_join(TextFunctions.tokenize(col("text")), " ")
+          .cast("binary")).as("digest"))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+    docs.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
   def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
     def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
                 sessionOf: K => SparkSession, dirOf: K => String): Unit = {

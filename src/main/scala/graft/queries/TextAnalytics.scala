@@ -41,7 +41,7 @@ object TextAnalytics extends QueryModule {
     * definition, shared by x3, d8, and Dedup's quality-keeper
     * materialization (d10).
     */
-  private[queries] def qualityCol(text: Column): Column = {
+  private[graft] def qualityCol(text: Column): Column = {
     val toks = TextFunctions.wsTokens(text)
     TextFunctions.stopwordRatio(toks) * lit(0.4) +
       least(size(toks).cast("double") / lit(80.0), lit(1.0)) * lit(0.3) +
@@ -63,20 +63,43 @@ object TextAnalytics extends QueryModule {
     * broadcast-boundary classify; exact is kept here for bit-exact
     * DuckDB `quantile_cont` parity at test SF.
     */
-  private[graft] def curriculumFrame(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scored = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", $"source", $"text",
-        size(TextFunctions.wsTokens($"text")).cast("long").as("n_toks"),
-        qualityCol($"text").as("quality"))
-    val bounds = scored.agg(percentile($"quality",
+  private[graft] def curriculumFrame(s: SparkSession, dir: String): DataFrame =
+    curriculumFrameOf(Tables.documents(s, dir))
+
+  /** [[curriculumFrame]] over an arbitrary docs frame (doc_id, lang,
+    * source, text) — octile boundaries derive from the GIVEN corpus, so
+    * a curated subset re-balances its own shards (the curation
+    * pipeline's export path).
+    */
+  private[graft] def curriculumFrameOf(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_toks"),
+        qualityCol(col("text")).as("quality"))
+    val bounds = scored.agg(percentile(col("quality"),
       array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bs"))
     scored.crossJoin(broadcast(bounds)) // 1-row boundary frame
-      .select($"doc_id", $"lang", $"source", $"text", $"n_toks", $"quality",
-        aggregate($"bs", lit(0L),
-          (acc, b) => acc + when($"quality" > b, 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_toks"), col("quality"),
+        aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + when(col("quality") > b, 1L).otherwise(0L))
           .as("shard"))
   }
+
+  /** PII patterns (the RE2 ∩ java.util.regex common subset — character
+    * classes only) and the scrub transform, shared by `x24_pii_scrub`'s
+    * audited query and the curation pipeline main.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  private[graft] def piiScrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  /** Total PII matches (emails + phones) in a text column. */
+  private[graft] def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(c, lit(PhoneRe), lit(0)))).cast("long")
 
   /** The 8-row manifest of a [[curriculumFrame]] export — per-shard
     * doc/token totals, quality range, and an order-insensitive
@@ -674,8 +697,8 @@ object TextAnalytics extends QueryModule {
     // BYTES agree cross-engine, not just the match counts.
     "x24_pii_scrub" -> { (s, dir) =>
       import s.implicits._
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val emailRe = EmailRe
+      val phoneRe = PhoneRe
       val aug = concat($"text",
         when($"doc_id" % 7 === 0,
           concat(lit(" contact user"), $"doc_id".cast("string"),
@@ -691,8 +714,7 @@ object TextAnalytics extends QueryModule {
             .cast("long").as("n_e"),
           size(regexp_extract_all($"aug", lit(phoneRe), lit(0)))
             .cast("long").as("n_p"),
-          regexp_replace(regexp_replace($"aug", emailRe, "[EMAIL]"),
-            phoneRe, "[PHONE]").as("red"))
+          piiScrub($"aug").as("red"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"n_e" + $"n_p" > 0, 1L).otherwise(0L))
