@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * (or Scala `mapPartitions`, used here) media pipeline runs at scale:
   * one task per input split, codec state initialized once per partition
   * (not per row), output rows streamed. Codecs plug in behind the
-  * [[Codec]] seam: [[ImageCodec]] is a REAL JDK-only decoder
-  * (`javax.imageio` — PNG/JPEG/BMP/GIF in, pixel-derived features out);
-  * audio/video stay on the deterministic [[FakeCodec]] stub because no
-  * media libraries beyond ImageIO ship in this environment — swapping in
-  * a real one touches none of the distributed plumbing.
+  * [[Codec]] seam, and all three kinds now have REAL JDK-only decoders:
+  * [[ImageCodec]] (`javax.imageio` — PNG/JPEG/BMP/GIF in, pixel-derived
+  * features out), [[AudioCodec]] (`javax.sound` WAV/AIFF 16-bit PCM),
+  * and [[VideoCodec]] (multi-frame animated GIF through ImageIO's gif
+  * reader). The deterministic [[FakeCodec]] stub remains only as the
+  * fallback for payloads outside the JDK-decodable set — swapping any
+  * codec touches none of the distributed plumbing.
   */
 object Multimodal {
 
@@ -258,14 +260,134 @@ object Multimodal {
     }
   }
 
-  /** Kind-routed codec selection: real JDK codecs for images (ImageIO)
-    * and audio (javax.sound WAV/AIFF PCM); stub for video (no JDK
-    * codec exists). The routing is per-partition driver-free — the map
-    * ships in the task closure.
+  /** REAL video codec — JDK-only: multi-frame animated GIF through
+    * ImageIO's gif ImageReader (the one video-shaped container the JDK
+    * decodes natively). Frames are read as stored — the synthetic
+    * fixtures (and any full-frame GIF) need no disposal compositing,
+    * which is documented as out of scope rather than half-implemented.
+    * Like the other real codecs, every output derives from DECODED
+    * pixels: checksum folds all frames' pixel hashes, the feature is
+    * the 8-segment temporal LUMA envelope (the video twin of
+    * AudioCodec's RMS envelope — brightness contour over time), and
+    * resize thumbnails frame 0. Undecodable payloads raise from the
+    * Codec methods; [[decodeFrames]] returns None.
+    */
+  object VideoCodec extends Codec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    import javax.imageio.stream.MemoryCacheImageInputStream
+
+    /** All frames of an animated GIF payload, None if undecodable. */
+    def decodeFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] = {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val in = new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(payload))
+        val frames =
+          try {
+            reader.setInput(in, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else Some((0 until n).map(i => reader.read(i)))
+          } catch {
+            case _: java.io.IOException | _: RuntimeException => None
+          } finally { reader.dispose(); in.close() }
+        frames
+      }
+    }
+
+    private def decodeOrThrow(payload: Array[Byte]): IndexedSeq[BufferedImage] =
+      decodeFrames(payload).getOrElse(throw new IllegalArgumentException(
+        s"VideoCodec: undecodable payload (${payload.length} bytes)"))
+
+    private def pixelFold(img: BufferedImage, seed: Long): Long = {
+      var acc = seed
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          acc = (acc * 31 + (img.getRGB(x, y) & 0xffffffffL)) & 0xffffffffL
+          x += 1
+        }
+        y += 1
+      }
+      acc
+    }
+
+    /** Rolling hash over (frame count, dims, every frame's pixels) —
+      * container-invariant, sensitive to any pixel in any frame.
+      */
+    def checksum(payload: Array[Byte]): Long = {
+      val frames = decodeOrThrow(payload)
+      var acc = (frames.length.toLong * 31 +
+        frames.head.getWidth * 31 + frames.head.getHeight) & 0xffffffffL
+      frames.foreach(f => acc = pixelFold(f, acc))
+      acc
+    }
+
+    /** 8-segment temporal luminance envelope, L1-normalized: mean luma
+      * per frame, averaged into 8 time segments — a scene-brightness
+      * contour that distinguishes fade-ins from static clips where a
+      * global histogram cannot.
+      */
+    def feature(payload: Array[Byte]): Array[Float] = {
+      val frames = decodeOrThrow(payload)
+      val luma = frames.map { img =>
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        sum.toDouble / math.max(1, img.getWidth * img.getHeight)
+      }
+      val seg = Array.tabulate(8) { s =>
+        val from = (s.toLong * luma.length / 8).toInt
+        val until = ((s + 1).toLong * luma.length / 8).toInt
+        if (until <= from) 0.0
+        else luma.slice(from, until).sum / (until - from)
+      }
+      val total = math.max(seg.sum, 1e-12)
+      seg.map(v => (v / total).toFloat)
+    }
+
+    /** Thumbnail: frame 0 scaled to n×n, PNG-encoded. */
+    def resize(payload: Array[Byte], n: Int): Array[Byte] =
+      encodeThumb(decodeOrThrow(payload).head, n)
+
+    private[multimodal] def encodeThumb(img: BufferedImage, n: Int): Array[Byte] = {
+      val out = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, n, n, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Kind-routed codec selection: real JDK codecs for images (ImageIO),
+    * audio (javax.sound WAV/AIFF PCM), and video (animated GIF through
+    * ImageIO); the deterministic stub only for payloads outside the
+    * JDK-decodable set. The routing is per-partition driver-free — the
+    * map ships in the task closure.
     */
   val kindCodecs: String => Codec = {
     case "image" => ImageCodec
     case "audio" => AudioCodec
+    case "video" => VideoCodec
     case _       => FakeCodec
   }
 
@@ -395,14 +517,65 @@ object Multimodal {
   }
 
   /** Frame-sample videos: 1 row per sampled frame (explode-shaped 1→N,
-    * like the reference's lane explode P14 but over media).
+    * like the reference's lane explode P14 but over media). Decodable
+    * payloads (animated GIF) yield REAL frames — the sample timestamp
+    * maps to a frame index by position in the clip's duration and the
+    * thumbnail is that frame scaled + PNG-encoded; undecodable payloads
+    * fall back to the deterministic stub (the P13 tolerant shape).
     */
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
+      val frames = VideoCodec.decodeFrames(m.payload)
       (0L until m.durationMs by everyMs).zipWithIndex.map { case (ts, idx) =>
-        Frame(m.media_id, idx, ts, FakeCodec.resize(m.payload, 16))
+        val thumb = frames match {
+          case Some(fs) =>
+            val fi = math.min(fs.length - 1,
+              (ts * fs.length / math.max(1L, m.durationMs)).toInt)
+            VideoCodec.encodeThumb(fs(fi), 16)
+          case None => FakeCodec.resize(m.payload, 16)
+        }
+        Frame(m.media_id, idx, ts, thumb)
       }
+    }
+  }
+
+  /** Deterministic REAL-video fixture: n animated GIFs (3-6 frames of
+    * 8-level gray gradients whose brightness RISES with the frame index
+    * — a fade-in, so the temporal envelope has a visible slope),
+    * encoded on executors with ImageIO's gif sequence writer.
+    */
+  def syntheticVideos(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.{IIOImage, ImageIO}
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    spark.range(n.toLong).map { i =>
+      val nFrames = 3 + (i % 4).toInt
+      val w = 8 + (i % 4).toInt * 2
+      val h = 8
+      val bos = new ByteArrayOutputStream()
+      val out = new MemoryCacheImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until nFrames) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            // 8 gray levels (GIF-palette-exact): base gradient + fade-in
+            val level = math.min(7, (x * 4 / math.max(1, w - 1)) +
+              (f * 4 / math.max(1, nFrames - 1)))
+            val v = level * 36 // 0..252, quantization-stable
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); out.close() }
+      MediaRecord(i, "video", bos.toByteArray, width = w, height = h,
+        durationMs = nFrames * 100L)
     }
   }
 

@@ -121,4 +121,68 @@ class MultimodalSpec extends SparkSpec {
     // garbage bytes are undecodable, not a crash
     assert(Multimodal.AudioCodec.decode(Array[Byte](9, 8, 7, 6)).isEmpty)
   }
+
+  test("VideoCodec decodes real animated GIFs; envelope sees the fade-in; real frame thumbnails") {
+    val videos = Multimodal.syntheticVideos(spark, 8)
+    val rows = videos.collect().sortBy(_.media_id)
+    // every fixture payload decodes to the generated frame count & dims
+    rows.foreach { v =>
+      val frames = Multimodal.VideoCodec.decodeFrames(v.payload)
+      assert(frames.isDefined, s"video ${v.media_id} undecodable")
+      assert(frames.get.length.toLong == v.durationMs / 100,
+        s"video ${v.media_id}: frame count")
+      assert(frames.get.head.getWidth == v.width &&
+        frames.get.head.getHeight == v.height)
+    }
+    // kind-routed features: pixel-derived, deterministic, L1-normed, and
+    // the fade-in makes late segments BRIGHTER than early ones
+    val feats = Multimodal.extractFeatures(videos, Multimodal.kindCodecs)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 8)
+    feats.foreach { f =>
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5)
+      assert(f.feature.last > f.feature.head,
+        s"fade-in must brighten the envelope tail: ${f.feature.toSeq}")
+    }
+    // checksum is pixel-derived: decoding + re-encoding the same
+    // palette-exact frames yields the same checksum from different bytes
+    val one = rows.head
+    val reencoded = {
+      import javax.imageio.{IIOImage, ImageIO}
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val w = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        w.setOutput(out); w.prepareWriteSequence(null)
+        Multimodal.VideoCodec.decodeFrames(one.payload).get.foreach(f =>
+          w.writeToSequence(new IIOImage(f, null, null), null))
+        w.endWriteSequence()
+      } finally { w.dispose(); out.close() }
+      bos.toByteArray
+    }
+    assert(Multimodal.VideoCodec.checksum(reencoded) ==
+      Multimodal.VideoCodec.checksum(one.payload))
+    // sampleFrames on real GIFs: PNG-decodable 16×16 thumbnails, and the
+    // sampled sequence ends on the LAST frame (fade-in: brighter than
+    // the first thumbnail)
+    val frames = Multimodal.sampleFrames(videos, everyMs = 100).collect()
+      .filter(_.media_id == one.media_id).sortBy(_.frameIndex)
+    assert(frames.length.toLong == one.durationMs / 100)
+    val thumbs = frames.map(f => Multimodal.ImageCodec.decode(f.thumbnail))
+    assert(thumbs.forall(t => t.isDefined &&
+      t.get.getWidth == 16 && t.get.getHeight == 16))
+    def meanLuma(img: java.awt.image.BufferedImage): Double = {
+      var s = 0.0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000.0
+      }
+      s / (img.getWidth * img.getHeight)
+    }
+    assert(meanLuma(thumbs.last.get) > meanLuma(thumbs.head.get),
+      "last sampled frame must be brighter (fade-in)")
+    // garbage bytes are undecodable, not a crash
+    assert(Multimodal.VideoCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
