@@ -134,13 +134,64 @@ object Bench {
       } finally q.stop()
     }
 
+    // W12's timer-driven pane sequencer — the heaviest per-group state
+    // machine in the engine (per-(key, window) state + an event-time
+    // timer); the probe advances the watermark across windows so timers
+    // fire and state is GC'd inside the measurement
+    def panesRps(): Double = {
+      val in = MemoryStream[(String, Timestamp)]
+      val out = StreamOps.sequencedPanes(
+        in.toDF().toDF("key", "ts"), windowMs = 60000L, latenessMs = 30000L)
+      val q = out.toDF().writeStream.format("noop")
+        .outputMode("update").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until per).map { i =>
+            val j = c * per + i
+            ("k" + (j % 1000), new Timestamp(base + j * 10L))
+          })
+          q.processAllAvailable()
+        })
+        n / sec
+      } finally q.stop()
+    }
+
+    // stream-stream attribution join: both sides unbounded, watermark +
+    // range bound GC the buffered views; ~1 purchase per 4 views
+    def attributionRps(): Double = {
+      val views = MemoryStream[(Long, Timestamp)]
+      val purchases = MemoryStream[(Long, Timestamp, Double)]
+      val out = StreamOps.attributionJoin(
+        views.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "p_ts", "amount"),
+        "10 minutes")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val sec = timed((0 until chunks).foreach { c =>
+          views.addData((0 until per).map { i =>
+            val j = c * per + i
+            ((j % 1000).toLong, new Timestamp(base + j * 10L))
+          })
+          purchases.addData((0 until per / 4).map { i =>
+            val j = (c * per / 4 + i) * 4
+            ((j % 1000).toLong, new Timestamp(base + j * 10L + 5000L),
+              (j % 97).toDouble)
+          })
+          q.processAllAvailable()
+        })
+        (n + n / 4) / sec // total rows pumped through both sides
+      } finally q.stop()
+    }
+
     val ops: Seq[(String, () => Double)] = Seq(
       "windowed" -> (() => windowedRps()),
       "session" -> (() => sessionRps()),
       "threshold" -> (() => thresholdRps()),
       "dedup" -> (() => dedupRps(curate = false)),
       "curate" -> (() => dedupRps(curate = true)),
-      "neardup" -> (() => nearDedupRps()))
+      "neardup" -> (() => nearDedupRps()),
+      "panes" -> (() => panesRps()),
+      "attribution" -> (() => attributionRps()))
 
     for ((bName, cls) <- backends; (oName, run) <- ops) yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
