@@ -103,15 +103,25 @@ object Similarity extends QueryModule {
     */
   private[graft] def semanticDedupFrame(corpus: DataFrame, k: Int,
       tau: Double): DataFrame = {
+    import corpus.sparkSession.implicits._
     val assign = kmeansAssign(corpus, k).localCheckpoint()
     val a = assign.select(col("vec_id").as("id_a"),
       col("embedding").as("e_a"), col("cid"))
     val b = assign.select(col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("cid"))
+    // cluster-keyed equi-join generates the candidate pairs; the cosine
+    // itself runs as the JIT loop (cosineJvm ≡ the Catalyst fold
+    // bit-for-bit) — interpreted HOFs on an O(pairs·dim) path were the
+    // v1/d5-documented trap and cost ~3 folds per pair here
     val dups = a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b") &&
-        VectorFunctions.cosine(col("e_a"), col("e_b")) >= tau)
-      .groupBy(col("id_b").as("vec_id")).agg(count(lit(1)).as("n_dups"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("e_a"), col("id_b"), col("e_b"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .flatMap { case (_, ea, ib, eb) =>
+        if (VectorFunctions.cosineJvm(ea, eb) >= tau) Some(ib) else None
+      }
+      .toDF("vec_id")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups"))
     assign.select(col("vec_id"), col("cid").cast("bigint").as("cid"))
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
