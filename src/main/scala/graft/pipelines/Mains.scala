@@ -374,10 +374,11 @@ object GameStatsMain {
   *
   * Scale shape: every stage is the already-audited operator (rowwise
   * quality gate; digest-only dedup shuffle; the shared d6 pair frame
-  * for near-dups; map-only scrub; one shard-keyed export shuffle).
-  * The funnel counts are separate bounded actions here for clarity —
-  * a 100 TB run would fold them into `observe()` metrics on the one
-  * export pass (the a16 pattern) to avoid re-reads.
+  * for near-dups; map-only scrub; one shard-keyed export shuffle) —
+  * and the funnel counts are NOT extra passes: each stage becomes a
+  * flag column and the per-stage survivor counts ride the export's own
+  * execution as `observe()` metrics (the a16 CollectMetrics pattern),
+  * so the corpus is read once, not once per funnel number.
   */
 object CuratePipelineMain {
   def main(args: Array[String]): Unit = {
@@ -390,33 +391,52 @@ object CuratePipelineMain {
     import graft.queries.{Dedup, TextAnalytics}
 
     val docs = graft.core.Tables.documents(spark, o("input"))
-    val nIn = docs.count()
 
-    val quality = docs
-      .filter(TextAnalytics.qualityCol($"text") >= o("minQuality").toDouble)
-    val nQuality = quality.count()
-
-    val unique = Dedup.normalizedKeepers(quality)
-    val nUnique = unique.count()
-
-    val kept =
-      if (o.bool("neardup")) {
-        val losers = Dedup.sharedJaccardPairs(spark, o("input"), 0.5)
+    // stage flags, not stage materializations: quality is rowwise;
+    // the dedup keeper joins back the per-digest min doc_id (computed
+    // over quality survivors, matching the staged pipeline exactly);
+    // near-dup losers come from the shared d6 pair frame
+    val withDigest = docs
+      .withColumn("q_ok",
+        TextAnalytics.qualityCol($"text") >= o("minQuality").toDouble)
+      .withColumn("digest",
+        md5(array_join(graft.functions.TextFunctions.tokenize($"text"), " ")
+          .cast("binary")))
+    val keepIds = withDigest.filter($"q_ok")
+      .groupBy($"digest").agg(min($"doc_id").as("keep_id"))
+    val losers =
+      if (o.bool("neardup"))
+        Dedup.sharedJaccardPairs(spark, o("input"), 0.5)
           .select($"doc_j".as("doc_id")).distinct()
-        unique.join(losers, Seq("doc_id"), "left_anti")
-      } else unique
-    val nKept = kept.count()
+          .withColumn("is_loser", lit(true))
+      else spark.emptyDataset[Long].toDF("doc_id")
+        .withColumn("is_loser", lit(true))
+    val flagged = withDigest
+      .join(keepIds, Seq("digest"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("uniq", $"q_ok" && $"keep_id" === $"doc_id")
+      .withColumn("kept", $"uniq" && coalesce($"is_loser", lit(false)) === false)
 
-    val nPii = kept
-      .agg(sum(TextAnalytics.piiCount($"text"))).as[Long].head()
-    val scrubbed = kept.withColumn("text", TextAnalytics.piiScrub($"text"))
+    val obs = new org.apache.spark.sql.Observation("funnel")
+    val observed = flagged.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum(when($"q_ok", 1L).otherwise(0L)).as("n_quality"),
+      sum(when($"uniq", 1L).otherwise(0L)).as("n_unique"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+      sum(when($"kept", TextAnalytics.piiCount($"text")).otherwise(0L))
+        .as("pii_redacted"))
 
     TrainExport.exportCurated(
-      scrubbed.select($"doc_id", $"lang", $"source", $"text"), o("output"))
+      observed.filter($"kept")
+        .select($"doc_id", $"lang", $"source",
+          TextAnalytics.piiScrub($"text").as("text")),
+      o("output"))
 
+    val m = obs.get
     val funnel =
-      s"""{"n_in":$nIn,"n_quality":$nQuality,"n_unique":$nUnique,""" +
-        s""""n_kept":$nKept,"pii_redacted":$nPii}"""
+      s"""{"n_in":${m("n_in")},"n_quality":${m("n_quality")},""" +
+        s""""n_unique":${m("n_unique")},"n_kept":${m("n_kept")},""" +
+        s""""pii_redacted":${m("pii_redacted")}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(o("output"), "_funnel.json"), funnel)
     println(s"curate: $funnel -> ${o("output")}")
