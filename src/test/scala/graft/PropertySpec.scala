@@ -480,6 +480,31 @@ class PropertySpec extends SparkSpec {
     assert(slope < 0.0, s"token frequencies must fall with rank: $slope")
   }
 
+  test("Gopher rules (x26): natural text passes all six, repetitive soup fails r_rep") {
+    import spark.implicits._
+    // 55 distinct words, two stopwords, word lengths 3-10, no symbols —
+    // passes every rule; the bad doc is 60 tokens of a 3-word vocab
+    val good = ("the quick brown fox jumps over a lazy sleeping hound " +
+      "while seventeen curious students quietly examine rare antique maps " +
+      "beneath tall oak shelves during rainy autumn afternoons because " +
+      "their patient teacher promised extra credit for careful detailed " +
+      "observations about distant foreign countries and ancient trade " +
+      "routes crossing vast windy deserts toward busy coastal harbors")
+    val bad = Seq.fill(20)("spam ham eggs").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    Seq((0L, good, "en", "srcA", good.length.toLong),
+        (1L, bad, "en", "srcB", bad.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("x26_gopher_rules")(spark, dir)
+      .select($"source", $"n_pass", $"p_rep")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(rows("srcA") == ((1L, 1L)), s"natural text must pass the gate: $rows")
+    assert(rows("srcB")._1 == 0L && rows("srcB")._2 == 0L,
+      s"repetitive soup must fail r_rep: $rows")
+  }
+
   test("normalized dedup (d24): exactly the planted case/punct twins collapse") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
