@@ -47,4 +47,71 @@ class BatchStreamSymmetrySpec extends SparkSpec {
         s"stream/batch divergence: ${got.size} vs ${expected.size} rows")
     } finally q.stop()
   }
+
+  test("streaming replay of events.parquet == batch result for w3 session windows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("w_start"), $"w.end".as("w_end"),
+          $"user_id", $"n")
+
+    val expected = agg(batchEvents).collect().toSet
+
+    // file-source replay; a far-future SENTINEL row (its own user) pushes
+    // the watermark past every real session so append mode can close and
+    // emit them — the sentinel's own (still-open) session is the only row
+    // filtered from the comparison
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sym3_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val maxTsNanos = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max($"ts")).as[Long].head()
+    val sentinelUser = -1L
+    val sentinelStage = java.nio.file.Files
+      .createTempDirectory("graft_sym3_sentinel")
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, maxTsNanos + 86400L * 1000000000L, sentinelUser,
+          "flush", 0.0, "{}")),
+        rawSchema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelStage.toString)
+    // the file source does not recurse into the sentinel's output dir —
+    // stage its part file next to events.parquet
+    val part = java.nio.file.Files.list(sentinelStage).iterator()
+    var staged = false
+    while (part.hasNext && !staged) {
+      val p = part.next()
+      if (p.getFileName.toString.startsWith("part-")) {
+        java.nio.file.Files.copy(p, srcDir.resolve("sentinel.parquet"))
+        staged = true
+      }
+    }
+    assert(staged, "sentinel part file not found")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sym3").toString
+    val streamEvents = spark.readStream
+      .schema(rawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "0 seconds")
+    val q = agg(streamEvents)
+      .writeStream.format("memory").queryName("sym3_test")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val got = spark.table("sym3_test")
+        .filter($"user_id" =!= sentinelUser).collect().toSet
+      assert(got == expected,
+        s"session stream/batch divergence: ${got.size} vs ${expected.size} rows")
+    } finally q.stop()
+  }
 }
