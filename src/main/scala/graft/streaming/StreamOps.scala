@@ -472,6 +472,44 @@ object StreamOps {
     * attribution, not enrichment. Both inputs must carry event-time
     * columns named `ts` (view side) / `p_ts` (purchase side).
     */
+  /** Streaming AutoComplete, step 1 — the reference pipeline's streaming
+    * mode (`AutoComplete.scala:73-86`: `isStreaming` swaps GlobalWindows
+    * for SlidingWindows over the same graph): sliding-window word counts
+    * that close via the watermark, append-safe. Step 2 is
+    * [[rankWindowPrefixes]] in `foreachBatch` — each microbatch carries
+    * only CLOSED (window, word) rows, so the ranking runs the exact
+    * batch transform per window and no rank state ever accumulates.
+    * State: the windowed count aggregate, watermark-bounded.
+    */
+  def windowedWordCounts(words: DataFrame, tsCol: String, wordCol: String,
+                         windowDur: String, slideDur: String,
+                         lateness: String): DataFrame =
+    words
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur, slideDur).as("w"),
+        col(wordCol).as("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("word"), col("n"))
+
+  /** Streaming AutoComplete, step 2: per-window flat prefix top-k over
+    * closed-window counts — the IDENTICAL explode+rank shape as the
+    * batch `PrefixTopK.flat`, with the window joined into the ranking
+    * key (one shuffle on (window, prefix)). A pure batch transform:
+    * `foreachBatch` applies it to each closed-window microbatch, and the
+    * batch↔stream identity is spec-asserted against `PrefixTopK.flat`.
+    */
+  def rankWindowPrefixes(counts: DataFrame, maxPrefix: Int,
+                         k: Int): DataFrame = {
+    val prefixed = counts.select(col("w_start"),
+      explode(transform(
+        sequence(lit(1), least(length(col("word")), lit(maxPrefix))),
+        i => col("word").substr(lit(1), i))).as("prefix"),
+      col("word"), col("n"))
+    graft.operators.KeyedOps.topKPerKey(prefixed,
+      Seq(col("w_start"), col("prefix")),
+      Seq(col("n").desc, col("word").desc), k)
+  }
+
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       horizon: String): DataFrame = {
     val v = views

@@ -491,4 +491,56 @@ class StreamOpsSpec extends SparkSpec {
         s"post-expiry copy must re-claim A's bands, not flag: $got")
     } finally q.stop()
   }
+
+  test("streaming AutoComplete: per-window prefix top-k == batch PrefixTopK.flat") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = StreamOps.windowedWordCounts(
+      in.toDF().toDF("ts", "word"), "ts", "word", "10 minutes",
+      "10 minutes", "0 seconds")
+    val ranked = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, String, Long, Int)]
+    val q = counts.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ranked.synchronized {
+          ranked ++= StreamOps.rankWindowPrefixes(batch, maxPrefix = 2, k = 2)
+            .select($"w_start", $"prefix", $"word", $"n",
+              $"rank".cast("int"))
+            .as[(Timestamp, String, String, Long, Int)].collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): flourish×3, flag×2, stomach×1
+      val w1Words = Seq.fill(3)("flourish") ++ Seq.fill(2)("flag") ++
+        Seq("stomach")
+      in.addData(w1Words.zipWithIndex.map { case (w, i) => (ts(1, i), w) }: _*)
+      q.processAllAvailable()
+      // close window 1; window 2 carries a different mix then closes too
+      in.addData((ts(11), "fig"), (ts(11, 1), "fig"), (ts(11, 2), "flourish"))
+      q.processAllAvailable()
+      in.addData((ts(31), "zzz"))
+      q.processAllAvailable()
+      val gotW1 = ranked.synchronized {
+        ranked.filter(_._1 == ts(0)).map(r => (r._2, r._3, r._4, r._5)).toSet
+      }
+      // batch identity: the SAME words through the batch pipeline
+      val batchW1 = graft.operators.PrefixTopK.flat(
+        w1Words.groupBy(identity).toSeq
+          .map { case (w, xs) => (w, xs.size.toLong) }.toDF("word", "n"),
+        maxLen = 2, k = 2)
+        .select($"prefix", $"word", $"n", $"rank".cast("int"))
+        .as[(String, String, Long, Int)].collect().toSet
+      assert(gotW1 == batchW1,
+        s"stream/batch AutoComplete divergence:\n$gotW1\nvs\n$batchW1")
+      // the second window ranked independently ("f" top-2 now fig, flourish)
+      val gotW2 = ranked.synchronized {
+        ranked.filter(_._1 == ts(10)).map(r => (r._2, r._3, r._4)).toSet
+      }
+      assert(gotW2.contains(("f", "fig", 2L)) &&
+        gotW2.contains(("f", "flourish", 1L)), s"window 2 mix: $gotW2")
+    } finally q.stop()
+  }
 }
