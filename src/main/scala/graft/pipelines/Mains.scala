@@ -153,21 +153,56 @@ object AutoCompleteMain {
     val o = Opts.parse("AutoCompleteMain", args,
       Map("maxPrefix" -> "10", "k" -> "10", "recursive" -> "true",
         "outputToDatastore" -> "false", "kind" -> "autocomplete-demo",
-        "ancestorKey" -> "root"),
+        "ancestorKey" -> "root", "streaming" -> "false",
+        "windowDur" -> "10 minutes", "slideDur" -> "5 minutes"),
       required = Seq("inputFile", "output"))
     val spark = Opts.session("graft-autocomplete")
     import spark.implicits._
-    val words = ReferencePipelines.wordCount(
-      TextIO.readLines(spark, o("inputFile")))
-    val top = ReferencePipelines.autoComplete(
-      words, o.int("maxPrefix"), o.int("k"), o.bool("recursive"))
-    TextIO.writeCsv(top.select($"prefix", $"word", $"n"), o("output"))
-    // S9: the reference's Datastore branch (`AutoComplete.scala:98-108`)
-    // — keyed entity upserts, locally a JSON-lines entity directory
-    if (o.bool("outputToDatastore"))
-      graft.io.EntitySink.write(
-        graft.io.EntitySink.autoCompleteEntities(top, o("kind"), o("ancestorKey")),
-        o("output") + "_entities")
+    if (o.bool("streaming")) {
+      // The reference's streaming mode (`AutoComplete.scala:73-86`):
+      // the same pipeline over SlidingWindows. Input lines carry the
+      // Pub/Sub-style event timestamp the reference source provides:
+      // `epoch_millis,text...` (the Injector file shape). Per-window
+      // prefix rankings land as one directory per window (S4).
+      val words = spark.readStream.text(o("inputFile")).as[String]
+        .select(split($"value", ",", 2).as("f"))
+        .select(
+          timestamp_millis(expr("try_cast(f[0] AS BIGINT)")).as("ts"),
+          explode(graft.functions.TextFunctions.tokenize(
+            expr("try_element_at(f, 2)"))).as("word"))
+        .filter($"ts".isNotNull)
+      val counts = graft.streaming.StreamOps.windowedWordCounts(
+        words, "ts", "word", o("windowDur"), o("slideDur"), "0 seconds")
+      val maxPrefix = o.int("maxPrefix"); val k = o.int("k")
+      val q = counts.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", o("output") + "_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.streaming.StreamOps.rankWindowPrefixes(batch, maxPrefix, k)
+            .select(col("w_start").cast("long").as("w_start"),
+              concat_ws(",", col("prefix"), col("word"), col("n"),
+                col("rank")).as("value"))
+            .write.mode("append").partitionBy("w_start")
+            .text(o("output"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } else {
+      val words = ReferencePipelines.wordCount(
+        TextIO.readLines(spark, o("inputFile")))
+      val top = ReferencePipelines.autoComplete(
+        words, o.int("maxPrefix"), o.int("k"), o.bool("recursive"))
+      TextIO.writeCsv(top.select($"prefix", $"word", $"n"), o("output"))
+      // S9: the reference's Datastore branch (`AutoComplete.scala:98-108`)
+      // — keyed entity upserts, locally a JSON-lines entity directory
+      if (o.bool("outputToDatastore"))
+        graft.io.EntitySink.write(
+          graft.io.EntitySink.autoCompleteEntities(top, o("kind"),
+            o("ancestorKey")),
+          o("output") + "_entities")
+    }
   }
 }
 

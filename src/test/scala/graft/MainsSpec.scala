@@ -2,7 +2,7 @@ package graft
 
 import graft.pipelines._
 import java.nio.file.Files
-import org.apache.spark.sql.functions.sum
+import org.apache.spark.sql.functions.{concat_ws, sum}
 
 /** End-to-end runs of the CLI entry points (round-2 verdict "missing #1"):
   * each main is exercised exactly as `sbt runMain` would invoke it —
@@ -252,6 +252,46 @@ class MainsSpec extends SparkSpec {
       s"--output=$out", "--maxPrefix=2", "--k=3",
       "--outputToDatastore=true", "--kind=testkind", "--ancestorKey=anc"))
     assert(readOutput(out + "_entities").size == n1)
+  }
+
+  test("AutoCompleteMain --streaming: per-window prefix rankings match batch") {
+    import spark.implicits._
+    // two tumbling windows of timestamped lines + a flush line far ahead
+    val base = 1700000400000L // fixed epoch on a 10-minute boundary
+    val w0 = Seq("flourish flag flourish", "flourish stomach")
+    val w1 = Seq("fig fig flourish")
+    val lines =
+      w0.map(t => s"$base,$t") ++
+        w1.map(t => s"${base + 600000L},$t") ++
+        Seq(s"${base + 3600000L},zz")
+    val out = tmp("ac-stream-out")
+    // the file STREAM source takes a directory, not a single file
+    val inDir = java.nio.file.Paths.get(writeInput(lines)).getParent.toString
+    AutoCompleteMain.main(Array(s"--inputFile=$inDir",
+      s"--output=$out", "--streaming=true", "--maxPrefix=2", "--k=2",
+      "--windowDur=10 minutes", "--slideDur=10 minutes"))
+    def ranked(dir: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else java.nio.file.Files.walk(p).iterator().asScala
+        .filter(f => f.getFileName.toString.startsWith("part-"))
+        .flatMap(f => java.nio.file.Files.readAllLines(f).asScala)
+        .toSet
+    }
+    // window 0: flourish×3, flag×1, stomach×1 — "fl" top-2 is
+    // (flourish,3,1), (flag,1,2); batch replay proves identity
+    val got0 = ranked(s"$out/w_start=${base / 1000}")
+    val batch0 = graft.operators.PrefixTopK.flat(
+      Seq(("flourish", 3L), ("flag", 1L), ("stomach", 1L)).toDF("word", "n"),
+      maxLen = 2, k = 2)
+      .select(concat_ws(",", $"prefix", $"word", $"n", $"rank"))
+      .as[String].collect().toSet
+    assert(got0 == batch0, s"window-0 stream/batch divergence:\n$got0\nvs\n$batch0")
+    // window 1 ranked independently: "fi" → fig, "fl" → flourish
+    val got1 = ranked(s"$out/w_start=${(base + 600000L) / 1000}")
+    assert(got1.contains("fi,fig,2,1") && got1.contains("fl,flourish,1,1"),
+      s"window-1 rankings: $got1")
   }
 
   test("CuratePipelineMain: funnel monotone, shards + manifest + scrubbed export") {
