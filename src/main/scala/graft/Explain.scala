@@ -16,7 +16,9 @@ object Explain {
         "t1_topk_per_key", "p6_filter_project",
         "d12_ngram_novelty", "d13_chunk_dedup", "v10_sign_projection",
         "p20_weighted_sample", "x13_source_divergence",
-        "x14_unigram_logprob", "j10_funnel", "d15_source_cap")
+        "x14_unigram_logprob", "j10_funnel", "d15_source_cap",
+        "d22_snapshot_diff", "d23_source_overlap", "d24_normalized_dedup",
+        "x24_pii_scrub", "x25_shard_manifest", "x26_gopher_rules")
     val spark = graft.core.GraftSession.local(8, "graft-explain")
     names.foreach { q =>
       println(s"===== $q =====")
