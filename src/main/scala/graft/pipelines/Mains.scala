@@ -478,6 +478,47 @@ object CuratePipelineMain {
   }
 }
 
+/** Corpus-health report — the per-ingest-batch diagnostic bundle a
+  * training-data pipeline runs alongside curation: every battery member
+  * is an existing oracle-checked query with a BOUNDED output (source-,
+  * vocab-, or constant-sized — never per-doc), so the whole report is
+  * driver-safe at any corpus size. One JSON file per diagnostic under
+  * `--output`, plus a one-line summary with the headline numbers.
+  */
+object CorpusReportMain {
+  /** name → bounded-output query, with the headline scalar to surface. */
+  private val battery = Seq(
+    "x22_zipf_slope", // 1 row — corpus Zipf fit
+    "x13_source_divergence", // per source — KL drift vs corpus
+    "x18_hll_distinct", // per source — distinct tokens (sketch + exact)
+    "x23_hist_quantiles", // per source — mergeable length histogram
+    "x26_gopher_rules", // per source — rule-gate pass rates
+    "x21_temperature_mix", // per source — resampling weights
+    "t6_cms_heavy_hitters", // top-k — heavy-hitter tokens
+    "d23_source_overlap") // source pairs — cross-source contamination
+
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("CorpusReportMain", args, Map.empty,
+      required = Seq("input", "output"))
+    val spark = Opts.session("graft-corpus-report")
+    val outDir = java.nio.file.Paths.get(o("output"))
+    java.nio.file.Files.createDirectories(outDir)
+    val summaries = battery.map { name =>
+      val rows = graft.SparkEntry.queries(name)(spark, o("input"))
+        .toJSON.collect() // bounded by construction (see battery note)
+      java.nio.file.Files.writeString(outDir.resolve(s"$name.json"),
+        rows.mkString("[", ",\n", "]"))
+      s""""$name":${rows.length}"""
+    }
+    val slope = graft.SparkEntry.queries("x22_zipf_slope")(spark, o("input"))
+      .select(org.apache.spark.sql.functions.col("slope"))
+      .collect().head.getDouble(0)
+    val line = s"""{"zipf_slope":$slope,"rows":{${summaries.mkString(",")}}}"""
+    java.nio.file.Files.writeString(outDir.resolve("_report.json"), line)
+    println(s"corpus-report: $line -> ${o("output")}")
+  }
+}
+
 object StatefulTeamScoreMain {
   def main(args: Array[String]): Unit = {
     val o = Opts.parse("StatefulTeamScoreMain", args,

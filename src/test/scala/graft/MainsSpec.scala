@@ -329,6 +329,26 @@ class MainsSpec extends SparkSpec {
     assert(pii == 0L, "exported corpus must be PII-free")
   }
 
+  test("CorpusReportMain: every diagnostic lands as parseable bounded JSON") {
+    val out = tmp("report-out")
+    CorpusReportMain.main(Array(
+      "--input=/root/testdata/sf0.001", s"--output=$out"))
+    val report = Files.readString(java.nio.file.Paths.get(out, "_report.json"))
+    // headline: the Zipf slope of a token corpus is negative
+    val slope = """"zipf_slope":(-?[0-9.]+)""".r
+      .findFirstMatchIn(report).get.group(1).toDouble
+    assert(slope < 0.0, s"zipf slope must be negative: $report")
+    Seq("x22_zipf_slope", "x13_source_divergence", "x18_hll_distinct",
+      "x23_hist_quantiles", "x26_gopher_rules", "x21_temperature_mix",
+      "t6_cms_heavy_hitters", "d23_source_overlap").foreach { n =>
+      val f = java.nio.file.Paths.get(out, s"$n.json")
+      assert(Files.exists(f), s"$n.json missing")
+      val body = Files.readString(f)
+      assert(body.startsWith("[") && body.endsWith("]") && body.length > 2,
+        s"$n.json empty or malformed")
+    }
+  }
+
   test("Opts validation: missing required and unknown options fail with usage") {
     val e1 = intercept[IllegalArgumentException](
       Opts.parse("X", Array("--output=/tmp/x"), Map.empty, Seq("inputFile", "output")))
