@@ -18,7 +18,8 @@ object Explain {
         "p20_weighted_sample", "x13_source_divergence",
         "x14_unigram_logprob", "j10_funnel", "d15_source_cap",
         "d22_snapshot_diff", "d23_source_overlap", "d24_normalized_dedup",
-        "x24_pii_scrub", "x25_shard_manifest", "x26_gopher_rules")
+        "x24_pii_scrub", "x25_shard_manifest", "x26_gopher_rules",
+        "j11_bm25", "x22_zipf_slope")
     val spark = graft.core.GraftSession.local(8, "graft-explain")
     names.foreach { q =>
       println(s"===== $q =====")

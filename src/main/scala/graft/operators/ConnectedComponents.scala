@@ -75,7 +75,12 @@ object ConnectedComponents {
 
   /** Large-star: process every edge from its smaller endpoint u; connect
     * each strictly-larger neighbor to m = min(N(u) ∪ {u}). One agg + one
-    * join, both keyed on the node id.
+    * join, both keyed on the node id. NO distinct here: the output feeds
+    * [[smallStar]] inside the same round, whose min-aggregate is
+    * duplicate-insensitive and whose own final distinct dedupes — a
+    * distinct at this seam would be a third full exchange per round
+    * buying nothing (round-8 profiling: the fixpoint's cost at toy SF is
+    * stage count, not data volume).
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("a").as("u"), col("b").as("w"))
@@ -85,7 +90,6 @@ object ConnectedComponents {
     sym.join(mins, "u")
       .where(col("w") > col("u"))
       .select(col("w").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** Small-star: orient every edge big→small, group on the big end u;
@@ -118,20 +122,26 @@ object ConnectedComponents {
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0
     var iter = 0
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
           s"ConnectedComponents.runStar: no fixpoint after $maxIter " +
             "rounds; labels would be wrong")
+      // ONE localCheckpoint per round — the round's only materialization.
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // Both sets are distinct, so subset + equal cardinality ⇒ equal:
-      // at the star fixpoint one more ls+ss round is a no-op.
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nextCount = next.count()
+      // Both sets are distinct, so subset + equal cardinality ⇒ equal: at
+      // the star fixpoint one more ls+ss round is a no-op. The (cheap)
+      // count compare short-circuits the (anti-join) except to the final
+      // round(s); e's count is carried over, never recomputed.
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
       iter += 1
-      log.info(s"ConnectedComponents.runStar: round $iter done")
+      log.info(s"ConnectedComponents.runStar: round $iter done ($eCount edges)")
     }
     // At the fixpoint every non-root points directly at its component
     // minimum; roots have no outgoing big→small edge and label themselves.

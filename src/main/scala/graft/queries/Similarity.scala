@@ -97,14 +97,55 @@ object Similarity extends QueryModule {
     assignTo(cents1)
   }
 
-  /** d19 frame (see the query note): (vec_id, cid, n_dups, dropped).
+  /** The ONE pinned k-means assignment frame per (session, dir, k) —
+    * v6 and d19 share it (round-8 verdict: d19 re-ran the 2-round Lloyd
+    * assignment v6 had already computed, ~1.7 s of its 2.3 s bench
+    * time). Same session-pinning contract as `Dedup.sharedJaccardPairs`:
+    * `localCheckpoint` pins an O(corpus) frame of (vec_id, embedding,
+    * cid) rows — the frame every consumer needs anyway — and
+    * [[evictCaches]] releases the blocks for long-lived sessions.
+    */
+  private val assignCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private[graft] def sharedKmeansAssign(s: SparkSession, dir: String,
+      k: Int): DataFrame =
+    assignCache.computeIfAbsent((s, dir, k), { key =>
+      kmeansAssign(
+        emb(key._1, key._2).select(col("vec_id"), col("embedding")), key._3)
+        .localCheckpoint()
+    })
+
+  /** Release the pinned assignment frames held for `session` (optionally
+    * scoped to one data dir) — the `Dedup.evictCaches` contract.
+    */
+  def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
+    val it = assignCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq session) && dir.forall(_ == e.getKey._2)) {
+        try e.getValue.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** d19 frame for an arbitrary corpus (spec entry point — planted
+    * corpora); the d19 QUERY goes through [[sharedKmeansAssign]] instead.
     * The assignment localCheckpoints once — the cid self-join would
     * otherwise run both Lloyd rounds (two corpus passes each) twice.
     */
   private[graft] def semanticDedupFrame(corpus: DataFrame, k: Int,
+      tau: Double): DataFrame =
+    semanticDedupFromAssign(kmeansAssign(corpus, k).localCheckpoint(), tau)
+
+  /** SemDeDup keep-first policy over a pinned (vec_id, embedding, cid)
+    * assignment frame: (vec_id, cid, n_dups, dropped).
+    */
+  private[graft] def semanticDedupFromAssign(assign: DataFrame,
       tau: Double): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val assign = kmeansAssign(corpus, k).localCheckpoint()
+    import assign.sparkSession.implicits._
     val a = assign.select(col("vec_id").as("id_a"),
       col("embedding").as("e_a"), col("cid"))
     val b = assign.select(col("vec_id").as("id_b"),
@@ -277,7 +318,7 @@ object Similarity extends QueryModule {
     // stay K rows regardless of corpus size.
     "v6_kmeans" -> { (s, dir) =>
       import s.implicits._
-      kmeansAssign(emb(s, dir).select($"vec_id", $"embedding"), KmK)
+      sharedKmeansAssign(s, dir, KmK)
         .select($"vec_id", $"cid".cast("bigint").as("cid"))
     },
 
@@ -285,7 +326,9 @@ object Similarity extends QueryModule {
     // the embeddings (v6's deterministic 2-round k-means), generate
     // cosine-over-threshold pairs ONLY within a cluster, and apply the
     // keep-first exemplar policy (a vector drops iff a smaller-id
-    // same-cluster neighbor sits at cosine >= tau). The published
+    // same-cluster neighbor sits at cosine >= tau). The assignment is
+    // the SHARED pinned frame — one k-means run serves v6 + d19 per
+    // (session, dir), the Dedup.sharedJaccardPairs pattern. The published
     // economics: candidate pairs fall from corpus^2 (d5's exact
     // triangular grid) to sum(cluster^2) ~ corpus^2/K, and K scales
     // with the cluster count — the within-cluster self-join is keyed on
@@ -294,8 +337,7 @@ object Similarity extends QueryModule {
     // documented-approximation path (misses cross-cluster pairs —
     // `DedupDifferentialSpec` measures exactly that differential).
     "d19_semantic_dedup" -> { (s, dir) =>
-      semanticDedupFrame(emb(s, dir).select(col("vec_id"), col("embedding")),
-        KmK, SemTau)
+      semanticDedupFromAssign(sharedKmeansAssign(s, dir, KmK), SemTau)
     },
 
     // V5: per-label centroid (element-wise mean embedding) — grouped

@@ -264,30 +264,42 @@ object TextAnalytics extends QueryModule {
     // IDF = ln(1 + (N − df + 0.5)/(df + 0.5)). Queries are
     // query-by-example: the first 3 tokens of docs 0–4 (qid = doc_id) —
     // derived from the data, so the oracle replays them. Plan: ONE
-    // (doc, w) counts aggregate feeds doc lengths, df, AND postings
-    // (exchange reuse); the ≤15-term query set and its df slice
-    // broadcast, so the scoring join touches only the query terms'
-    // postings — cost ∝ df of the query vocabulary, never the corpus;
-    // top-10 per query via the T1 rank machinery. Double parity: IDF
+    // (doc, w) counts aggregate (the corpus is scanned ONCE) feeds doc
+    // lengths, corpus totals, AND the scoring hits via exchange reuse;
+    // the ≤15-term query set broadcasts, so the scoring join touches
+    // only the query terms' postings — cost ∝ df of the query
+    // vocabulary, never the corpus. df itself is a WINDOW COUNT over
+    // the hits frame: within a (qid, w) partition the scored rows ARE
+    // that term's postings, so count(*) over the partition = df(w) —
+    // this deletes the separate df/dfq branches whose differently-
+    // pruned copies of the dw subplan used to defeat ReuseExchange and
+    // re-scan the corpus (PlanSpec asserts the single-scan shape).
+    // Top-10 per query via the T1 rank machinery. Double parity: IDF
     // ln round-9 (x13 convention), the TF fraction is pure IEEE double
     // arithmetic written in the same operation order in both engines,
     // per-term product round-9, decimal sum, final round-6.
     "j11_bm25" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // The explicit (vacuous) isnotnull guard makes every consumer of
+      // dw see the IDENTICAL subplan: the scoring join infers
+      // isnotnull(doc_id) into ITS copy of the scan, and without the
+      // guard the len/tot branches' copies differ by that one filter —
+      // defeating ReuseExchange.
       val dw = Tables.documents(s, dir)
+        .filter($"doc_id".isNotNull)
         .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
       val len = dw.groupBy($"doc_id").agg(sum($"n_dw").as("len_d"))
-      val df = dw.groupBy($"w").agg(count(lit(1)).as("df"))
       val tot = len.agg(count(lit(1)).as("n_docs"),
         (sum($"len_d").cast("double") / count(lit(1))).as("avglen"))
       val q = Tables.documents(s, dir).filter($"doc_id" < 5)
         .select($"doc_id".as("qid"),
           explode(slice(TextFunctions.wsTokens($"text"), 1, 3)).as("w"))
         .distinct()
-      val dfq = df.join(broadcast(q.select($"w").distinct()), "w")
       val scored = dw.join(broadcast(q), "w")
-        .join(broadcast(dfq), "w")
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy($"qid", $"w")))
         .join(len, "doc_id")
         .crossJoin(broadcast(tot)) // 1-row (n_docs, avglen)
         .select($"qid", $"doc_id",
@@ -615,24 +627,37 @@ object TextAnalytics extends QueryModule {
     // health number a data pipeline tracks per ingest batch — natural
     // text sits near slope −1, template/boilerplate-heavy batches
     // flatten or steepen it. The frequency agg shuffles (w) — vocab-
-    // bounded; the rank window runs over the VOCAB frame (≪ corpus —
-    // the documented bounded-window class; a corpus-sized frame would
-    // use the x12 sharded prefix-sum instead). Deterministic rank ties:
-    // (n desc, w asc). Parity: ln on integer args, per-term round-9
+    // bounded; the top-1000 selection is a two-phase salted top-K
+    // (NOT a global rank window: the distinct-token vocab of a web
+    // corpus is 10^8–10^9 rows — typos, URLs — so an unpartitioned
+    // row_number would sort it all on ONE task). Phase 1 ranks within
+    // salt buckets in parallel (a PARTITIONED window — the salt must be
+    // a non-foldable column: a constant key would constant-fold to an
+    // empty partition spec, i.e. the single-partition WindowExec again)
+    // and keeps ≤1000 per bucket; phase 2 is ONE bounded aggregate over
+    // the ≤ 1000·fanout survivors — sort, slice, posexplode — whose
+    // array position IS the exact global rank (any global-top-1000
+    // member is in its bucket's local top-1000). Deterministic rank
+    // ties: (n desc, w asc) — encoded as array_sort on (-n, w), a total
+    // order on the vocab. Parity: ln on integer args, per-term round-9
     // products, decimal accumulation, final round-6 — the x9/x13
     // convention; the intercept reuses the UNROUNDED slope expression so
     // both engines evaluate the identical double formula.
     "x22_zipf_slope" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val freq = Tables.documents(s, dir)
         .select(explode(TextFunctions.wsTokens($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
-      val pts = freq
-        .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"w".asc)))
-        .filter($"r" <= 1000)
-        .select(round(log($"r".cast("double")), 9).as("x"),
-          round(log($"n".cast("double")), 9).as("y"))
+      val local = graft.operators.KeyedOps.topKPerKey(
+          freq.withColumn("salt", pmod(spark_partition_id(), lit(32))),
+          Seq($"salt"), Seq($"n".desc, $"w".asc), 1000, "lr")
+        .select((-$"n").as("negn"), $"w")
+      val pts = local
+        .agg(slice(array_sort(collect_list(struct($"negn", $"w"))), 1, 1000)
+          .as("top"))
+        .select(posexplode($"top"))
+        .select(round(log(($"pos" + 1).cast("double")), 9).as("x"),
+          round(log((-$"col.negn").cast("double")), 9).as("y"))
       val slopeRaw = ($"k" * $"sxy" - $"sx" * $"sy") /
         ($"k" * $"sxx" - $"sx" * $"sx")
       pts.agg(

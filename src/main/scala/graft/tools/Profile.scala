@@ -1,0 +1,49 @@
+package graft.tools
+
+/** Ad-hoc per-query wall-clock profiler: times each named query against
+  * an sf dir in the bench harness's shape (`local[N]`, warm JVM), with
+  * the session caches evicted or kept between runs so both the
+  * first-consumer cost (Bench's alphabetical order makes d10 pay
+  * pair-gen + CC) and the pinned-frame cost are visible.
+  *
+  * Usage: runMain graft.tools.Profile [sfDir] [query ...]
+  *   GRAFT_PROFILE_REPEAT=N    time each query N times (default 2)
+  *   GRAFT_PROFILE_EVICT=false keep Dedup/Similarity caches across reps
+  *   GRAFT_PROFILE_PLAN=true   print the post-AQE executed plan
+  * (env vars, not -D flags: `run / fork := true` — system properties
+  * given to sbt do not reach the forked JVM)
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else Seq("d10_best_keeper", "d19_semantic_dedup", "j11_bm25",
+                  "x22_zipf_slope", "v6_kmeans")
+    val repeat = sys.env.getOrElse("GRAFT_PROFILE_REPEAT", "2").toInt
+    val evict = sys.env.getOrElse("GRAFT_PROFILE_EVICT", "true").toBoolean
+    val spark = graft.core.GraftSession.local(32, "graft-profile")
+    // warmup: JVM + codegen + parquet footers (the Bench preamble)
+    Seq("q1_agg", "p1_wordcount", "a5_max_per_key", "v2_lsh_buckets")
+      .foreach(q => graft.SparkEntry.queries(q)(spark, dir).count())
+    names.foreach { q =>
+      (1 to repeat).foreach { rep =>
+        if (evict && rep == 1) {
+          graft.queries.Dedup.evictCaches(spark)
+          graft.queries.Similarity.evictCaches(spark)
+        }
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(q)(spark, dir)
+        val n = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"profile,$q,rep$rep,$sec%.3f,rows=$n")
+        if (rep == repeat &&
+            sys.env.get("GRAFT_PROFILE_PLAN").contains("true")) {
+          df.collect() // finalize AQE on the full result plan
+          println(s"===== $q executed plan =====")
+          println(df.queryExecution.executedPlan.toString)
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -132,6 +132,7 @@ object ScaleFixture {
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
+    graft.queries.Similarity.evictCaches(spark) // nor the k-means assignment
 
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -97,6 +97,23 @@ class PlanSpec extends SparkSpec {
       s"the per-shingle aggregate must be computed once:\n$p")
   }
 
+  test("j11_bm25: ONE corpus scan — dw exchange reused, df via hits window") {
+    // Round-8 verdict item 4: j11 built 6 frames off the dw aggregate and
+    // nothing proved the exchange was reused rather than the corpus
+    // scanned 3×. Now: df is a window count over the scoring hits (no
+    // separate df branch at all), len/tot reuse the dw exchange, and the
+    // FINAL adaptive plan must show exactly 2 parquet scans — the one
+    // corpus pass and the pushed-filter (doc_id < 5) query scan.
+    val df = SparkEntry.queries("j11_bm25")(spark, dir)
+    df.collect() // finalize AQE — reuse lands at runtime
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"corpus must be scanned once (plus the tiny query scan):\n$p")
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      s"len and tot must reuse the dw/len exchanges:\n$p")
+  }
+
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
     // The block frames aggregate to B=16 rows each; the grid join of two
     // 16-row frames is the ONLY join. Corpus-sized data moves through one
@@ -198,6 +215,25 @@ class PlanSpec extends SparkSpec {
       if (!boundedBnlj.contains(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin off the bounded whitelist")
+    }
+  }
+
+  test("window sweep: every Window in every query plan carries a partition spec") {
+    // Round-8 verdict item 1: x22 ranked the FULL vocab under
+    // Window.orderBy() with no partition spec — the one "WindowExec: No
+    // Partition Defined … moving all data to a single partition" in the
+    // suite (vocab is corpus-dependent, 10^8+ rows at web scale). Now the
+    // top-1000 selection is the salted two-phase top-K, whose final
+    // re-rank partitions on a constant key over a ≤ 1000·fanout frame.
+    // Sweep the whole query surface so the pattern cannot return.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned Window (single-partition global sort)")
     }
   }
 
