@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{HashedShinglesExpr, JavaStringHashCode, RepetitionStatsExpr, SimHashExpr}
+import graft.functions.{HashedShinglesExpr, JavaStringHashCode, MinHashBandsExpr, RepetitionStatsExpr, SimHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,7 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `hashed_shingles(str, n)` — distinct hashed word n-gram shingles;
   *   - `simhash32(str)` — 32-bit token-vote SimHash;
   *   - `repetition_stats(str)` — (n_tokens, n_distinct, top_bigram_n)
-  *     struct for Gopher-style repetition quality signals.
+  *     struct for Gopher-style repetition quality signals;
+  *   - `minhash_bands(str, n, numPerm, bandSize)` — MinHash LSH band
+  *     keys (P = 2^31−1 permutation family), the streaming near-dup
+  *     blocking primitive.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -45,5 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
         "repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, _), Literal(np: Int, _),
+            Literal(bs: Int, _)) =>
+          MinHashBandsExpr(text, n, np, bs, graft.queries.Dedup.P)
+        case _ => throw new IllegalArgumentException(
+          "usage: minhash_bands(text, <int n>, <int numPerm>, <int bandSize>)")
+      }))
   }
 }

@@ -50,7 +50,16 @@ object TrainExport {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("quality"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val manifest = TextAnalytics.shardManifest(frame)
+    // The manifest derives from the parquet JUST WRITTEN, not from
+    // `frame`: re-evaluating the curriculum plan for the manifest would
+    // re-pay the corpus scan + exact-percentile aggregate a second time
+    // (advisor r8 — this is what makes the "ONE shuffle" contract above
+    // actually hold), and reading the files back means the manifest
+    // vouches for what is ON DISK, not what a recompute would produce.
+    // (`shard` comes back as a partition-discovery int — re-widen it.)
+    val back = frame.sparkSession.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("long"))
+    val manifest = TextAnalytics.shardManifest(back)
     val rows = manifest.orderBy(col("shard")).collect() // 8 rows, bounded
     val json = rows.map { r =>
       s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +

@@ -262,7 +262,15 @@ object Multimodal {
 
   /** REAL video codec — JDK-only: multi-frame animated GIF through
     * ImageIO's gif ImageReader (the one video-shaped container the JDK
-    * decodes natively). Frames are read as stored — the synthetic
+    * decodes natively). SCOPE BOUND (by design, not a TODO): MP4/WebM/
+    * MKV need container demuxers + codec implementations that do not
+    * exist in the JDK and cannot be vendored under this build's
+    * no-new-dependencies rule — animated GIF IS the JDK-reachable video
+    * surface. On a production cluster, swap this object for one backed
+    * by a real demuxer; every downstream op (checksum / temporal
+    * envelope / frame sampling / thumbnailing, and all the Spark-side
+    * schema/partitioning plumbing) is codec-agnostic and unchanged.
+    * Frames are read as stored — the synthetic
     * fixtures (and any full-frame GIF) need no disposal compositing,
     * which is documented as out of scope rather than half-implemented.
     * Like the other real codecs, every output derives from DECODED

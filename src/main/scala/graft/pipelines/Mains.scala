@@ -159,36 +159,66 @@ object AutoCompleteMain {
     val spark = Opts.session("graft-autocomplete")
     import spark.implicits._
     if (o.bool("streaming")) {
+      // The reference rejects the Datastore sink in streaming mode
+      // (`AutoComplete.scala:90-96` checkArgument); mirror that instead
+      // of silently ignoring the flag.
+      require(!o.bool("outputToDatastore"),
+        "--outputToDatastore is not supported with --streaming " +
+          "(the reference rejects this combination)")
       // The reference's streaming mode (`AutoComplete.scala:73-86`):
       // the same pipeline over SlidingWindows. Input lines carry the
       // Pub/Sub-style event timestamp the reference source provides:
       // `epoch_millis,text...` (the Injector file shape). Per-window
       // prefix rankings land as one directory per window (S4).
-      val words = spark.readStream.text(o("inputFile")).as[String]
+      def parsedWords(lines: DataFrame): DataFrame = lines
         .select(split($"value", ",", 2).as("f"))
         .select(
           timestamp_millis(expr("try_cast(f[0] AS BIGINT)")).as("ts"),
           explode(graft.functions.TextFunctions.tokenize(
             expr("try_element_at(f, 2)"))).as("word"))
         .filter($"ts".isNotNull)
+      val maxPrefix = o.int("maxPrefix"); val k = o.int("k")
+      def writeRanked(counts: DataFrame): Unit = {
+        graft.streaming.StreamOps.rankWindowPrefixes(counts, maxPrefix, k)
+          .select(col("w_start").cast("long").as("w_start"),
+            concat_ws(",", col("prefix"), col("word"), col("n"),
+              col("rank")).as("value"))
+          .write.mode("append").partitionBy("w_start")
+          .text(o("output"))
+        ()
+      }
+      val words = parsedWords(spark.readStream.text(o("inputFile")))
       val counts = graft.streaming.StreamOps.windowedWordCounts(
         words, "ts", "word", o("windowDur"), o("slideDur"), "0 seconds")
-      val maxPrefix = o.int("maxPrefix"); val k = o.int("k")
       val q = counts.writeStream
         .outputMode("append")
         .option("checkpointLocation", o("output") + "_cp")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.streaming.StreamOps.rankWindowPrefixes(batch, maxPrefix, k)
-            .select(col("w_start").cast("long").as("w_start"),
-              concat_ws(",", col("prefix"), col("word"), col("n"),
-                col("rank")).as("value"))
-            .write.mode("append").partitionBy("w_start")
-            .text(o("output"))
-          ()
-        }
+        .foreachBatch { (batch: DataFrame, _: Long) => writeRanked(batch) }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // TRAILING-WINDOW FLUSH: on a bounded one-shot input, append mode
+      // only emits windows whose end the final watermark (= max event
+      // time, 0s lateness) has passed — the window(s) CONTAINING the max
+      // event time never close, so the run would silently drop the last
+      // rankings. The Beam reference drains the watermark to +inf on
+      // termination and emits everything; replicate that with ONE batch
+      // pass over the same file (batch↔stream symmetry: identical window
+      // expression), writing ONLY the windows the streaming query did
+      // not emit (anti-join on the already-written w_start partitions —
+      // robust to the exact emitted/unemitted watermark boundary).
+      val written =
+        scala.util.Try(spark.read.text(o("output"))
+            .select(col("w_start").cast("long").as("w_start")).distinct())
+          .getOrElse(spark.range(0).select(col("id").as("w_start")))
+      val allCounts = graft.streaming.StreamOps.windowedWordCounts(
+        parsedWords(spark.read.text(o("inputFile"))),
+        "ts", "word", o("windowDur"), o("slideDur"), "0 seconds")
+      writeRanked(allCounts
+        .withColumn("w_start", col("w_start").cast("long"))
+        .join(written, Seq("w_start"), "left_anti")
+        .select(to_timestamp(col("w_start")).as("w_start"),
+          col("word"), col("n")))
     } else {
       val words = ReferencePipelines.wordCount(
         TextIO.readLines(spark, o("inputFile")))
@@ -411,9 +441,10 @@ object GameStatsMain {
   * quality gate; digest-only dedup shuffle; the shared d6 pair frame
   * for near-dups; map-only scrub; one shard-keyed export shuffle) —
   * and the funnel counts are NOT extra passes: each stage becomes a
-  * flag column and the per-stage survivor counts ride the export's own
-  * execution as `observe()` metrics (the a16 CollectMetrics pattern),
-  * so the corpus is read once, not once per funnel number.
+  * flag column and the per-stage survivor counts ride the ONE
+  * materialization of the flagged frame as `observe()` metrics (the
+  * a16 CollectMetrics pattern), so the corpus is read once, not once
+  * per funnel number; the export then reads the pinned survivors.
   */
 object CuratePipelineMain {
   def main(args: Array[String]): Unit = {
@@ -461,11 +492,20 @@ object CuratePipelineMain {
       sum(when($"kept", TextAnalytics.piiCount($"text")).otherwise(0L))
         .as("pii_redacted"))
 
-    TrainExport.exportCurated(
-      observed.filter($"kept")
-        .select($"doc_id", $"lang", $"source",
-          TextAnalytics.piiScrub($"text").as("text")),
-      o("output"))
+    // Materialize the scrubbed survivors ONCE before the export:
+    // curriculumFrameOf cross-joins the frame with an aggregate of
+    // itself (the octile boundaries), which would clone the
+    // CollectMetrics node into both branches — CollectMetricsExec keys
+    // metrics by name and keeps an arbitrary instance, so any future
+    // plan divergence between the clones could silently corrupt the
+    // funnel (advisor r8). The eager localCheckpoint runs the observed
+    // plan exactly once (one corpus read, one observation) and the
+    // export diamond + manifest read the pinned blocks.
+    val curated = observed.filter($"kept")
+      .select($"doc_id", $"lang", $"source",
+        TextAnalytics.piiScrub($"text").as("text"))
+      .localCheckpoint()
+    TrainExport.exportCurated(curated, o("output"))
 
     val m = obs.get
     val funnel =

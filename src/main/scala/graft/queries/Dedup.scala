@@ -51,20 +51,9 @@ object Dedup extends QueryModule {
     * (`"idx|k1,k2,.."`), matching lshBandPairs' (band_idx, band_key)
     * equality. Empty-shingle docs (< width tokens) get an empty array.
     */
-  private[graft] def rowwiseBandKeys(text: Column): Column = {
-    val sh = HashedShinglesExpr.hashedShingles(text, 3)
-    val sig = array((0 until NumPerm).map { j =>
-      array_min(transform(sh,
-        x => pmod(x * lit(2L * j + 1) + lit(12345L * j + 1), lit(P))))
-    }: _*)
-    when(size(sh) > 0,
-      transform(sequence(lit(0), lit(NumPerm / BandSize - 1)), b =>
-        concat_ws("|", b.cast("string"),
-          array_join(transform(
-            slice(sig, b * lit(BandSize) + lit(1), lit(BandSize)),
-            x => x.cast("string")), ","))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[graft] def rowwiseBandKeys(text: Column): Column =
+    graft.functions.MinHashBandsExpr.minhashBands(
+      text, 3, NumPerm, BandSize, P)
 
   /** Near-dup candidate pairs with exact Jaccard, `jaccard >= threshold`.
     *
@@ -409,7 +398,11 @@ object Dedup extends QueryModule {
     // join. Snapshot B is DERIVED deterministically from the base
     // corpus (the p17/x24 injection pattern: %11 docs dropped, %13
     // texts revised, %17 docs re-added under shifted ids), so both
-    // engines diff the identical pair of snapshots. Only (doc_id, md5)
+    // engines diff the identical pair of snapshots. The re-add shift is
+    // max(doc_id)+1 — derived, not a constant: a fixed offset would
+    // collide with real ids once the corpus outgrows it, silently
+    // turning the full-outer join many-to-many (advisor r8); the 1-row
+    // max broadcasts. Only (doc_id, md5)
     // pairs ever shuffle — the text reduces map-side to its 32-char
     // digest, so at 100 TB the join carries ~48 bytes/doc regardless
     // of doc size, hash-partitioned on doc_id. Audit output per
@@ -417,13 +410,15 @@ object Dedup extends QueryModule {
     "d22_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
+      val shift = docs.agg((max($"doc_id") + 1L).as("shift"))
       val a = docs.select($"doc_id", md5($"text".cast("binary")).as("ha"))
       val bDocs = docs.filter($"doc_id" % 11 =!= 0)
         .select($"doc_id",
           when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
             .otherwise($"text").as("text"))
         .union(docs.filter($"doc_id" % 17 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"),
+          .crossJoin(broadcast(shift)) // 1-row derived offset
+          .select(($"doc_id" + $"shift").as("doc_id"),
             concat(lit("new "), $"text").as("text")))
       val b = bDocs.select($"doc_id", md5($"text".cast("binary")).as("hb"))
       a.join(b, Seq("doc_id"), "full_outer")
@@ -443,18 +438,24 @@ object Dedup extends QueryModule {
     // variants) collapse to one digest where raw-md5 d1 sees distinct
     // texts. The corpus has no such variants, so the query PLANTS them
     // (the d22/x24 injection pattern): docs with doc_id%9==0 gain an
-    // UPPERCASED '!!'-suffixed twin under a shifted id — both engines
-    // derive the identical augmented corpus, and normalization must
-    // collapse exactly those pairs. Normalization rides the existing
+    // UPPERCASED '!!'-suffixed twin under a max(doc_id)+1-shifted id
+    // (derived like d22's — a constant offset would collide with real
+    // ids on a large corpus and break the planted-pair invariant) —
+    // both engines derive the identical augmented corpus, and
+    // normalization must collapse exactly those pairs. The PropertySpec
+    // every-group-is-a-planted-pair invariant rests on this
+    // collision-freedom. Normalization rides the existing
     // tokenize (lower + letter-runs, codegen'd); only (digest 32B,
     // doc_id) ever shuffles — ONE hash agg with map-side combine, the
     // d1 shape with a rowwise normalize bolted in front.
     "d24_normalized_dedup" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
+      val shift = docs.agg((max($"doc_id") + 1L).as("shift"))
       val aug = docs.select($"doc_id", $"text")
         .union(docs.filter($"doc_id" % 9 === 0)
-          .select(($"doc_id" + 2000000L).as("doc_id"),
+          .crossJoin(broadcast(shift)) // 1-row derived offset
+          .select(($"doc_id" + $"shift").as("doc_id"),
             concat(upper($"text"), lit(" !!")).as("text")))
       aug
         .select($"doc_id",
@@ -1158,7 +1159,8 @@ object Dedup extends QueryModule {
          |      AS text
          |  FROM documents WHERE doc_id % 11 <> 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+         |    AS doc_id, 'new ' || text AS text
          |  FROM documents WHERE doc_id % 17 = 0),
          |ah AS (SELECT doc_id, md5(text) AS ha FROM documents),
          |bh AS (SELECT doc_id, md5(text) AS hb FROM b),
@@ -1177,7 +1179,8 @@ object Dedup extends QueryModule {
       s"""WITH aug AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id, upper(text) || ' !!' AS text
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+         |    AS doc_id, upper(text) || ' !!' AS text
          |  FROM documents WHERE doc_id % 9 = 0),
          |h AS (
          |  SELECT doc_id,

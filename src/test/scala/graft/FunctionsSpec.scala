@@ -136,6 +136,44 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1)._1 == 0L) // zero-token doc
   }
 
+  test("minhash_bands matches the composed Catalyst minhash form") {
+    import spark.implicits._
+    import graft.functions.{HashedShinglesExpr, MinHashBandsExpr}
+    val (numPerm, bandSize, p) = (16, 4, 2147483647L)
+    // the exact HOF pipeline MinHashBandsExpr replaced (the streaming
+    // near-dup band computation before the fused expression)
+    def composed(text: org.apache.spark.sql.Column) = {
+      val sh = HashedShinglesExpr.hashedShingles(text, 3)
+      val sig = array((0 until numPerm).map { j =>
+        array_min(transform(sh,
+          x => pmod(x * lit(2L * j + 1) + lit(12345L * j + 1), lit(p))))
+      }: _*)
+      when(size(sh) > 0,
+        transform(sequence(lit(0), lit(numPerm / bandSize - 1)), b =>
+          concat_ws("|", b.cast("string"),
+            array_join(transform(
+              slice(sig, b * lit(bandSize) + lit(1), lit(bandSize)),
+              x => x.cast("string")), ","))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = Seq("the quick brown fox jumps over the lazy dog", "", "a b",
+      "a b c", "tabs\tand  runs of   space and more words here",
+      "Ünïcode tökens mixed in a sentence")
+    val rows = docs.toDF("t")
+      .select(MinHashBandsExpr.minhashBands($"t", 3, numPerm, bandSize, p)
+        .as("f"), composed($"t").as("c"))
+      .as[(Seq[String], Seq[String])].collect()
+    docs.zip(rows).foreach { case (d, (f, c)) =>
+      assert(f == c, s"minhash band mismatch for '$d': $f vs $c")
+    }
+    assert(rows(1)._1.isEmpty && rows(2)._1.isEmpty) // < 3 tokens: no bands
+    // SQL-surface registration agrees with the Scala API
+    val viaSql = docs.toDF("t")
+      .selectExpr("minhash_bands(t, 3, 16, 4) AS f")
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql == rows.map(_._1).toSeq)
+  }
+
   test("knuthHash is within [0, 2^32) and deterministic") {
     import spark.implicits._
     val vals = Seq(0L, 1L, 42L, Int.MaxValue.toLong).toDF("x")

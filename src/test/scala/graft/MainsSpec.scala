@@ -254,16 +254,28 @@ class MainsSpec extends SparkSpec {
     assert(readOutput(out + "_entities").size == n1)
   }
 
+  test("AutoCompleteMain --streaming rejects --outputToDatastore (reference parity)") {
+    val ex = intercept[IllegalArgumentException] {
+      AutoCompleteMain.main(Array(s"--inputFile=${writeInput(lear)}",
+        s"--output=${tmp("ac-reject")}", "--streaming=true",
+        "--outputToDatastore=true"))
+    }
+    assert(ex.getMessage.contains("outputToDatastore"))
+  }
+
   test("AutoCompleteMain --streaming: per-window prefix rankings match batch") {
     import spark.implicits._
-    // two tumbling windows of timestamped lines + a flush line far ahead
+    // two tumbling windows of timestamped lines — NO far-future sentinel:
+    // the trailing window (the one containing the max event time) is
+    // exactly what append mode never closes under Trigger.AvailableNow,
+    // and the main's terminal batch flush must emit it (advisor r8: a
+    // real user's last window silently vanished without the flush)
     val base = 1700000400000L // fixed epoch on a 10-minute boundary
     val w0 = Seq("flourish flag flourish", "flourish stomach")
     val w1 = Seq("fig fig flourish")
     val lines =
       w0.map(t => s"$base,$t") ++
-        w1.map(t => s"${base + 600000L},$t") ++
-        Seq(s"${base + 3600000L},zz")
+        w1.map(t => s"${base + 600000L},$t")
     val out = tmp("ac-stream-out")
     // the file STREAM source takes a directory, not a single file
     val inDir = java.nio.file.Paths.get(writeInput(lines)).getParent.toString
@@ -288,10 +300,11 @@ class MainsSpec extends SparkSpec {
       .select(concat_ws(",", $"prefix", $"word", $"n", $"rank"))
       .as[String].collect().toSet
     assert(got0 == batch0, s"window-0 stream/batch divergence:\n$got0\nvs\n$batch0")
-    // window 1 ranked independently: "fi" → fig, "fl" → flourish
+    // window 1 holds the max event time → append mode cannot close it;
+    // it must arrive via the terminal flush, ranked identically
     val got1 = ranked(s"$out/w_start=${(base + 600000L) / 1000}")
     assert(got1.contains("fi,fig,2,1") && got1.contains("fl,flourish,1,1"),
-      s"window-1 rankings: $got1")
+      s"window-1 (flushed trailing window) rankings: $got1")
   }
 
   test("CuratePipelineMain: funnel monotone, shards + manifest + scrubbed export") {

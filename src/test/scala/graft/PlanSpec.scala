@@ -206,7 +206,9 @@ class PlanSpec extends SparkSpec {
       "d20_dup_pagerank", // 1-row doc-count broadcast per iteration
       "x16_bigram_logprob", // 1-row vocab-size broadcast
       "x21_temperature_mix", // 1-row weight-sum broadcast
-      "x25_shard_manifest") // 1-row octile-boundary broadcast
+      "x25_shard_manifest", // 1-row octile-boundary broadcast
+      "d22_snapshot_diff", // 1-row max(doc_id) twin-shift broadcast
+      "d24_normalized_dedup") // 1-row max(doc_id) twin-shift broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
