@@ -43,7 +43,7 @@ object ConnectedComponents {
       .localCheckpoint()
 
     var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -62,7 +62,9 @@ object ConnectedComponents {
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // the filtered count is the materializing action for the lazy
+      // checkpoint above (the full frame pins; the count sees the filter)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
@@ -115,13 +117,26 @@ object ConnectedComponents {
     * propagation needs d. Per round: 2 aggs + 2 joins keyed on node id
     * plus one set-equality check (anti-join count) for the fixpoint.
     */
+  /** @param edgesDistinct caller-asserted contract that `edges` is
+    *   already duplicate-free with src ≠ dst (true for the dedup pair
+    *   frames: grouped output with doc_i < doc_j) — skips the initial
+    *   normalization `distinct()`, one full edge exchange. The algorithm
+    *   is correct either way (the star aggregates are duplicate-
+    *   insensitive); the flag only removes a wasted shuffle.
+    */
   def runStar(nodes: DataFrame, edges: DataFrame,
-              maxIter: Int = Int.MaxValue): DataFrame = {
-    var e = edges
+              maxIter: Int = Int.MaxValue,
+              edgesDistinct: Boolean = false): DataFrame = {
+    val norm = edges
       .select(col("src").as("a"), col("dst").as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    // LAZY checkpoints throughout: the count() that every round needs
+    // anyway is the materializing action, so each round is ONE job
+    // (plan + pin + count) instead of an eager-checkpoint job followed
+    // by a count job — at toy SF the fixpoint is stage-count-bound, so
+    // halving the jobs halves the wall-clock.
+    var e = (if (edgesDistinct) norm
+             else norm.where(col("a") =!= col("b")).distinct())
+      .localCheckpoint(eager = false)
     var eCount = e.count()
     var converged = eCount == 0
     var iter = 0
@@ -130,8 +145,8 @@ object ConnectedComponents {
         throw new IllegalStateException(
           s"ConnectedComponents.runStar: no fixpoint after $maxIter " +
             "rounds; labels would be wrong")
-      // ONE localCheckpoint per round — the round's only materialization.
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // ONE lazy localCheckpoint per round, materialized by the count.
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nextCount = next.count()
       // Both sets are distinct, so subset + equal cardinality ⇒ equal: at
       // the star fixpoint one more ls+ss round is a no-op. The (cheap)

@@ -81,10 +81,9 @@ object Dedup extends QueryModule {
                                   threshold: Double,
                                   maxShingleDf: Option[Long] = None): DataFrame = {
     import s.implicits._
-    // Both self-join sides recompute the shingle frame rather than
-    // cache() it: the fused expression makes recompute cheaper than a
-    // cache round-trip at test SF, and at 100 TB a corpus-sized cache
-    // would pin executor storage memory for no plan benefit.
+    // Pair generation reads the shingle frame ONCE (group-emit in
+    // pairAgg) — no corpus-sized cache, no second scan; at 100 TB the
+    // only corpus-wide exchange is the shingle-keyed one.
     maxShingleDf match {
       case None =>
         pairStats(s, dir)
@@ -98,7 +97,7 @@ object Dedup extends QueryModule {
           .select($"shingle")
         val shF = sh.join(keep, Seq("shingle"))
         val sizes = shF.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-        pairAgg(shF.as("a"), shF.as("b"))
+        pairAgg(shF)
           .agg(count(lit(1)).as("n_common"))
           .join(sizes.select($"doc_id".as("doc_i"), $"n_sh".as("n_i")), "doc_i")
           .join(sizes.select($"doc_id".as("doc_j"), $"n_sh".as("n_j")), "doc_j")
@@ -109,13 +108,31 @@ object Dedup extends QueryModule {
     }
   }
 
-  /** Shared candidate-pair self-join + group: equi-join on the shingle,
-    * pairs ordered doc_i < doc_j.
+  /** Shared candidate-pair generation, grouped by (doc_i < doc_j):
+    * ONE exchange keyed on the shingle collects each block's
+    * (doc_id[, n_sh]) list, then a codegen'd double-`explode` emits every
+    * same-block ordered pair once per shared shingle. This replaces the
+    * former two-sided self-join, which paid a second corpus scan +
+    * shingle-expression pass and a second full shingle exchange plus two
+    * sort-merge sorts for the identical pair stream. Emission volume is
+    * unchanged (Σ_block df·(df−1)/2 — the exact-Jaccard candidate
+    * volume both engines must aggregate); block width is the shingle's
+    * document frequency, bounded by the stop-shingle cap when the caller
+    * enables it (`jaccardPairs(maxShingleDf)`) — the same df² hot-key
+    * exposure the self-join had, now visible as a per-block list.
+    *
+    * `sh` must carry (doc_id, shingle) and optionally n_sh; any extra
+    * per-doc columns riding the rows are carried into the `a.`/`b.`
+    * structs referenced by the caller's agg.
     */
-  private def pairAgg(a: DataFrame, b: DataFrame) =
-    a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
+  private def pairAgg(sh: DataFrame) = {
+    val item = struct(sh.columns.filter(_ != "shingle").map(col).toSeq: _*)
+    sh.groupBy(col("shingle")).agg(collect_list(item).as("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+  }
 
   /** UNFILTERED per-pair set statistics + both set-overlap measures —
     * the single pair aggregation every exact dedup measure derives from:
@@ -133,7 +150,7 @@ object Dedup extends QueryModule {
     val sh = shingleArr(s, dir)
       .select($"doc_id", size($"arr").cast("long").as("n_sh"),
         explode($"arr").as("shingle"))
-    pairAgg(sh.as("a"), sh.as("b"))
+    pairAgg(sh)
       .agg(count(lit(1)).as("n_common"),
         min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
       .select($"doc_i", $"doc_j", $"n_common", $"n_i", $"n_j",
@@ -184,7 +201,7 @@ object Dedup extends QueryModule {
       pairStats(key._1, key._2)
         .filter(col("jaccard") >= BasePairThreshold ||
           col("containment") >= ContainBaseThreshold)
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // first consumer materializes
     })
 
   private[graft] def sharedJaccardPairs(s: SparkSession, dir: String,
@@ -241,8 +258,9 @@ object Dedup extends QueryModule {
       val pairs = sharedJaccardPairs(sess, d, 0.5)
         .select($"doc_i".as("src"), $"doc_j".as("dst"))
       graft.operators.ConnectedComponents.runStar(
-          Tables.documents(sess, d).select($"doc_id".as("id")), pairs)
-        .localCheckpoint()
+          Tables.documents(sess, d).select($"doc_id".as("id")), pairs,
+          edgesDistinct = true) // grouped pair frame: unique, doc_i<doc_j
+        .localCheckpoint(eager = false) // first consumer materializes
     })
 
   /** Release every pinned frame this module holds for `session` (the
