@@ -486,6 +486,60 @@ object Dedup extends QueryModule {
         .filter($"n_docs" >= 2)
     },
 
+    // D25: EXACT-SUBSTRING DUPLICATE SPANS — the ExactSubstr family
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better", ACL'22): a position whose W=8-token window recurs
+    // ANYWHERE in the corpus (other docs or the same one) is a
+    // duplicated position; positions within W of each other merge into
+    // maximal spans, so `dup_tokens` is the EXACT token coverage of
+    // duplicated substrings (no double counting) — the statistic
+    // substring excision needs. Unlike the set-based families (d2
+    // Jaccard / d3 LSH / d4 SimHash), this is ORDER-SENSITIVE:
+    // reordered boilerplate does not match, verbatim runs do.
+    // Scale shape: the gram frame is the token stream (one row per
+    // position, ∝ corpus tokens — d12's documented slope); the df agg
+    // and join-back are keyed on the poly fingerprint; the span-merge
+    // windows partition on doc_id. Nothing is all-pairs, nothing is
+    // unpartitioned.
+    "d25_substring_spans" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val hsCol = transform(TextFunctions.wsTokens($"text"),
+        w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+          lit(4294967296L)))
+      val grams = Tables.documents(s, dir)
+        // generate barrier (x10 pattern): token hashes computed once
+        // per row, not once per downstream gram reference
+        .select($"doc_id", explode(array(hsCol)).as("hs"))
+        .filter(size($"hs") >= W)
+        .select($"doc_id", size($"hs").cast("long").as("n_toks"), $"hs",
+          explode(expr(s"sequence(0, size(hs) - $W)")).as("i"))
+        .select($"doc_id", $"n_toks", $"i".cast("long").as("pos"),
+          HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
+            .as("fp"))
+      val dfh = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
+      val dup = grams.join(dfh.filter($"df" >= 2), Seq("fp"))
+        .select($"doc_id", $"n_toks", $"pos")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val sp = dup
+        // gap ≤ W ⇒ the two grams' token ranges touch or overlap ⇒ one
+        // span; NULL lag (first position in doc) opens a span
+        .withColumn("new_span",
+          when($"pos" - lag($"pos", 1).over(w) <= W, 0L).otherwise(1L))
+        .withColumn("span_id",
+          sum($"new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sp.groupBy($"doc_id", $"n_toks", $"span_id")
+        .agg(count(lit(1)).as("n_grams"),
+          min($"pos").as("s"), max($"pos").as("e"))
+        .groupBy($"doc_id", $"n_toks")
+        .agg(sum($"n_grams").as("n_dup_grams"),
+          count(lit(1)).as("n_spans"),
+          sum($"e" - $"s" + W).as("dup_tokens"))
+        .select($"doc_id", $"n_dup_grams", $"n_spans", $"dup_tokens",
+          round($"dup_tokens".cast("double") / $"n_toks", 6).as("dup_frac"))
+    },
+
     // D23: CROSS-SOURCE CONTAMINATION MATRIX — pairwise 8-gram overlap
     // between ingest sources (the d9 decontamination machinery turned
     // source×source): which feeds are re-crawling each other's content.
@@ -997,6 +1051,40 @@ object Dedup extends QueryModule {
       """SELECT md5(text) AS digest, min(doc_id) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d25_substring_spans" ->
+      s"""WITH th AS (
+         |  $tokenHashDocsSql),
+         |g AS (
+         |  SELECT doc_id, len(hs)::BIGINT AS n_toks, i::BIGINT AS pos,
+         |    list_reduce(list_prepend(0::BIGINT, hs[i+1 : i+8]),
+         |      (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+         |        % 1000000007) AS fp
+         |  FROM (SELECT doc_id, hs,
+         |          unnest(generate_series(0, len(hs) - 8)) AS i
+         |        FROM th WHERE len(hs) >= 8)),
+         |dfh AS (SELECT fp, count(*)::BIGINT AS df FROM g GROUP BY 1),
+         |dup AS (SELECT doc_id, n_toks, pos FROM g JOIN dfh USING (fp)
+         |        WHERE df >= 2),
+         |marked AS (
+         |  SELECT doc_id, n_toks, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS new_span
+         |  FROM dup),
+         |sp AS (
+         |  SELECT doc_id, n_toks, pos,
+         |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM marked),
+         |spans AS (
+         |  SELECT doc_id, n_toks, span_id, count(*)::BIGINT AS n_grams,
+         |    min(pos) AS s, max(pos) AS e
+         |  FROM sp GROUP BY 1, 2, 3)
+         |SELECT doc_id, sum(n_grams)::BIGINT AS n_dup_grams,
+         |  count(*)::BIGINT AS n_spans,
+         |  sum(e - s + 8)::BIGINT AS dup_tokens,
+         |  round(sum(e - s + 8)::DOUBLE / n_toks, 6) AS dup_frac
+         |FROM spans GROUP BY doc_id, n_toks""".stripMargin,
 
     // 0.5 * 2^32 = 2147483648 — hashSample's driver-truncated threshold
     "d18_incremental_dedup" ->

@@ -763,6 +763,36 @@ object TextAnalytics extends QueryModule {
     // physical writer that materializes exactly this layout.
     "x25_shard_manifest" -> { (s, dir) => shardManifest(curriculumFrame(s, dir)) },
 
+    // X27: QUALITY-CLASSIFIER INFERENCE — the hashed-feature linear
+    // scorer serving shape (the fastText-style wiki-vs-crawl quality
+    // filter that gates pretraining corpora; CCNet/GPT-3 pipeline
+    // class). Features: u32 token hash folded into D=256 buckets;
+    // weights: the fixed deterministic table w[k] = knuth(k)/2^32 − 0.5
+    // (a stand-in for trained coefficients — the SERVING plan, a dot
+    // product of hashed features against a constant weight vector, is
+    // identical either way). score = mean bucket weight over the doc's
+    // tokens; kept = score > 0. Entirely ROWWISE — the weight is
+    // arithmetic on the bucket id, so there is no lookup table to
+    // broadcast, no join, no agg: zero shuffle at any corpus size, the
+    // ideal 100 TB filter stage. Float parity: both engines fold the
+    // identical weight sequence left-to-right in doubles (same
+    // operation order ⇒ bit-identical IEEE sum; the x13 ln convention
+    // is not needed because no libm call is involved).
+    "x27_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val toks = TextFunctions.wsTokens($"text")
+      val scoreSum = aggregate(toks, lit(0.0),
+        (acc, w) => acc +
+          (HashFunctions.knuthHash(
+              pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+                lit(256L))).cast("double") / lit(4294967296.0) - lit(0.5)))
+      Tables.documents(s, dir)
+        .filter(size(toks) > 0)
+        .select($"doc_id",
+          round(scoreSum / size(toks), 6).as("score"),
+          when(scoreSum > 0, 1L).otherwise(0L).as("kept"))
+    },
+
     // X26: GOPHER-STYLE RULE GATE — the published rule-set filter class
     // (Rae et al. Gopher §A.1.1) as distinct from x3's SCORE: each doc
     // gets six boolean rules and per-source pass rates fall out of one
@@ -1760,6 +1790,20 @@ object TextAnalytics extends QueryModule {
          |    16.0 * (n::DOUBLE / 2 - (cum - bin_n)) / bin_n, 6) AS est_p50
          |FROM c
          |WHERE cum * 2 >= n AND (cum - bin_n) * 2 < n""".stripMargin,
+
+    "x27_quality_classifier" ->
+      s"""SELECT doc_id,
+         |  round(ssum / len(ts), 6) AS score,
+         |  (CASE WHEN ssum > 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM (
+         |  SELECT doc_id, ts,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ts,
+         |      w -> ((${OracleFragments.knuthU32(
+                  s"(${OracleFragments.javaHashU32("w")}) % 256")})
+         |        / 4294967296.0 - 0.5))),
+         |      (a, x) -> a + x) AS ssum
+         |  FROM (SELECT doc_id, ${ws("text")} AS ts FROM documents)
+         |  WHERE len(ts) > 0)""".stripMargin,
 
     "x26_gopher_rules" -> {
       val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",

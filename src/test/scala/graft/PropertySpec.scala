@@ -519,4 +519,65 @@ class PropertySpec extends SparkSpec {
       assert(n == 2L, s"group of keeper $k has $n members, expected the pair")
     }
   }
+
+  test("substring spans (d25): verbatim runs pair, reversed runs don't, " +
+      "coverage is exact") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // A and B share the 10-token run verbatim under different prefixes;
+    // C is unique; D repeats its own 8-gram internally (gap 9 > W ⇒ two
+    // spans); E carries the run REVERSED — order sensitivity means no hit
+    val a = s"pref1a pref2a pref3a $run"                 // 13 toks
+    val b = s"pref1b pref2b $run"                        // 12 toks
+    val c = "unique1 unique2 unique3 unique4 unique5 unique6 unique7 " +
+      "unique8 unique9"
+    val run2 = "w1x w2x w3x w4x w5x w6x w7x w8x"
+    val dD = s"$run2 fillerx $run2"                      // 17 toks
+    val e = s"prefe1 prefe2 ${run.split(" ").reverse.mkString(" ")}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d25").toString
+    Seq((0L, a), (1L, b), (2L, c), (3L, dD), (4L, e))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("d25_substring_spans")(spark, dir)
+      .select($"doc_id", $"n_dup_grams", $"n_spans", $"dup_tokens",
+        $"dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows.keySet == Set(0L, 1L, 3L),
+      s"only A, B and the self-repeating D may carry spans: $rows")
+    // the shared run is 10 tokens ⇒ 3 dup grams, ONE span, coverage 10
+    assert(rows(0L) == ((3L, 1L, 10L, 0.769231)), s"A: ${rows(0L)}")
+    assert(rows(1L) == ((3L, 1L, 10L, 0.833333)), s"B: ${rows(1L)}")
+    // D: its 8-gram recurs at positions 0 and 9 (gap > W) ⇒ two spans
+    assert(rows(3L) == ((2L, 2L, 16L, 0.941176)), s"D: ${rows(3L)}")
+  }
+
+  test("quality classifier (x27): score replays the JVM weight fold, " +
+      "kept = sign") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def expected(text: String): (Double, Long) = {
+      val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val s = toks.foldLeft(0.0) { (acc, w) =>
+        val bucket = ((w.hashCode.toLong % 256L) + 256L) % 256L
+        acc + (graft.functions.HashFunctions.knuthHashJvm(bucket) /
+          4294967296.0 - 0.5)
+      }
+      val score = BigDecimal(s / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (score, if (s > 0) 1L else 0L)
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = graft.SparkEntry.queries("x27_quality_classifier")(spark, dir)
+      .select($"doc_id", $"score", $"kept")
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == docs.count(_._2.trim.nonEmpty))
+    got.foreach { case (id, score, kept) =>
+      val (es, ek) = expected(docs(id))
+      assert(score == es && kept == ek,
+        s"doc $id: got ($score, $kept), expected ($es, $ek)")
+    }
+  }
 }
