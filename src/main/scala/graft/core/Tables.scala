@@ -23,19 +23,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * so it arrives as nano-epoch long, converted here to a proper
-    * microsecond timestamp (matching DuckDB's truncation).
+  /** The events table's `ts` column has arrived in three physical parquet
+    * encodings across fixture generations: TIMESTAMP(NANOS) (read as
+    * nano-epoch long under `spark.sql.legacy.parquet.nanosAsLong`),
+    * plain-micros TIMESTAMP without isAdjustedToUTC (read as
+    * TIMESTAMP_NTZ), and proper TIMESTAMP. Normalize all three to
+    * session-TZ TIMESTAMP here so downstream `unix_micros`/window logic
+    * is encoding-agnostic. Sessions pin UTC, so the NTZ cast is
+    * instant-preserving and matches DuckDB's reading of the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
+    normalizeEventTs(raw)
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to TIMESTAMP
+    * regardless of how the parquet encoding surfaced it. Public so
+    * specs exercise the same path as production readers.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integer `div`, not `/`: double division loses precision on
         // nano-epoch magnitudes (2^60 > 2^53 mantissa)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // UTC session ⇒ wall-clock == instant; cast is lossless
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

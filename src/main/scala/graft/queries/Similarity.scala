@@ -78,13 +78,22 @@ object Similarity extends QueryModule {
   private[graft] def kmeansAssign(corpus: DataFrame, k: Int): DataFrame = {
     val cents0 = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // argmax as a max_by AGGREGATE, not a per-vec rank window (round-10):
+    // the k candidate rows of each vector sit contiguously in the scan
+    // partition after the broadcast cross join, so the partial aggregate
+    // collapses k→1 BEFORE the exchange — the old topKPerKey window
+    // shuffled all k copies of every embedding. Tie-break identical:
+    // max over (csim, -cid) ⇔ order by csim desc, cid asc.
     def assignTo(cents: DataFrame): DataFrame =
-      graft.operators.KeyedOps.topKPerKey(
-          corpus.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("embedding"), col("cid"),
-              VectorFunctions.cosine(col("embedding"), col("c_emb"))
-                .as("csim")),
-          Seq(col("vec_id")), Seq(col("csim").desc, col("cid")), 1, "crank")
+      corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          VectorFunctions.cosine(col("embedding"), col("c_emb"))
+            .as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc")))
+            .as("cid"),
+          first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("embedding"), col("cid"))
     val cents1 = assignTo(cents0)
       .select(col("cid"), posexplode(col("embedding")))

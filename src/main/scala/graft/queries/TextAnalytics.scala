@@ -263,44 +263,56 @@ object TextAnalytics extends QueryModule {
     // vector ANN family (v3/v12/v14): Okapi BM25 with k1=1.2, b=0.75,
     // IDF = ln(1 + (N − df + 0.5)/(df + 0.5)). Queries are
     // query-by-example: the first 3 tokens of docs 0–4 (qid = doc_id) —
-    // derived from the data, so the oracle replays them. Plan: ONE
-    // (doc, w) counts aggregate (the corpus is scanned ONCE) feeds doc
-    // lengths, corpus totals, AND the scoring hits via exchange reuse;
-    // the ≤15-term query set broadcasts, so the scoring join touches
-    // only the query terms' postings — cost ∝ df of the query
-    // vocabulary, never the corpus. df itself is a WINDOW COUNT over
-    // the hits frame: within a (qid, w) partition the scored rows ARE
-    // that term's postings, so count(*) over the partition = df(w) —
-    // this deletes the separate df/dfq branches whose differently-
-    // pruned copies of the dw subplan used to defeat ReuseExchange and
-    // re-scan the corpus (PlanSpec asserts the single-scan shape).
-    // Top-10 per query via the T1 rank machinery. Double parity: IDF
-    // ln round-9 (x13 convention), the TF fraction is pure IEEE double
-    // arithmetic written in the same operation order in both engines,
-    // per-term product round-9, decimal sum, final round-6.
+    // derived from the data, so the oracle replays them. Plan
+    // (round-10): ZERO corpus-sized shuffles. The round-9 shape built a
+    // full (doc, w) counts aggregate — a corpus-token-sized exchange —
+    // and derived everything from it; at 100 TB that shuffle IS the
+    // query cost, and it only existed to serve ≤15 query terms. Now the
+    // ≤15-term query set broadcasts INTO the token stream before any
+    // aggregation, so the only post-scan shuffle is ONE repartition of
+    // the hits stream by qid (∝ query-term postings, never the corpus);
+    // hashpartitioning(qid) satisfies the clustered-distribution
+    // requirement of EVERY downstream operator (the (qid,w,doc) n_dw
+    // agg, the df window over (qid,w), the (qid,doc) score sum, and the
+    // top-10 rank — qid is a prefix of each one's keys), so Catalyst
+    // inserts no further exchange and the whole scoring pipeline is a
+    // single post-shuffle stage. Doc length is size(tokens) carried
+    // rowwise — no per-doc aggregate at all; df(w) is a window count
+    // over hits (one row per posting per (qid, w) after the n_dw agg).
+    // The corpus is scanned twice (hits + a 1-row totals agg), both
+    // pruned to the text column — two cheap scans beat one scan + a
+    // corpus-wide shuffle at any scale (PlanSpec asserts the shape).
+    // Parallelism is bounded by the query count; at real scale you'd
+    // repartition by (qid, w) — or salt — and pay two more tiny
+    // exchanges, but the corpus-side cost is identical. Double parity:
+    // IDF ln round-9 (x13 convention), the TF fraction is pure IEEE
+    // double arithmetic written in the same operation order in both
+    // engines, per-term product round-9, decimal sum, final round-6.
     "j11_bm25" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      // The explicit (vacuous) isnotnull guard makes every consumer of
-      // dw see the IDENTICAL subplan: the scoring join infers
-      // isnotnull(doc_id) into ITS copy of the scan, and without the
-      // guard the len/tot branches' copies differ by that one filter —
-      // defeating ReuseExchange.
-      val dw = Tables.documents(s, dir)
-        .filter($"doc_id".isNotNull)
-        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
-      val len = dw.groupBy($"doc_id").agg(sum($"n_dw").as("len_d"))
-      val tot = len.agg(count(lit(1)).as("n_docs"),
-        (sum($"len_d").cast("double") / count(lit(1))).as("avglen"))
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        (sum(size($"ts")).cast("double") / count(lit(1))).as("avglen"))
+      // DISTINCT (qid, w) ≡ per-row array_distinct of the 3-token slice
+      // (qid IS doc_id) — rowwise, so the query branch is a pushed-
+      // filter scan + project with NO exchange, directly broadcastable
       val q = Tables.documents(s, dir).filter($"doc_id" < 5)
         .select($"doc_id".as("qid"),
-          explode(slice(TextFunctions.wsTokens($"text"), 1, 3)).as("w"))
-        .distinct()
-      val scored = dw.join(broadcast(q), "w")
+          explode(array_distinct(
+            slice(TextFunctions.wsTokens($"text"), 1, 3))).as("w"))
+      val hits = toks
+        .select($"doc_id", size($"ts").cast("long").as("len_d"),
+          explode($"ts").as("w"))
+        .join(broadcast(q), "w")
+        .repartition($"qid") // the ONE shuffle — see plan note above
+        .groupBy($"qid", $"w", $"doc_id", $"len_d")
+        .agg(count(lit(1)).as("n_dw"))
+        // one row per (qid, w, posting) ⇒ count over (qid, w) = df(w)
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy($"qid", $"w")))
-        .join(len, "doc_id")
+      val scored = hits
         .crossJoin(broadcast(tot)) // 1-row (n_docs, avglen)
         .select($"qid", $"doc_id",
           round(
@@ -924,28 +936,46 @@ object TextAnalytics extends QueryModule {
     // p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), the closest an exact
     // SQL-replayable score gets to the perplexity filters production
     // curation runs (a doc of common words in an uncommon ORDER now
-    // scores low, which x14 cannot see). Context counts c(w1) fold from
-    // the bigram table itself (no third corpus pass); V is the unigram
-    // vocab size. Shuffles: (doc, bigram) counts, then bigram- and
-    // context-keyed joins — all vocab-bounded. Docs with < 2 tokens
-    // have no bigrams and no row. ln parity: x13/x14 convention.
+    // scores low, which x14 cannot see). Round-10 shape (r9 verdict
+    // item 4): ONE repartition of the bigram-instance stream by w1
+    // replaces the old db→c12→c1 join diamond (two vocab-keyed joins +
+    // three separately-keyed aggregates). With the stream clustered by
+    // w1, BOTH global counts attach as window counts over the same
+    // exchange — c12 = count over (w1, w2), c1 = count over (w1), and
+    // the one (w1, w2)-prefix sort serves both — then the per-doc n_dw
+    // agg runs exchange-free ((w1) is a key subset) and only the final
+    // per-doc sum shuffles again (map-side partial → doc-sized). Two
+    // corpus-sized exchanges total, both with no join in between. The
+    // w1 clustering is the skew point at extreme scale (a "the"-context
+    // partition is ~5% of all bigrams): the fallback is the salted
+    // two-phase count (x22's top-K machinery) or reverting c1 to a
+    // vocab-keyed agg+join, which trades two more exchanges for
+    // map-side partials; at any SF this fixture reaches, the hot key
+    // fits a partition comfortably. V is the unigram vocab size (its
+    // own 1-row distinct agg — single-token docs contribute vocabulary
+    // but no bigram, so V cannot fold from the bigram stream). Docs
+    // with < 2 tokens have no bigrams and no row. ln parity: x13/x14
+    // convention.
     "x16_bigram_logprob" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)
         .select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
-      val db = toks.filter(size($"ts") >= 2)
+      val v = toks.select(explode($"ts").as("w"))
+        .agg(count_distinct($"w").as("v"))
+      val inst = toks.filter(size($"ts") >= 2)
         .select($"doc_id", explode(
           transform(sequence(lit(1), size($"ts") - 1),
             i => struct(element_at($"ts", i).as("w1"),
               element_at($"ts", i + 1).as("w2")))).as("b"))
-        .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .repartition($"w1") // the one clustering shuffle — see note above
+        .withColumn("c12",
+          count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
+        .withColumn("c1", count(lit(1)).over(Window.partitionBy($"w1")))
+      inst
+        .groupBy($"doc_id", $"w1", $"w2", $"c12", $"c1")
         .agg(count(lit(1)).as("n_dw"))
-      val c12 = db.groupBy($"w1", $"w2").agg(sum($"n_dw").as("c12"))
-      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
-      val v = toks.select(explode($"ts").as("w"))
-        .agg(count_distinct($"w").as("v"))
-      db.join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
         .crossJoin(broadcast(v)) // 1-row vocab size
         .select($"doc_id", $"n_dw",
           round($"n_dw".cast("double") *

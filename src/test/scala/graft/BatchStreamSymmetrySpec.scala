@@ -30,10 +30,9 @@ class BatchStreamSymmetrySpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"))
-    val streamEvents = spark.readStream
+    val streamEvents = Tables.normalizeEventTs(spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(srcDir.toString))
     val q = agg(streamEvents)
       .writeStream.format("memory").queryName("sym_test")
       .outputMode("complete")
@@ -69,17 +68,23 @@ class BatchStreamSymmetrySpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"))
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val maxTsNanos = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max($"ts")).as[Long].head()
+    val rawDf = spark.read.parquet(s"$dir/events.parquet")
+    val rawSchema = rawDf.schema
     val sentinelUser = -1L
     val sentinelStage = java.nio.file.Files
       .createTempDirectory("graft_sym3_sentinel")
-    spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          -1L, maxTsNanos + 86400L * 1000000000L, sentinelUser,
-          "flush", 0.0, "{}")),
-        rawSchema)
+    // derive the far-future sentinel from the max-ts row IN THE RAW
+    // ENCODING (nano-long, NTZ, or timestamp) so the staged part file
+    // round-trips through the same schema as events.parquet
+    val dayAhead = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts + 86400000000000")   // +1 day in nanos
+      case _ => expr("ts + interval 1 day")
+    }
+    rawDf.orderBy($"ts".desc).limit(1)
+      .withColumn("ts", dayAhead)
+      .withColumn("user_id", lit(sentinelUser))
+      .withColumn("event_type", lit("flush"))
       .coalesce(1).write.mode("overwrite").parquet(sentinelStage.toString)
     // the file source does not recurse into the sentinel's output dir —
     // stage its part file next to events.parquet
@@ -95,10 +100,9 @@ class BatchStreamSymmetrySpec extends SparkSpec {
     assert(staged, "sentinel part file not found")
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sym3").toString
-    val streamEvents = spark.readStream
-      .schema(rawSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamEvents = Tables.normalizeEventTs(spark.readStream
+        .schema(rawSchema)
+        .parquet(srcDir.toString))
       .withWatermark("ts", "0 seconds")
     val q = agg(streamEvents)
       .writeStream.format("memory").queryName("sym3_test")

@@ -97,21 +97,29 @@ class PlanSpec extends SparkSpec {
       s"the per-shingle aggregate must be computed once:\n$p")
   }
 
-  test("j11_bm25: ONE corpus scan — dw exchange reused, df via hits window") {
-    // Round-8 verdict item 4: j11 built 6 frames off the dw aggregate and
-    // nothing proved the exchange was reused rather than the corpus
-    // scanned 3×. Now: df is a window count over the scoring hits (no
-    // separate df branch at all), len/tot reuse the dw exchange, and the
-    // FINAL adaptive plan must show exactly 2 parquet scans — the one
-    // corpus pass and the pushed-filter (doc_id < 5) query scan.
+  test("j11_bm25: zero corpus-sized shuffles — one qid repartition runs it all") {
+    // Round-9 verdict item 3: the old shape aggregated the FULL (doc, w)
+    // count table — a corpus-token-sized exchange — to serve ≤15 query
+    // terms, then paid a window sort for df on top. Now the broadcast
+    // query-term join filters the token stream BEFORE any aggregation
+    // and ONE repartition(qid) clusters the hits for every downstream
+    // agg/window (qid is a key prefix of each). The FINAL adaptive plan
+    // must show exactly 3 parquet scans (hits pass, totals pass,
+    // pushed-filter doc_id < 5 query scan) and exactly 2 shuffle
+    // exchanges — the 1-row totals and the qid repartition (the query
+    // branch is exchange-free: DISTINCT (qid, w) is a rowwise
+    // array_distinct); any 3rd would mean Catalyst re-clustered the
+    // pipeline.
     val df = SparkEntry.queries("j11_bm25")(spark, dir)
-    df.collect() // finalize AQE — reuse lands at runtime
+    df.collect() // finalize AQE
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("FileScan parquet".r.findAllIn(p).size == 2,
-      s"corpus must be scanned once (plus the tiny query scan):\n$p")
-    assert("ReusedExchange".r.findAllIn(p).size >= 2,
-      s"len and tot must reuse the dw/len exchanges:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 3,
+      s"expected hits + totals + query scans, nothing more:\n$p")
+    val shuffles = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(p).size
+    assert(shuffles == 2,
+      s"expected totals + repartition(qid) shuffles only, got $shuffles:\n$p")
   }
 
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
@@ -209,15 +217,26 @@ class PlanSpec extends SparkSpec {
       "x25_shard_manifest", // 1-row octile-boundary broadcast
       "d22_snapshot_diff", // 1-row max(doc_id) twin-shift broadcast
       "d24_normalized_dedup") // 1-row max(doc_id) twin-shift broadcast
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val p = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct")
-      if (!boundedBnlj.contains(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin off the bounded whitelist")
+    // Collect per-query failures rather than dying on the first: a single
+    // analysis-broken query must not blind the sweep to the other plans
+    // (round-9 lesson — the NTZ fixture change hid 128 plans behind one
+    // AnalysisException).
+    val problems = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          Some(s"$name plans a CartesianProduct")
+        else if (!boundedBnlj.contains(name) &&
+            p.contains("BroadcastNestedLoopJoin"))
+          Some(s"$name plans a BroadcastNestedLoopJoin off the bounded whitelist")
+        else None
+      } catch {
+        case e: Exception =>
+          Some(s"$name fails analysis: ${e.getMessage.linesIterator.next()}")
+      }
     }
+    assert(problems.isEmpty, problems.mkString("\n"))
   }
 
   test("window sweep: every Window in every query plan carries a partition spec") {
@@ -229,14 +248,22 @@ class PlanSpec extends SparkSpec {
     // re-rank partitions on a constant key over a ≤ 1000·fanout frame.
     // Sweep the whole query surface so the pattern cannot return.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val bad = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-      assert(bad.isEmpty,
-        s"$name plans an unpartitioned Window (single-partition global sort)")
+    // failure-isolating sweep: report every offender, not just the first
+    val problems = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val bad = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }
+        if (bad.nonEmpty)
+          Some(s"$name plans an unpartitioned Window (single-partition global sort)")
+        else None
+      } catch {
+        case e: Exception =>
+          Some(s"$name fails analysis: ${e.getMessage.linesIterator.next()}")
+      }
     }
+    assert(problems.isEmpty, problems.mkString("\n"))
   }
 
   test("v10_sign_projection: pure rowwise — zero exchanges, codegen'd folds") {
