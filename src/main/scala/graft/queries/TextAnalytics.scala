@@ -877,23 +877,32 @@ object TextAnalytics extends QueryModule {
     // unigram LM (add-one smoothing) — the CCNet-style fluency/quality
     // signal a pretraining pipeline uses to rank documents before
     // filtering: template spam and wrong-segmentation text score far
-    // below fluent prose under the corpus's own distribution. Derivation
-    // is the j2/j3 diamond over ONE (doc_id, w) counts aggregate: corpus
-    // word totals, vocab size, and corpus size all reduce from it
-    // (exchange reuse — the corpus is tokenized and shuffled once), then
-    // one vocab-keyed join back. logp(w) = ln((n_w + 1)/(n_c + V)); the
-    // per-doc mean weights by the doc's own term counts. Shuffles are
-    // (doc_id, w) counts then the vocab-bounded word join — never the
-    // corpus. ln parity: per-term double rounded to 9, decimal
-    // accumulation, final round 6 (the x13 convention).
+    // below fluent prose under the corpus's own distribution. Round-10
+    // shape (the x16 pattern): ONE repartition of the token-instance
+    // stream by w replaces the dw→cw aggregate-join diamond — the
+    // corpus count n_w attaches as a window count over the same
+    // exchange, the per-doc n_dw agg then runs exchange-free (w is a
+    // key subset), and only the final per-doc sum shuffles again
+    // (map-side partial → doc-sized). Corpus totals (n_c, V) are their
+    // own 1-row agg over a second pruned scan (count + count_distinct
+    // in one pass, map-side partial distinct). Two corpus-sized
+    // exchanges, zero vocab joins. The w clustering shares x16's skew
+    // note: a "the" partition at extreme scale wants the salted
+    // two-phase count; every SF here is orders below that.
+    // logp(w) = ln((n_w + 1)/(n_c + V)); the per-doc mean weights by
+    // the doc's own term counts. ln parity: per-term double rounded to
+    // 9, decimal accumulation, final round 6 (the x13 convention).
     "x14_unigram_logprob" -> { (s, dir) =>
       import s.implicits._
-      val dw = Tables.documents(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val tot = Tables.documents(s, dir)
+        .select(explode(TextFunctions.wsTokens($"text")).as("w"))
+        .agg(count(lit(1)).as("n_c"), count_distinct($"w").as("v"))
+      Tables.documents(s, dir)
         .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
-      val cw = dw.groupBy($"w").agg(sum($"n_dw").as("n_w"))
-      val tot = cw.agg(sum($"n_w").as("n_c"), count(lit(1)).as("v"))
-      dw.join(cw, "w")
+        .repartition($"w") // the one clustering shuffle — see note above
+        .withColumn("n_w", count(lit(1)).over(Window.partitionBy($"w")))
+        .groupBy($"doc_id", $"w", $"n_w").agg(count(lit(1)).as("n_dw"))
         .crossJoin(broadcast(tot)) // 1-row corpus totals
         .select($"doc_id", $"n_dw",
           round($"n_dw".cast("double") *
