@@ -16,8 +16,10 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
@@ -32,27 +34,33 @@ object Tables {
     * is encoding-agnostic. Sessions pin UTC, so the NTZ cast is
     * instant-preserving and matches DuckDB's reading of the same file.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
-    normalizeEventTs(raw)
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
 
   /** Normalize an events-shaped frame's `ts` column to TIMESTAMP
     * regardless of how the parquet encoding surfaced it. Public so
     * specs exercise the same path as production readers.
     */
-  def normalizeEventTs(raw: DataFrame): DataFrame = {
+  def normalizeEventTs(raw: DataFrame): DataFrame = normalizeTs(raw, "ts")
+
+  /** Normalize one timestamp column to session-TZ TIMESTAMP whatever
+    * its physical parquet encoding surfaced as — applied by every
+    * reader with a time column (events.ts, lineitem.l_shipdate,
+    * orders.o_orderdate), so query code never branches on encoding.
+    */
+  def normalizeTs(raw: DataFrame, colName: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    raw.schema("ts").dataType match {
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema(colName).dataType match {
       case LongType =>
-        // integer `div`, not `/`: double division loses precision on
-        // nano-epoch magnitudes (2^60 > 2^53 mantissa)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        // nano-epoch long (nanosAsLong legacy read); integer `div`, not
+        // `/`: double division loses precision on nano-epoch magnitudes
+        // (2^60 > 2^53 mantissa)
+        raw.withColumn(colName,
+          expr(s"timestamp_micros($colName div 1000)"))
       case TimestampNTZType =>
         // UTC session ⇒ wall-clock == instant; cast is lossless
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        raw.withColumn(colName, col(colName).cast("timestamp"))
       case _ => raw
     }
   }

@@ -11,18 +11,18 @@ import org.apache.spark.sql.types._
   * the next encoding or column change fails HERE with one message
   * naming the table and the diff.
   *
-  * Timestamp fields on the TPC-H-ish tables accept either TIMESTAMP or
-  * TIMESTAMP_NTZ (both work for the date-literal comparisons those
-  * queries make); the events `ts` specifically must be TIMESTAMP —
-  * that is the normalizer's contract that every `unix_micros`/window
-  * consumer relies on.
+  * Every time column (events.ts, lineitem.l_shipdate,
+  * orders.o_orderdate) must surface as TIMESTAMP after its reader's
+  * `Tables.normalizeTs` — that is the contract every
+  * `unix_micros`/window/date-compare consumer relies on, whatever the
+  * physical parquet encoding.
   */
 class FixturesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   // expected name -> acceptable Spark types (first listed = canonical)
   private type Col = (String, Seq[DataType])
-  private def ts2: Seq[DataType] = Seq(TimestampType, TimestampNTZType)
+  private def ts2: Seq[DataType] = Seq(TimestampType)
 
   private val expected: Map[String, Seq[Col]] = Map(
     "region" -> Seq("r_regionkey" -> Seq(IntegerType), "r_name" -> Seq(StringType)),
@@ -59,9 +59,14 @@ class FixturesSpec extends SparkSpec {
 
   test("every table reader delivers the pinned logical schema at sf0.001") {
     val problems = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
-      val df =
-        if (name == "events") Tables.events(spark, dir)
-        else Tables.table(spark, dir, name)
+      // route through the NAMED readers — the normalization contract is
+      // part of what this spec pins
+      val df = name match {
+        case "events"   => Tables.events(spark, dir)
+        case "lineitem" => Tables.lineitem(spark, dir)
+        case "orders"   => Tables.orders(spark, dir)
+        case other      => Tables.table(spark, dir, other)
+      }
       val got = df.schema.fields.map(f => (f.name, f.dataType))
       if (got.map(_._1).toSeq != cols.map(_._1))
         Some(s"$name columns drifted: got ${got.map(_._1).mkString(",")} " +

@@ -122,6 +122,30 @@ class PlanSpec extends SparkSpec {
       s"expected totals + repartition(qid) shuffles only, got $shuffles:\n$p")
   }
 
+  test("x14/x16 LM scores: one clustering repartition, window counts, no vocab joins") {
+    // Round-10 shape (r9 verdict item 4): the dw→cw / db→c12→c1
+    // aggregate-join diamonds are gone. Each plan must show exactly 2
+    // parquet scans (instance stream + the 1-row totals/vocab agg),
+    // exactly ONE REPARTITION_BY_COL (the w/w1 clustering shuffle the
+    // window counts ride), three hashpartitioning exchanges total
+    // (repartition + final doc agg + the distinct-agg leg of the totals
+    // branch), and no join beyond the 1-row totals broadcast.
+    for (q <- Seq("x14_unigram_logprob", "x16_bigram_logprob")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(p).size == 2,
+        s"$q: expected instance + totals scans only:\n$p")
+      assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
+        s"$q: expected exactly one clustering repartition:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+        s"$q: unexpected extra shuffle (vocab join crept back?):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: no vocab-keyed join expected:\n$p")
+    }
+  }
+
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
     // The block frames aggregate to B=16 rows each; the grid join of two
     // 16-row frames is the ONLY join. Corpus-sized data moves through one
