@@ -518,8 +518,15 @@ object Dedup extends QueryModule {
         .select($"doc_id", $"n_toks", $"i".cast("long").as("pos"),
           HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
             .as("fp"))
-      val dfh = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
-      val dup = grams.join(dfh.filter($"df" >= 2), Seq("fp"))
+      // df as a window count over ONE fp-clustered exchange (round-10,
+      // the j11/x14/x16 pattern): the old dfh aggregate + join-back
+      // consumed the gram frame from two differently-pruned branches,
+      // so the corpus-token-sized gram generation ran TWICE and the
+      // join reshuffled it a third time. Hot-fp skew caveat as x16.
+      val dup = grams
+        .repartition($"fp")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"fp")))
+        .filter($"df" >= 2)
         .select($"doc_id", $"n_toks", $"pos")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       val sp = dup
@@ -747,11 +754,19 @@ object Dedup extends QueryModule {
     // ≥ 2 distinct docs carry it.
     "d13_chunk_dedup" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // distinct-doc count per fp via stacked windows over ONE
+      // fp-clustered exchange (round-10 x19 pattern) — the former
+      // distinct+agg+join-back computed the chunk frame twice
       val full = TextAnalytics.chunkFrame(s, dir)
-        .filter($"chunk_len" === 64).select($"doc_id", $"fp")
-      val fpDocs = full.distinct()
-        .groupBy($"fp").agg(count(lit(1)).as("nd"))
-      full.join(fpDocs, Seq("fp"))
+        .filter($"chunk_len" === 64)
+        .select($"doc_id", $"chunk_idx", $"fp")
+      full.repartition($"fp")
+        .withColumn("first_in_doc",
+          when(row_number().over(Window.partitionBy($"fp", $"doc_id")
+            .orderBy($"chunk_idx")) === 1, 1L).otherwise(0L))
+        .withColumn("nd",
+          sum($"first_in_doc").over(Window.partitionBy($"fp")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -906,10 +921,20 @@ object Dedup extends QueryModule {
     * production pipeline.
     */
   private[graft] def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(HashedShinglesExpr.hashedShingles(col("text"), n)).as("shingle"))
-    val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(docFreq, Seq("shingle"))
+    import org.apache.spark.sql.expressions.Window
+    // df as a window count over ONE shingle-clustered exchange (the
+    // round-10 j11/d25 pattern): the former docFreq aggregate + join
+    // consumed the shingle frame from two differently-pruned branches —
+    // the corpus shingle generation ran twice and the join reshuffled
+    // it again. Now: one shingle-gen pass, one repartition(shingle),
+    // then the per-doc agg (its own doc-keyed exchange, map-side
+    // partial). Boilerplate hot shingles concentrate a partition — the
+    // x16 skew note applies (salted two-phase fallback at extreme SF).
+    docs.select(col("doc_id"),
+        explode(HashedShinglesExpr.hashedShingles(col("text"), n)).as("shingle"))
+      .repartition(col("shingle"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))

@@ -298,6 +298,8 @@ object TextAnalytics extends QueryModule {
       // DISTINCT (qid, w) ≡ per-row array_distinct of the 3-token slice
       // (qid IS doc_id) — rowwise, so the query branch is a pushed-
       // filter scan + project with NO exchange, directly broadcastable
+      // (an A/B probe of collecting the ≤15 rows to a LocalRelation
+      // measured no gain — the collect job costs the stage it saves)
       val q = Tables.documents(s, dir).filter($"doc_id" < 5)
         .select($"doc_id".as("qid"),
           explode(array_distinct(
@@ -1279,9 +1281,20 @@ object TextAnalytics extends QueryModule {
         HashFunctions.polyFingerprint(
           transform(array_sort(collect_list(struct(col("pos"), col("h")))),
             x => x("h"))).as("fp"))
-    val fpDocs = frame.select(col("doc_id"), col("fp")).distinct()
-      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-    frame.join(fpDocs, Seq("fp"))
+    // nd (distinct docs per fp) via stacked windows over ONE
+    // fp-clustered exchange (round-10 j11/d25/d12 pattern): the former
+    // distinct+agg+join-back consumed `frame` — a collect_list
+    // aggregate — from two differently-pruned branches, computing the
+    // whole chunk frame twice. row_number flags each (fp, doc)'s first
+    // chunk, the fp-window sums the flags = distinct-doc count; the one
+    // (fp, doc_id, chunk_id) sort serves both windows (prefix rule).
+    val wfd = Window.partitionBy(col("fp"), col("doc_id"))
+      .orderBy(col("chunk_id"))
+    val wf = Window.partitionBy(col("fp"))
+    frame.repartition(col("fp"))
+      .withColumn("first_in_doc",
+        when(row_number().over(wfd) === 1, 1L).otherwise(0L))
+      .withColumn("nd", sum(col("first_in_doc")).over(wf))
       .select(col("doc_id"), col("chunk_id"), col("chunk_len"), col("fp"),
         when(col("nd") >= 2, 1L).otherwise(0L).as("shared"))
   }

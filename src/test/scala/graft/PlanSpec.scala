@@ -298,16 +298,20 @@ class PlanSpec extends SparkSpec {
       s"plan must contain codegen spans:\n$p")
   }
 
-  test("d12_ngram_novelty: shingle-keyed equi-join only — no hint, no window") {
+  test("d12_ngram_novelty: one shingle-gen pass — df via clustered window, no join") {
+    // Round-10 shape (the j11/d25 pattern): the former docFreq aggregate
+    // + shingle-keyed join-back computed the corpus shingle frame twice
+    // (differently-pruned branches defeat ReuseExchange) and reshuffled
+    // it a third time. Now ONE repartition(shingle) clusters the stream,
+    // df attaches as a PARTITIONED window count (the window sweep
+    // guards the partition spec), and the per-doc agg is the only other
+    // exchange. No join anywhere in the plan.
     val p = plan("d12_ngram_novelty")
-    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"))
-    // df-side is corpus-sized: must not carry a broadcast HINT (AQE may
-    // still pick broadcast from observed size at toy SF — that's fine)
-    val analyzed = SparkEntry.queries("d12_ngram_novelty")(spark, dir)
-      .queryExecution.analyzed.toString
-    assert(!analyzed.contains("ResolvedHint"),
-      "document-frequency frame must not be hint-broadcast")
-    assert(!p.contains("Window"), "per-doc fractions via hash agg, not window")
+    assert(!p.contains("Join"), s"df must ride the window, not a join:\n$p")
+    assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
+      s"exactly one clustering repartition expected:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"the corpus must be scanned once:\n$p")
   }
 
   test("p9_hash_sample / a15_checksum: java hash stays inside codegen") {
