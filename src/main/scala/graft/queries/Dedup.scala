@@ -497,8 +497,8 @@ object Dedup extends QueryModule {
     // Jaccard / d3 LSH / d4 SimHash), this is ORDER-SENSITIVE:
     // reordered boilerplate does not match, verbatim runs do.
     // Scale shape: the gram frame is the token stream (one row per
-    // position, ∝ corpus tokens — d12's documented slope); the df agg
-    // and join-back are keyed on the poly fingerprint; the span-merge
+    // position, ∝ corpus tokens — d12's documented slope); df attaches
+    // as a window count over one fp-clustered exchange; the span-merge
     // windows partition on doc_id. Nothing is all-pairs, nothing is
     // unpartitioned.
     "d25_substring_spans" -> { (s, dir) =>
@@ -735,10 +735,9 @@ object Dedup extends QueryModule {
     // curation pipelines threshold on (RefinedWeb/Gopher-style "fraction
     // of duplicated n-grams"), complementing d2/d7 (which find WHICH
     // docs pair up) with HOW MUCH of each doc is boilerplate. Shape:
-    // one groupBy(shingle) for document frequency + one equi-join back
-    // on the shingle — both shuffles keyed on the shingle hash,
-    // shuffle ∝ corpus shingles, never pairs. AQE's skew-join handles
-    // the boilerplate hot keys the df side concentrates.
+    // one shingle-gen pass, one repartition(shingle), df as a window
+    // count over that exchange, then the per-doc agg — shuffle ∝
+    // corpus shingles, never pairs (see ngramNovelty's skew note).
     "d12_ngram_novelty" -> { (s, dir) =>
       ngramNovelty(Tables.documents(s, dir), 8)
     },
@@ -747,8 +746,9 @@ object Dedup extends QueryModule {
     // a doc is penalized for every FULL 64-token chunk (x10's windows)
     // whose fingerprint also appears in another document, catching long
     // verbatim overlaps that doc-level Jaccard (d2) dilutes away and
-    // 8-gram novelty (d12) over-triggers on. Shape: distinct (doc, fp)
-    // → per-fp doc counts → fp-keyed join back — shuffle ∝ corpus
+    // 8-gram novelty (d12) over-triggers on. Shape: one
+    // repartition(fp) with the distinct-doc count as stacked windows
+    // over that exchange — shuffle ∝ corpus
     // chunks (≈ tokens/48), never pairs. Intra-doc repetition is NOT
     // flagged (that is x8's repetition signal): a fp counts only when
     // ≥ 2 distinct docs carry it.
