@@ -210,13 +210,21 @@ object Behavioral extends QueryModule {
     // 2.5x the window's mean user-total are excluded from per-type totals.
     "j6w_windowed_anti" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.{Window => W}
       val ev = Tables.events(s, dir)
         .withColumn("w", window($"ts", "1 hour"))
-      val userTotals = ev.groupBy($"w", $"user_id")
+      // the window's mean user-total attaches as a w-partitioned window
+      // over the user-totals stream (round-10 pattern): one
+      // repartition(w) serves the per-user agg AND the mean — the old
+      // mean-aggregate + join-back consumed userTotals twice. Same
+      // decimal arithmetic as the former dsum/count aggregate pair.
+      val spammers = ev
+        .repartition($"w")
+        .groupBy($"w", $"user_id")
         .agg(dsum($"value").as("user_total"))
-      val spammers = userTotals.groupBy($"w")
-        .agg((dsum($"user_total") / count(lit(1))).as("mean_total"))
-        .join(userTotals, "w")
+        .withColumn("mean_total",
+          sum($"user_total".cast("decimal(22,6)")).over(W.partitionBy($"w"))
+            .cast("double") / count(lit(1)).over(W.partitionBy($"w")))
         .filter($"user_total" > $"mean_total" * 2.5)
         .select($"w", $"user_id")
       ev.join(spammers, Seq("w", "user_id"), "left_anti")
