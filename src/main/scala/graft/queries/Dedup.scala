@@ -729,6 +729,38 @@ object Dedup extends QueryModule {
             .as("jaccard"))
     },
 
+    // D26: the LSH-SCALED dedup cluster pipeline end-to-end — the
+    // production MinHash dedup flow (SlimPajama / RefinedWeb class):
+    // banded candidates (d3's generator) → exact-Jaccard verify on the
+    // candidate rows ONLY (d11's rowwise array_intersect — never d2's
+    // corpus-wide blocked join) → star-rewiring connected components →
+    // non-trivial cluster sizes. Same output shape as d7, but the pair
+    // graph is the LSH-candidate-restricted one, so the pair-generation
+    // cost is ∝ band collisions instead of ∝ all shingle collisions —
+    // this is the component path you'd actually run at 100 TB, with d7
+    // the exact-recall reference and d14 measuring exactly what the
+    // banding misses. The oracle replays the SAME banded candidate set
+    // (recursive CTE over the verified pairs), so parity holds even
+    // where LSH recall < 1.
+    "d26_lsh_dedup_components" -> { (s, dir) =>
+      import s.implicits._
+      val arrs = shingleArr(s, dir)
+      val pairs = lshBandPairs(minhashSigs(s, dir))
+        .join(arrs.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
+        .join(arrs.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
+        .withColumn("inter",
+          size(array_intersect($"arr_i", $"arr_j")).cast("double"))
+        .filter($"inter" /
+          (size($"arr_i") + size($"arr_j") - $"inter") >= 0.5)
+        .select($"doc_i".as("src"), $"doc_j".as("dst"))
+      graft.operators.ConnectedComponents.runStar(
+          Tables.documents(s, dir).select($"doc_id".as("id")), pairs,
+          edgesDistinct = true) // lshBandPairs is distinct, doc_i < doc_j
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" > 1)
+    },
+
     // D12: per-doc n-gram NOVELTY score — the fraction of a document's
     // distinct hashed 8-gram shingles that occur in at least one OTHER
     // document. This is the doc-level duplication-contamination signal
@@ -1420,6 +1452,44 @@ object Dedup extends QueryModule {
          |JOIN sigs y ON doc_j = y.doc_id
          |JOIN sh sa ON doc_i = sa.doc_id
          |JOIN sh sb ON doc_j = sb.doc_id""".stripMargin
+    },
+
+    "d26_lsh_dedup_components" -> {
+      val bandRows = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize)
+          .map(j => s"m$j::VARCHAR").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE sigs AS ($minhashSql),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, ${shingleListSql("hs")} AS arr
+         |       FROM ($tokenHashDocsSql)),
+         |pairs AS (
+         |  SELECT doc_i AS src, doc_j AS dst FROM cand
+         |  JOIN sh sa ON doc_i = sa.doc_id
+         |  JOIN sh sb ON doc_j = sb.doc_id
+         |  WHERE len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))::DOUBLE
+         |    / (len(sa.arr) + len(sb.arr)
+         |       - len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))) >= 0.5),
+         |edges AS (
+         |  SELECT src, dst FROM pairs
+         |  UNION SELECT dst, src FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.label
+         |  FROM reach r JOIN edges e ON r.id = e.src),
+         |comp AS (
+         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT component, count(*) AS n_docs FROM comp
+         |GROUP BY component
+         |HAVING count(*) > 1""".stripMargin
     },
 
     "d12_ngram_novelty" ->

@@ -499,4 +499,38 @@ class DedupDifferentialSpec extends SparkSpec {
     // no duplicate pair rows
     assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
   }
+
+  test("LSH-scaled components (d26) refine the exact components (d7)") {
+    // d26's verified pair set is the LSH-candidate RESTRICTION of d7's
+    // exact jaccard>=0.5 pair graph (same threshold, fewer edges), so
+    // every d26 cluster must sit wholly inside one d7 component, and
+    // d26 can never find MORE non-trivial clustered docs than d7.
+    // (d14 measures the recall differential; this pins the structural
+    // subset relationship end-to-end through both CC runs.)
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.Dedup.dupComponents(spark, dir)
+      .select($"id", $"component".as("exact_comp"))
+    // replay d26's pair graph → CC at member level (the query itself
+    // aggregates to cluster sizes, so recompute the assignment here)
+    val lshSizes = graft.SparkEntry
+      .queries("d26_lsh_dedup_components")(spark, dir)
+      .as[(Long, Long)].collect()
+    val exactSizes = graft.SparkEntry
+      .queries("d7_dup_components")(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(lshSizes.nonEmpty, "fixture regressed: no LSH dup clusters")
+    // docs in non-trivial LSH clusters ⊆ docs in non-trivial exact ones
+    assert(lshSizes.map(_._2).sum <= exactSizes.map(_._2).sum,
+      "LSH components cover more docs than the exact graph — impossible")
+    // component REPRESENTATIVES: every d26 cluster id (min doc of the
+    // cluster) must be clustered in d7 with an equal-or-larger cluster
+    val exactByComp = exactSizes.toMap
+    val exactAssign = exact.as[(Long, Long)].collect().toMap
+    lshSizes.foreach { case (comp, n) =>
+      val host = exactAssign(comp)
+      assert(exactByComp.getOrElse(host, 1L) >= n,
+        s"d26 cluster $comp (n=$n) exceeds its hosting d7 component")
+    }
+  }
 }
