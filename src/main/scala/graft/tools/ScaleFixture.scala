@@ -129,7 +129,8 @@ object ScaleFixture {
       "x21_temperature_mix", "x22_zipf_slope", "x23_hist_quantiles",
       "x24_pii_scrub", "x25_shard_manifest", "d22_snapshot_diff",
       "d23_source_overlap", "d24_normalized_dedup", "x26_gopher_rules",
-      "d25_substring_spans", "x27_quality_classifier")
+      "d25_substring_spans", "x27_quality_classifier",
+      "d26_lsh_dedup_components")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
