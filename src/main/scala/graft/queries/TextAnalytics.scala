@@ -1010,17 +1010,22 @@ object TextAnalytics extends QueryModule {
     // norm join — both shuffles carry ≤ 16 longs per doc.
     "x17_hash_embedding" -> { (s, dir) =>
       import s.implicits._
-      val raw = Tables.documents(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      // norm via a doc-partitioned window over ONE doc-clustered
+      // exchange (round-10 pattern): the former norms aggregate +
+      // doc-keyed join-back consumed the (doc, dim) frame twice
+      Tables.documents(s, dir)
         .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
         .select($"doc_id",
           pmod(HashFunctions.javaStringHashCode($"w").cast("long"),
             lit(4294967296L)).as("h"))
         .select($"doc_id", ($"h" % 16).as("dim"),
           (shiftright($"h", 16).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+        .repartition($"doc_id") // serves the agg AND the norm window
         .groupBy($"doc_id", $"dim").agg(sum($"sign").as("raw"))
-      val norms = raw.groupBy($"doc_id")
-        .agg(sqrt(sum($"raw" * $"raw").cast("double")).as("norm"))
-      raw.join(norms, "doc_id")
+        .withColumn("norm",
+          sqrt(sum($"raw" * $"raw").over(Window.partitionBy($"doc_id"))
+            .cast("double")))
         .select($"doc_id", $"dim",
           when($"norm" === 0.0, lit(0.0))
             .otherwise($"raw".cast("double") / $"norm").as("value"))
@@ -1055,10 +1060,16 @@ object TextAnalytics extends QueryModule {
             shiftright(HashFunctions.mulU32($"h", a), 22)): _*)))
         .select($"w", $"c", $"h", $"pos".as("row"),
           $"col".cast("long").as("bucket"))
-      val cells = entries.groupBy($"row", $"bucket")
-        .agg(sum($"c").as("cell"))
+      // each cell sum attaches as a window over ONE (row, bucket)
+      // clustered exchange (round-10 pattern) — the former cells
+      // aggregate + join-back consumed the entries frame (and the
+      // corpus-vocab counts beneath it) twice
       val total = counts.agg(sum($"c").as("n_total"))
-      entries.join(cells, Seq("row", "bucket"))
+      entries
+        .repartition($"row", $"bucket")
+        .withColumn("cell",
+          sum($"c").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"row", $"bucket")))
         .groupBy($"w")
         .agg(min($"cell").as("est"), min($"c").as("n_true"))
         .crossJoin(broadcast(total)) // 1-row corpus total
