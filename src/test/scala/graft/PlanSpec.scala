@@ -146,6 +146,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x17/t6: per-group stats ride clustered windows — no derived-frame join") {
+    // Round-10: x17's norm and t6's sketch cells were aggregates joined
+    // back onto their own input frame (double-computed under divergent
+    // pruning). Each final plan must now show ONE clustering repartition,
+    // ONE corpus scan (t6's 1-row total branch REUSES the vocab-counts
+    // exchange, so even its second branch costs no scan), and no
+    // hash/merge join at all.
+    for ((q, scans) <- Seq("x17_hash_embedding" -> 1,
+        "t6_cms_heavy_hitters" -> 1)) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
+        s"$q: expected exactly one clustering repartition:\n$p")
+      assert("FileScan parquet".r.findAllIn(p).size == scans,
+        s"$q: unexpected scan count (branch recompute crept back?):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: no derived-frame join expected:\n$p")
+    }
+  }
+
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
     // The block frames aggregate to B=16 rows each; the grid join of two
     // 16-row frames is the ONLY join. Corpus-sized data moves through one
