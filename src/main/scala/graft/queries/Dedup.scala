@@ -303,7 +303,35 @@ object Dedup extends QueryModule {
     drop[(SparkSession, String)](statsCache, _._1, _._2)
     drop[(SparkSession, String)](pairsCache, _._1, _._2)
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
+    drop[(SparkSession, String)](lshComponentsCache, _._1, _._2)
   }
+
+  /** The LSH-candidate-restricted component assignment (d26/d27 share
+    * it — the dupComponents pattern for the banded pair graph): LSH
+    * band candidates, exact-Jaccard verified on the candidate rows
+    * only, then star-rewiring CC. One CC run per (session, dir).
+    */
+  private val lshComponentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def lshDupComponents(s: SparkSession, dir: String): DataFrame =
+    lshComponentsCache.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      import sess.implicits._
+      val arrs = shingleArr(sess, d)
+      val pairs = lshBandPairs(minhashSigs(sess, d))
+        .join(arrs.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
+        .join(arrs.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
+        .withColumn("inter",
+          size(array_intersect($"arr_i", $"arr_j")).cast("double"))
+        .filter($"inter" /
+          (size($"arr_i") + size($"arr_j") - $"inter") >= 0.5)
+        .select($"doc_i".as("src"), $"doc_j".as("dst"))
+      graft.operators.ConnectedComponents.runStar(
+          Tables.documents(sess, d).select($"doc_id".as("id")), pairs,
+          edgesDistinct = true) // lshBandPairs is distinct, doc_i < doc_j
+        .localCheckpoint(eager = false)
+    })
 
   override def queries: Map[String, Q] = Map(
     // D1: exact dedup via content hash; canonical row = min doc_id per
@@ -744,21 +772,35 @@ object Dedup extends QueryModule {
     // where LSH recall < 1.
     "d26_lsh_dedup_components" -> { (s, dir) =>
       import s.implicits._
-      val arrs = shingleArr(s, dir)
-      val pairs = lshBandPairs(minhashSigs(s, dir))
-        .join(arrs.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
-        .join(arrs.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
-        .withColumn("inter",
-          size(array_intersect($"arr_i", $"arr_j")).cast("double"))
-        .filter($"inter" /
-          (size($"arr_i") + size($"arr_j") - $"inter") >= 0.5)
-        .select($"doc_i".as("src"), $"doc_j".as("dst"))
-      graft.operators.ConnectedComponents.runStar(
-          Tables.documents(s, dir).select($"doc_id".as("id")), pairs,
-          edgesDistinct = true) // lshBandPairs is distinct, doc_i < doc_j
+      lshDupComponents(s, dir)
         .groupBy($"component")
         .agg(count(lit(1)).as("n_docs"))
         .filter($"n_docs" > 1)
+    },
+
+    // D27: the LSH-scaled KEEPER materialization — d10's quality-keeper
+    // election run over d26's banded component graph instead of d7's
+    // exact one: within every LSH-discovered cluster keep the highest-
+    // quality copy (x3's score, min doc_id on ties). d26+d27 share ONE
+    // CC run per session (the dupComponents pinning pattern), so the
+    // full production dedup output — cluster sizes AND the elected
+    // survivors — costs one banded pair-gen + one fixpoint. Same
+    // max-of-struct argmax as d10: one hash agg per cluster, no window
+    // sort, corpus joined once against the tiny multi-doc member set.
+    "d27_lsh_keeper" -> { (s, dir) =>
+      import s.implicits._
+      val comp = lshDupComponents(s, dir)
+      val multi = comp.groupBy($"component")
+        .agg(count(lit(1)).as("n_docs")).filter($"n_docs" > 1)
+      val members = comp.join(multi, "component")
+      val quality = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalytics.qualityCol($"text").as("quality"))
+      members.join(quality, members("id") === quality("doc_id"))
+        .groupBy($"component")
+        .agg(min($"n_docs").as("n_docs"),
+          max(struct($"quality", (-$"doc_id").as("negid"))).as("m"))
+        .select($"component", $"n_docs", (-$"m.negid").as("keeper"),
+          $"m.quality".as("keeper_quality"))
     },
 
     // D12: per-doc n-gram NOVELTY score — the fraction of a document's
@@ -1078,6 +1120,45 @@ object Dedup extends QueryModule {
        |  FROM reach r JOIN edges e ON r.id = e.src),
        |comp AS (
        |  SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** Shared recursive-CTE prologue ending in `comp(id, component)` for
+    * the LSH-candidate-restricted pair graph (d26, d27) — the banded
+    * candidate set, exact-Jaccard verified, closed transitively.
+    */
+  private def lshComponentsCteSql: String = {
+    val bandRows = (0 until NumPerm / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize)
+        .map(j => s"m$j::VARCHAR").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE sigs AS ($minhashSql),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, ${shingleListSql("hs")} AS arr
+       |       FROM ($tokenHashDocsSql)),
+       |pairs AS (
+       |  SELECT doc_i AS src, doc_j AS dst FROM cand
+       |  JOIN sh sa ON doc_i = sa.doc_id
+       |  JOIN sh sb ON doc_j = sb.doc_id
+       |  WHERE len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))::DOUBLE
+       |    / (len(sa.arr) + len(sb.arr)
+       |       - len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))) >= 0.5),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION SELECT dst, src FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label
+       |  FROM reach r JOIN edges e ON r.id = e.src),
+       |comp AS (
+       |  SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
+  }
 
   private def minhashSql: String = {
     val perms = (0 until NumPerm).map { j =>
@@ -1454,43 +1535,25 @@ object Dedup extends QueryModule {
          |JOIN sh sb ON doc_j = sb.doc_id""".stripMargin
     },
 
-    "d26_lsh_dedup_components" -> {
-      val bandRows = (0 until NumPerm / BandSize).map { b =>
-        val cols = (b * BandSize until (b + 1) * BandSize)
-          .map(j => s"m$j::VARCHAR").mkString(", ")
-        s"SELECT doc_id, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH RECURSIVE sigs AS ($minhashSql),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, ${shingleListSql("hs")} AS arr
-         |       FROM ($tokenHashDocsSql)),
-         |pairs AS (
-         |  SELECT doc_i AS src, doc_j AS dst FROM cand
-         |  JOIN sh sa ON doc_i = sa.doc_id
-         |  JOIN sh sb ON doc_j = sb.doc_id
-         |  WHERE len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))::DOUBLE
-         |    / (len(sa.arr) + len(sb.arr)
-         |       - len(list_filter(sa.arr, e -> list_contains(sb.arr, e)))) >= 0.5),
-         |edges AS (
-         |  SELECT src, dst FROM pairs
-         |  UNION SELECT dst, src FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT e.dst AS id, r.label
-         |  FROM reach r JOIN edges e ON r.id = e.src),
-         |comp AS (
-         |  SELECT id, min(label) AS component FROM reach GROUP BY id)
+    "d26_lsh_dedup_components" ->
+      s"""$lshComponentsCteSql
          |SELECT component, count(*) AS n_docs FROM comp
          |GROUP BY component
-         |HAVING count(*) > 1""".stripMargin
-    },
+         |HAVING count(*) > 1""".stripMargin,
+
+    "d27_lsh_keeper" ->
+      s"""$lshComponentsCteSql,
+         |q AS (${TextAnalytics.qualitySubSql}),
+         |j AS (SELECT c.component, q.doc_id, q.quality
+         |      FROM comp c JOIN q ON c.id = q.doc_id)
+         |SELECT component, n_docs, keeper, keeper_quality FROM (
+         |  SELECT component,
+         |    count(*) OVER (PARTITION BY component) AS n_docs,
+         |    doc_id AS keeper, quality AS keeper_quality,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY quality DESC, doc_id) AS r
+         |  FROM j)
+         |WHERE r = 1 AND n_docs > 1""".stripMargin,
 
     "d12_ngram_novelty" ->
       s"""WITH sh AS (
