@@ -58,10 +58,10 @@ object TextAnalytics extends QueryModule {
     *
     * Scale note: exact `percentile` keeps a value map ∝ distinct
     * quality doubles (∝ docs — measured 6.0× at the fixture's 10×).
-    * The 100 TB swap is `approx_percentile` (mergeable summary,
-    * bounded state, deterministic at fixed accuracy) feeding the same
-    * broadcast-boundary classify; exact is kept here for bit-exact
-    * DuckDB `quantile_cont` parity at test SF.
+    * The 100 TB swap — `percentile_approx`, bounded mergeable state —
+    * is REAL CODE behind `spark.graft.export.approxBoundaries` (see
+    * the two-arg [[curriculumFrameOf]]); exact stays the default for
+    * bit-exact DuckDB `quantile_cont` parity at test SF.
     */
   private[graft] def curriculumFrame(s: SparkSession, dir: String): DataFrame =
     curriculumFrameOf(Tables.documents(s, dir))
@@ -71,19 +71,210 @@ object TextAnalytics extends QueryModule {
     * a curated subset re-balances its own shards (the curation
     * pipeline's export path).
     */
-  private[graft] def curriculumFrameOf(docs: DataFrame): DataFrame = {
+  private[graft] def curriculumFrameOf(docs: DataFrame): DataFrame =
+    curriculumFrameOf(docs, docs.sparkSession.conf
+      .get(ApproxBoundariesKey, "false").toBoolean)
+
+  /** `spark.graft.export.approxBoundaries` — when true, the octile
+    * boundaries come from `percentile_approx` (round-10 verdict item 2:
+    * the 100 TB swap, previously prose-only). Exact `percentile` keeps
+    * a per-partition buffer of every distinct quality double — state ∝
+    * corpus, the suite's worst measured slope (4.6× at 10× data);
+    * `percentile_approx` keeps a mergeable bounded-size quantile
+    * summary (state ∝ accuracy, not rows) with rank error ≤ n/accuracy,
+    * deterministic at fixed accuracy. The downstream plan — broadcast
+    * 1-row boundary frame + rowwise classify + shard-keyed export — is
+    * identical; only docs within the boundary rank-error band can
+    * change shard (ApproxBoundariesSpec bounds the disagreement).
+    * Exact stays the default: the oracle needs DuckDB `quantile_cont`
+    * bit-parity at test SF.
+    */
+  private[graft] def curriculumFrameOf(docs: DataFrame,
+      approx: Boolean): DataFrame = {
     val scored = docs
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_toks"),
         qualityCol(col("text")).as("quality"))
-    val bounds = scored.agg(percentile(col("quality"),
-      array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bs"))
+    val fracs = array((1 to 7).map(i => lit(i / 8.0)): _*)
+    val bounds =
+      if (approx) scored.agg(percentile_approx(col("quality"), fracs,
+        lit(docs.sparkSession.conf.get(ApproxAccuracyKey, "10000").toInt))
+        .as("bs"))
+      else scored.agg(percentile(col("quality"), fracs).as("bs"))
     scored.crossJoin(broadcast(bounds)) // 1-row boundary frame
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_toks"), col("quality"),
         aggregate(col("bs"), lit(0L),
           (acc, b) => acc + when(col("quality") > b, 1L).otherwise(0L))
           .as("shard"))
+  }
+
+  private[graft] val ApproxBoundariesKey =
+    "spark.graft.export.approxBoundaries"
+  private[graft] val ApproxAccuracyKey =
+    "spark.graft.export.approxAccuracy"
+
+  // ------------------- x14/x16 LM-score plan shapes -------------------
+  //
+  // Two result-identical physical shapes per query, selected by
+  // `spark.graft.lm.saltedSkew` (SkewFallbackSpec proves identity on a
+  // planted hot-context corpus AND the driver fixtures):
+  //
+  // DEFAULT (window-count, round-10): cluster the token/bigram instance
+  // stream by its term key (w / w1) once and attach the global counts as
+  // PARTITIONED window counts over that single exchange — one
+  // corpus-sized shuffle, no vocab join. The catch is the clustering
+  // key's Zipf tail: a hot term ("the" ≈ 5-7% of English tokens; a
+  // "the"-context partition is ~5% of ALL bigrams) lands its entire
+  // corpus share in ONE window partition with no partial aggregation —
+  // at 100 TB that is a multi-TB straggler task no AQE feature can
+  // split (skew-join splitting cannot help a window).
+  //
+  // SALTED (two-phase + salted stats join — the 100 TB skew fallback):
+  // no corpus-sized exchange is ever keyed by a bare term.
+  //   1. per-doc counts aggregate on (doc_id, term): doc_id spreads any
+  //      hot term across all partitions, map-side partials bound the
+  //      shuffle to distinct (doc, term) pairs;
+  //   2. global term counts FOLD FROM that frame by two-phase partial
+  //      aggregation — each final group receives at most one partial
+  //      row per map partition, whatever the term's corpus share (this
+  //      is the "salted count": the map partition is the salt);
+  //   3. the vocab-sized stats frame joins back on (term…, salt) with
+  //      the stats side replicated across `lm.saltBuckets` explicit
+  //      salts (salt = hash(doc_id) mod S on the big side), so a hot
+  //      term's postings split across S join partitions by
+  //      construction — bounded without relying on AQE.
+  // Cost trade vs default: the stats branch re-derives the per-doc
+  // counts (a second tokenize+agg corpus pass — the salt filter pushed
+  // into the big side's scan defeats ReuseExchange), plus an S×
+  // stats-side replication — which is why it is the flagged fallback,
+  // not the default, at fixture SFs (ScaleFixture measures both shapes
+  // on a corpus where one context holds ≥20% of bigrams). The join
+  // strategy stays size-selected: broadcast while the stats side fits,
+  // shuffle on the salted keys past that (PlanSpec pins the keys).
+  private[graft] val LmSaltedSkewKey = "spark.graft.lm.saltedSkew"
+  private[graft] val LmSaltBucketsKey = "spark.graft.lm.saltBuckets"
+
+  private def lmSalted(s: SparkSession): Boolean =
+    s.conf.get(LmSaltedSkewKey, "false").toBoolean
+  private def lmSaltBuckets(s: SparkSession): Int =
+    s.conf.get(LmSaltBucketsKey, "16").toInt
+
+  /** Salted equi-join of a vocab-sized `stats` frame onto a corpus-sized
+    * `big` frame on `terms`: stats rows replicate across all `buckets`
+    * salt values (a Generate, not a join), big rows carry
+    * salt = hash(doc_id) mod buckets, and the join keys on
+    * (terms…, salt) — every join partition holds ≤ ~1/buckets of any
+    * single term's rows.
+    */
+  private def saltedStatsJoin(big: DataFrame, stats: DataFrame,
+      terms: Seq[String], buckets: Int): DataFrame = {
+    val statsS = stats.withColumn("salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    big.withColumn("salt",
+        pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+      .join(statsS, terms :+ "salt")
+      .drop("salt")
+  }
+
+  /** x14 core — per-doc unigram-LM mean log-probability
+    * logp(w) = ln((n_w + 1)/(n_c + V)) weighted by the doc's own term
+    * counts, over an arbitrary (doc_id, text) frame. `salted` selects
+    * the skew-robust shape (see the block comment above). ln parity:
+    * per-term double rounded to 9, decimal accumulation, final round 6
+    * (the x13 convention) — identical in both shapes because the counts
+    * are identical and the decimal sum is order-insensitive.
+    */
+  private[graft] def unigramLogprob(docs: DataFrame,
+      salted: Boolean): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // corpus totals (n_c, V): their own 1-row agg over a second pruned
+    // scan (count + count_distinct in one pass, map-side partial
+    // distinct) — shared by both shapes
+    val tot = docs
+      .select(explode(TextFunctions.wsTokens($"text")).as("w"))
+      .agg(count(lit(1)).as("n_c"), count_distinct($"w").as("v"))
+    val counts =
+      if (salted) {
+        val dw = docs
+          .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
+        val cw = dw.groupBy($"w").agg(sum($"n_dw").as("n_w"))
+        saltedStatsJoin(dw, cw, Seq("w"), lmSaltBuckets(sess))
+      } else {
+        docs
+          .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
+          .repartition($"w") // the one clustering shuffle — skew note above
+          .withColumn("n_w", count(lit(1)).over(Window.partitionBy($"w")))
+          .groupBy($"doc_id", $"w", $"n_w").agg(count(lit(1)).as("n_dw"))
+      }
+    counts
+      .crossJoin(broadcast(tot)) // 1-row corpus totals
+      .select($"doc_id", $"n_dw",
+        round($"n_dw".cast("double") *
+            (log(($"n_w" + 1).cast("double")) -
+             log(($"n_c" + $"v").cast("double"))), 9)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_dw").as("n_tokens"),
+        round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
+          .as("mean_logprob"))
+  }
+
+  /** x16 core — per-doc bigram-LM mean log-probability
+    * p(w2|w1) = (c(w1,w2) + 1)/(c(w1) + V). Same two shapes as
+    * [[unigramLogprob]]; V is the unigram vocab size (its own 1-row
+    * distinct agg — single-token docs contribute vocabulary but no
+    * bigram, so V cannot fold from the bigram stream). Docs with
+    * < 2 tokens have no bigrams and no row.
+    */
+  private[graft] def bigramLogprob(docs: DataFrame,
+      salted: Boolean): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
+    val v = toks.select(explode($"ts").as("w"))
+      .agg(count_distinct($"w").as("v"))
+    val binst = toks.filter(size($"ts") >= 2)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => struct(element_at($"ts", i).as("w1"),
+            element_at($"ts", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val counts =
+      if (salted) {
+        val db = binst.groupBy($"doc_id", $"w1", $"w2")
+          .agg(count(lit(1)).as("n_dw"))
+        val c12 = db.groupBy($"w1", $"w2").agg(sum($"n_dw").as("c12"))
+        val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+        // the (w1)-keyed stats join is vocab-sized × vocab-sized (AQE
+        // skew-join CAN split a join, unlike a window); the corpus-sized
+        // join below is the salted one
+        saltedStatsJoin(db, c12.join(c1, "w1"), Seq("w1", "w2"),
+          lmSaltBuckets(sess))
+      } else {
+        binst
+          .repartition($"w1") // the one clustering shuffle — skew note above
+          .withColumn("c12",
+            count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
+          .withColumn("c1", count(lit(1)).over(Window.partitionBy($"w1")))
+          .groupBy($"doc_id", $"w1", $"w2", $"c12", $"c1")
+          .agg(count(lit(1)).as("n_dw"))
+      }
+    counts
+      .crossJoin(broadcast(v)) // 1-row vocab size
+      .select($"doc_id", $"n_dw",
+        round($"n_dw".cast("double") *
+            (log(($"c12" + 1).cast("double")) -
+             log(($"c1" + $"v").cast("double"))), 9)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_dw").as("n_bigrams"),
+        round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
+          .as("mean_logprob"))
   }
 
   /** PII patterns (the RE2 ∩ java.util.regex common subset — character
@@ -879,43 +1070,12 @@ object TextAnalytics extends QueryModule {
     // unigram LM (add-one smoothing) — the CCNet-style fluency/quality
     // signal a pretraining pipeline uses to rank documents before
     // filtering: template spam and wrong-segmentation text score far
-    // below fluent prose under the corpus's own distribution. Round-10
-    // shape (the x16 pattern): ONE repartition of the token-instance
-    // stream by w replaces the dw→cw aggregate-join diamond — the
-    // corpus count n_w attaches as a window count over the same
-    // exchange, the per-doc n_dw agg then runs exchange-free (w is a
-    // key subset), and only the final per-doc sum shuffles again
-    // (map-side partial → doc-sized). Corpus totals (n_c, V) are their
-    // own 1-row agg over a second pruned scan (count + count_distinct
-    // in one pass, map-side partial distinct). Two corpus-sized
-    // exchanges, zero vocab joins. The w clustering shares x16's skew
-    // note: a "the" partition at extreme scale wants the salted
-    // two-phase count; every SF here is orders below that.
-    // logp(w) = ln((n_w + 1)/(n_c + V)); the per-doc mean weights by
-    // the doc's own term counts. ln parity: per-term double rounded to
-    // 9, decimal accumulation, final round 6 (the x13 convention).
-    "x14_unigram_logprob" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val tot = Tables.documents(s, dir)
-        .select(explode(TextFunctions.wsTokens($"text")).as("w"))
-        .agg(count(lit(1)).as("n_c"), count_distinct($"w").as("v"))
-      Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
-        .repartition($"w") // the one clustering shuffle — see note above
-        .withColumn("n_w", count(lit(1)).over(Window.partitionBy($"w")))
-        .groupBy($"doc_id", $"w", $"n_w").agg(count(lit(1)).as("n_dw"))
-        .crossJoin(broadcast(tot)) // 1-row corpus totals
-        .select($"doc_id", $"n_dw",
-          round($"n_dw".cast("double") *
-              (log(($"n_w" + 1).cast("double")) -
-               log(($"n_c" + $"v").cast("double"))), 9)
-            .cast("decimal(28,12)").as("term"))
-        .groupBy($"doc_id")
-        .agg(sum($"n_dw").as("n_tokens"),
-          round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
-            .as("mean_logprob"))
-    },
+    // below fluent prose under the corpus's own distribution. Plan
+    // shapes (default window-count / salted skew fallback) and the
+    // `spark.graft.lm.saltedSkew` dispatch: see [[unigramLogprob]] and
+    // the LM-score block comment above it.
+    "x14_unigram_logprob" -> ((s, dir) =>
+      unigramLogprob(Tables.documents(s, dir), lmSalted(s))),
 
     // X15: corpus-wide QUALITY DECILE assignment — the bucketing step of
     // quality-stratified mixing / curriculum ordering (keep the top
@@ -947,57 +1107,12 @@ object TextAnalytics extends QueryModule {
     // p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), the closest an exact
     // SQL-replayable score gets to the perplexity filters production
     // curation runs (a doc of common words in an uncommon ORDER now
-    // scores low, which x14 cannot see). Round-10 shape (r9 verdict
-    // item 4): ONE repartition of the bigram-instance stream by w1
-    // replaces the old db→c12→c1 join diamond (two vocab-keyed joins +
-    // three separately-keyed aggregates). With the stream clustered by
-    // w1, BOTH global counts attach as window counts over the same
-    // exchange — c12 = count over (w1, w2), c1 = count over (w1), and
-    // the one (w1, w2)-prefix sort serves both — then the per-doc n_dw
-    // agg runs exchange-free ((w1) is a key subset) and only the final
-    // per-doc sum shuffles again (map-side partial → doc-sized). Two
-    // corpus-sized exchanges total, both with no join in between. The
-    // w1 clustering is the skew point at extreme scale (a "the"-context
-    // partition is ~5% of all bigrams): the fallback is the salted
-    // two-phase count (x22's top-K machinery) or reverting c1 to a
-    // vocab-keyed agg+join, which trades two more exchanges for
-    // map-side partials; at any SF this fixture reaches, the hot key
-    // fits a partition comfortably. V is the unigram vocab size (its
-    // own 1-row distinct agg — single-token docs contribute vocabulary
-    // but no bigram, so V cannot fold from the bigram stream). Docs
-    // with < 2 tokens have no bigrams and no row. ln parity: x13/x14
-    // convention.
-    "x16_bigram_logprob" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
-      val v = toks.select(explode($"ts").as("w"))
-        .agg(count_distinct($"w").as("v"))
-      val inst = toks.filter(size($"ts") >= 2)
-        .select($"doc_id", explode(
-          transform(sequence(lit(1), size($"ts") - 1),
-            i => struct(element_at($"ts", i).as("w1"),
-              element_at($"ts", i + 1).as("w2")))).as("b"))
-        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-        .repartition($"w1") // the one clustering shuffle — see note above
-        .withColumn("c12",
-          count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
-        .withColumn("c1", count(lit(1)).over(Window.partitionBy($"w1")))
-      inst
-        .groupBy($"doc_id", $"w1", $"w2", $"c12", $"c1")
-        .agg(count(lit(1)).as("n_dw"))
-        .crossJoin(broadcast(v)) // 1-row vocab size
-        .select($"doc_id", $"n_dw",
-          round($"n_dw".cast("double") *
-              (log(($"c12" + 1).cast("double")) -
-               log(($"c1" + $"v").cast("double"))), 9)
-            .cast("decimal(28,12)").as("term"))
-        .groupBy($"doc_id")
-        .agg(sum($"n_dw").as("n_bigrams"),
-          round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
-            .as("mean_logprob"))
-    },
+    // scores low, which x14 cannot see). Plan shapes (default
+    // window-count / salted skew fallback) and the
+    // `spark.graft.lm.saltedSkew` dispatch: see [[bigramLogprob]] and
+    // the LM-score block comment above it.
+    "x16_bigram_logprob" -> ((s, dir) =>
+      bigramLogprob(Tables.documents(s, dir), lmSalted(s))),
 
     // X17: FEATURE-HASHED document embeddings — the text→vector bridge:
     // each doc becomes an L2-normalized 16-dim signed bag-of-words

@@ -75,6 +75,63 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double, props: String)
+
+  private val eventTypes =
+    Array("view", "click", "purchase", "signup", "error")
+
+  /** Events in the driver's sf0.1 shape (100k rows, 1,500 users, 5 types
+    * uniform, 30-day span, exp-ish values) — 10× densifies the SAME
+    * month and 10×es the user base (the sf1 shape), so windowed/session
+    * state and as-of merge volume grow with the data while the window
+    * count stays fixed, exactly the 100 TB growth direction.
+    */
+  def genEvents(spark: SparkSession, outDir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val n = 100000L * mult
+    val users = 1500L * mult
+    val spanMicros = 30L * 24 * 3600 * 1000000 // 30 days
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
+    spark.range(n).map { id =>
+      val rng = new scala.util.Random(id * 6364136223846793005L + 97)
+      val ts = t0 + (id * (spanMicros / n)) + rng.nextLong(spanMicros / n)
+      Ev(id, new java.sql.Timestamp(ts / 1000),
+        rng.nextLong(users), eventTypes(rng.nextInt(eventTypes.length)),
+        math.rint(-math.log(1.0 - rng.nextDouble()) * 30.0 * 100) / 100,
+        s"""{"k": ${rng.nextInt(100)}}""")
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** The x14/x16 SKEW corpus (round-10 verdict item 1): every odd token
+    * position is the hot context "the", so ~50% of bigram instances
+    * share one w1 — far past the verdict's ≥20% bar. Measures the
+    * default window-count shape against the salted fallback where the
+    * hot key actually bites.
+    */
+  def genDocumentsSkew(spark: SparkSession, outDir: String,
+      mult: Int): Unit = {
+    import spark.implicits._
+    val n = 5000L * mult
+    spark.range(n).map { id =>
+      val rng = new scala.util.Random(id * 2654435761L + 11)
+      val nTok = 40 + rng.nextInt(21)
+      val toks = Array.tabulate(nTok) { i =>
+        if (i % 2 == 1) "the"
+        else {
+          val u = rng.nextDouble()
+          val k = (math.exp(u * math.log(2000.0 + 10) +
+            (1 - u) * math.log(10.0)) - 10).toInt
+          s"w${math.max(0, math.min(1999, k))}"
+        }
+      }
+      val text = toks.mkString(" ")
+      Doc(id, text, "en", "synthetic", text.length.toLong)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def genEmbeddings(spark: SparkSession, outDir: String, mult: Int): Unit = {
     import spark.implicits._
     val n = 2000L * mult
@@ -95,9 +152,15 @@ object ScaleFixture {
     * components, d10 keeper), x7 (vocab-bounded PMI shuffle), v6
     * (k-means over embeddings). Prints one `scale,<query>,<1x sec>,
     * <10x sec>,<ratio>` line per query — the SCALE.md evidence.
+    *
+    * Usage: runMain graft.tools.ScaleFixture [root] [mode]
+    * mode ∈ all | core (docs/embeddings families) | events (the
+    * events-table family, round-10 verdict item 3) | skew (x14/x16
+    * default-vs-salted on the hot-context corpus, verdict item 1).
     */
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/root/repo/.scale"
+    val mode = if (args.length > 1) args(1) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,6 +171,82 @@ object ScaleFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def time(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    if (mode == "all" || mode == "core") runCore(spark, root, time)
+    if (mode == "all" || mode == "events") runEvents(spark, root, time)
+    if (mode == "all" || mode == "skew") runSkew(spark, root, time)
+    if (mode == "all" || mode == "x25") runX25(spark, root, time)
+    spark.stop()
+  }
+
+  /** x25 exact vs percentile_approx boundary slope (round-10 verdict
+    * item 2): the exact aggregate's state grows with distinct quality
+    * values; the sketch path should hold ~1×.
+    */
+  private def runX25(spark: SparkSession, root: String,
+      time: (String, String) => Double): Unit = {
+    val oneX = s"$root/x1"
+    val tenX = s"$root/x10"
+    genDocuments(spark, oneX, 1)
+    genDocuments(spark, tenX, 10)
+    for (shape <- Seq("exact", "approx")) {
+      spark.conf.set(graft.queries.TextAnalytics.ApproxBoundariesKey,
+        (shape == "approx").toString)
+      graft.SparkEntry.queries("x25_shard_manifest")(spark, oneX).count()
+      val t1 = time("x25_shard_manifest", oneX)
+      val t10 = time("x25_shard_manifest", tenX)
+      println(f"x25,$shape,$t1%.2f,$t10%.2f,${t10 / t1}%.1f")
+    }
+    spark.conf.unset(graft.queries.TextAnalytics.ApproxBoundariesKey)
+  }
+
+  /** The events-table family (round-10 verdict item 3): windowed aggs,
+    * sessionization, as-of/range joins, and the j6w windowed anti-join —
+    * the queries the docs/embeddings fixture could not see.
+    */
+  private def runEvents(spark: SparkSession, root: String,
+      time: (String, String) => Double): Unit = {
+    val e1 = s"$root/e1"
+    val e10 = s"$root/e10"
+    genEvents(spark, e1, 1); genEvents(spark, e10, 10)
+    val queries = Seq("w1_tumbling", "w2_sliding", "w3_session",
+      "a9_session_marker", "a18_trailing_hour", "j7_asof_attribution",
+      "j8_range_outage", "p22_sessionize", "j6w_windowed_anti")
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, e1).count())
+    val t1 = queries.map(q => q -> time(q, e1)).toMap
+    val t10 = queries.map(q => q -> time(q, e10)).toMap
+    queries.foreach { q =>
+      println(f"scale,$q,${t1(q)}%.2f,${t10(q)}%.2f,${t10(q) / t1(q)}%.1f")
+    }
+  }
+
+  /** x14/x16 on the hot-context corpus, default vs salted shape. */
+  private def runSkew(spark: SparkSession, root: String,
+      time: (String, String) => Double): Unit = {
+    val s1 = s"$root/s1"
+    val s10 = s"$root/s10"
+    genDocumentsSkew(spark, s1, 1); genDocumentsSkew(spark, s10, 10)
+    val queries = Seq("x14_unigram_logprob", "x16_bigram_logprob")
+    for (shape <- Seq("default", "salted")) {
+      spark.conf.set(graft.queries.TextAnalytics.LmSaltedSkewKey,
+        (shape == "salted").toString)
+      queries.foreach(q => graft.SparkEntry.queries(q)(spark, s1).count())
+      val t1 = queries.map(q => q -> time(q, s1)).toMap
+      val t10 = queries.map(q => q -> time(q, s10)).toMap
+      queries.foreach { q =>
+        println(f"skew,$q,$shape,${t1(q)}%.2f,${t10(q)}%.2f,${t10(q) / t1(q)}%.1f")
+      }
+    }
+    spark.conf.unset(graft.queries.TextAnalytics.LmSaltedSkewKey)
+  }
+
+  private def runCore(spark: SparkSession, root: String,
+      time: (String, String) => Double): Unit = {
     val oneX = s"$root/x1"
     val tenX = s"$root/x10"
     genDocuments(spark, oneX, 1); genEmbeddings(spark, oneX, 1)
@@ -122,8 +261,8 @@ object ScaleFixture {
       "x14_unigram_logprob", "d15_source_cap", "d18_incremental_dedup",
       "x16_bigram_logprob", "x17_hash_embedding", "t6_cms_heavy_hitters",
       "x18_hll_distinct",
-      // round-8 additions over documents/embeddings (event-table ops are
-      // out of fixture scope; a17-a19 are covered by the bench instead)
+      // round-8 additions over documents/embeddings (the event-table
+      // family has its own section — runEvents — since round 11)
       "x19_cdc_chunks", "d19_semantic_dedup", "x20_dsir_weights",
       "j11_bm25", "d20_dup_pagerank", "d21_leakage_split",
       "x21_temperature_mix", "x22_zipf_slope", "x23_hist_quantiles",
@@ -136,11 +275,6 @@ object ScaleFixture {
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
     graft.queries.Similarity.evictCaches(spark) // nor the k-means assignment
 
-    def time(q: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
-    }
     // fixed order: d2 then d7 pay pair-gen; d10/d6 reuse the session
     // cache exactly as a curation run would — documented in SCALE.md
     val t1 = queries.map(q => q -> time(q, oneX)).toMap
@@ -148,6 +282,5 @@ object ScaleFixture {
     queries.foreach { q =>
       println(f"scale,$q,${t1(q)}%.2f,${t10(q)}%.2f,${t10(q) / t1(q)}%.1f")
     }
-    spark.stop()
   }
 }

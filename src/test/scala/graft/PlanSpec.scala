@@ -146,6 +146,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x14/x16 salted fallback: no window count, corpus join keyed on (term, salt)") {
+    // Round-11 (r10 verdict item 1): the skew fallback behind
+    // spark.graft.lm.saltedSkew plans ZERO Window operators (a hot
+    // term's window partition cannot be split by any runtime feature),
+    // no bare-term clustering repartition, and its corpus-sized stats
+    // join must key on (term…, salt) — the explicit salt that bounds a
+    // Zipf-hot term's partition share by construction. The physical
+    // strategy stays size-selected (broadcast at toy SF, shuffle on the
+    // salted keys past that), so the pin is on the JOIN KEYS.
+    try {
+      spark.conf.set(graft.queries.TextAnalytics.LmSaltedSkewKey, "true")
+      for ((q, saltedKeys) <- Seq(
+          "x14_unigram_logprob" ->
+            """Join \[w#\d+, salt#""",
+          "x16_bigram_logprob" ->
+            """Join \[w1#\d+, w2#\d+, salt#""")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect() // finalize AQE
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!p.contains("Window"),
+          s"$q salted: no window count may survive:\n$p")
+        assert(!p.contains("REPARTITION_BY_COL"),
+          s"$q salted: no bare-term clustering repartition:\n$p")
+        assert(saltedKeys.r.findFirstIn(p).isDefined,
+          s"$q salted: the stats join must key on (term…, salt):\n$p")
+      }
+    } finally spark.conf.unset(graft.queries.TextAnalytics.LmSaltedSkewKey)
+  }
+
   test("x17/t6: per-group stats ride clustered windows — no derived-frame join") {
     // Round-10: x17's norm and t6's sketch cells were aggregates joined
     // back onto their own input frame (double-computed under divergent
