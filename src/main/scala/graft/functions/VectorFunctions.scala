@@ -45,6 +45,22 @@ object VectorFunctions {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** [[cosineJvm]] against a double-valued vector (k-means centroid
+    * means): identical operation order to `cosine(a, bDoubles)` — the
+    * per-element double cast is a no-op on the double side, so the fold
+    * is bit-for-bit the Catalyst result.
+    */
+  def cosineJvmD(a: Array[Float], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** JVM-side product-quantization code for one subspace: argmin over the
     * codebook of the L2² distance on dims [m*sub, (m+1)*sub). Same
     * left-fold-in-index-order double arithmetic as `l2sq` (adding the 0.0

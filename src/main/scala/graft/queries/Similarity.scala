@@ -76,34 +76,56 @@ object Similarity extends QueryModule {
     * Output: (vec_id, embedding, cid).
     */
   private[graft] def kmeansAssign(corpus: DataFrame, k: Int): DataFrame = {
-    val cents0 = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    // argmax as a max_by AGGREGATE, not a per-vec rank window (round-10):
-    // the k candidate rows of each vector sit contiguously in the scan
-    // partition after the broadcast cross join, so the partial aggregate
-    // collapses k→1 BEFORE the exchange — the old topKPerKey window
-    // shuffled all k copies of every embedding. Tie-break identical:
-    // max over (csim, -cid) ⇔ order by csim desc, cid asc.
-    def assignTo(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          VectorFunctions.cosine(col("embedding"), col("c_emb"))
-            .as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc")))
-            .as("cid"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("cid"))
-    val cents1 = assignTo(cents0)
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    // Round-11 (r10 verdict item 6): both Lloyd assignments run as
+    // SHUFFLE-FREE JIT scans against driver-collected centroids. The
+    // centroid frames are k and k·dim rows — bounded by the constant k,
+    // the PQ-codebook-collect precedent — while the former
+    // crossJoin(broadcast)+max_by shape paid two BNLJ broadcast
+    // barriers, two vec_id agg exchanges, and a collect_list assembly
+    // exchange (~8 sequential AQE stages) for what is arithmetic
+    // against a k-row constant. Parity is exact: the argmax loop
+    // replays max_by(cid, struct(csim, -cid)) — centroids iterate in
+    // cid order and strict > keeps the smallest cid on ties — and
+    // cosineJvmD is the Catalyst cosine fold bit-for-bit (the
+    // double-side element cast is a no-op). The (cid, pos)
+    // decimal-mean centroid aggregate is UNCHANGED; its k·dim output
+    // rows are collected instead of re-assembled through a
+    // collect_list exchange + broadcast.
+    def assignJvm(cents: Array[(Long, Array[Double])]): DataFrame = {
+      val sorted = cents.sortBy(_._1)
+      corpus.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.map { case (id, e) =>
+            var best = Double.NegativeInfinity
+            var bestC = sorted.head._1
+            var i = 0
+            while (i < sorted.length) {
+              val c = VectorFunctions.cosineJvmD(e, sorted(i)._2)
+              if (c > best) { best = c; bestC = sorted(i)._1 }
+              i += 1
+            }
+            (id, e, bestC)
+          }
+        }
+        .toDF("vec_id", "embedding", "cid")
+    }
+    val c0 = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect() // k rows — constant-bounded
+      .map { case (cid, e) => (cid, e.map(_.toDouble)) }
+    val c1 = assignJvm(c0)
       .select(col("cid"), posexplode(col("embedding")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(col("col").cast("double").cast("decimal(22,8)"))
         .cast("double") / count(lit(1))).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), transform(col("pm"), x => x("m")).as("c_emb"))
-    assignTo(cents1)
+      .as[(Long, Int, Double)].collect() // k·dim rows — constant-bounded
+      .groupBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toArray)
+      }.toArray
+    assignJvm(c1)
   }
 
   /** The ONE pinned k-means assignment frame per (session, dir, k) —

@@ -482,9 +482,21 @@ object TextAnalytics extends QueryModule {
     "j11_bm25" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // explode(array(…)) is the x8 Generate BARRIER: without it the
+      // explode's inferred generator filter (size(ts)>0 AND isnotnull)
+      // re-evaluates the whole tokenize expression up to 3× per row in
+      // the hits scan — measured ~0.3 s of the query's ~1.1 s at sf0.1,
+      // where the pre-shuffle scan is one task
       val toks = Tables.documents(s, dir)
-        .select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
-      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        .select($"doc_id",
+          explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+      // totals over docs with ≥1 token ONLY — the oracle derives
+      // n_docs/avglen from the (doc, w) counts, which a zero-token doc
+      // never reaches; filter here so both engines agree by
+      // construction on any fixture (round-10 ADVICE), not just on
+      // generators that always emit tokens
+      val tot = toks.filter(size($"ts") > 0)
+        .agg(count(lit(1)).as("n_docs"),
         (sum(size($"ts")).cast("double") / count(lit(1))).as("avglen"))
       // DISTINCT (qid, w) ≡ per-row array_distinct of the 3-token slice
       // (qid IS doc_id) — rowwise, so the query branch is a pushed-

@@ -10,6 +10,9 @@ package graft.tools
   *   GRAFT_PROFILE_REPEAT=N    time each query N times (default 2)
   *   GRAFT_PROFILE_EVICT=false keep Dedup/Similarity caches across reps
   *   GRAFT_PROFILE_PLAN=true   print the post-AQE executed plan
+  *   GRAFT_PROFILE_STAGES=true print per-stage wall/task counts of the
+  *                             last rep (the stage-floor evidence)
+  *   GRAFT_PROFILE_CONF=k=v;…  ad-hoc runtime confs for A/B probes
   * (env vars, not -D flags: `run / fork := true` — system properties
   * given to sbt do not reach the forked JVM)
   */
@@ -22,6 +25,11 @@ object Profile {
     val repeat = sys.env.getOrElse("GRAFT_PROFILE_REPEAT", "2").toInt
     val evict = sys.env.getOrElse("GRAFT_PROFILE_EVICT", "true").toBoolean
     val spark = graft.core.GraftSession.local(32, "graft-profile")
+    // GRAFT_PROFILE_CONF="k=v;k=v" — ad-hoc runtime confs for A/B probes
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     // warmup: JVM + codegen + parquet footers (the Bench preamble)
     Seq("q1_agg", "p1_wordcount", "a5_max_per_key", "v2_lsh_buckets")
       .foreach(q => graft.SparkEntry.queries(q)(spark, dir).count())
@@ -31,11 +39,35 @@ object Profile {
           graft.queries.Dedup.evictCaches(spark)
           graft.queries.Similarity.evictCaches(spark)
         }
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val listener =
+          if (rep == repeat &&
+              sys.env.get("GRAFT_PROFILE_STAGES").contains("true")) {
+            val l = new org.apache.spark.scheduler.SparkListener {
+              override def onStageCompleted(
+                  sc: org.apache.spark.scheduler
+                    .SparkListenerStageCompleted): Unit = {
+                val i = sc.stageInfo
+                val dur = for {
+                  s <- i.submissionTime; e <- i.completionTime
+                } yield e - s
+                stages.add(f"stage,$q,${i.stageId}%3d,tasks=${i.numTasks}%3d," +
+                  f"wall=${dur.getOrElse(-1L)}%5dms")
+              }
+            }
+            spark.sparkContext.addSparkListener(l)
+            Some(l)
+          } else None
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(q)(spark, dir)
         val n = df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"profile,$q,rep$rep,$sec%.3f,rows=$n")
+        listener.foreach { l =>
+          Thread.sleep(300) // drain the listener bus
+          spark.sparkContext.removeSparkListener(l)
+          stages.forEach(println)
+        }
         if (rep == repeat &&
             sys.env.get("GRAFT_PROFILE_PLAN").contains("true")) {
           df.collect() // finalize AQE on the full result plan

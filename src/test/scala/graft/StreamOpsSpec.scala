@@ -492,6 +492,104 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: band ownership survives a query restart from checkpoint") {
+    // Round-10 verdict item 5: kill-and-resume for the LSH band state
+    // machine. A claims its bands in run 1; after a restart from the
+    // checkpoint, an in-horizon near-dup must still flag against A's
+    // RESTORED ownership, and nothing may emit twice (the idempotent
+    // batchId-keyed sink below makes replayed microbatches overwrite,
+    // so a duplicate verdict row would surface as a doc_id collision).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val aTxt = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val bTxt = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val xTxt = "yet another unrelated filler document advancing the watermark forward now"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sndr_ckpt").toString
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val batches = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(Long, Long, Long)]]()
+    def start() = StreamOps.streamingNearDedup(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        horizonMs = 600000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches.put(bid, batch
+          .select($"doc_id", $"n_band_hits",
+            coalesce($"dup_of", lit(-1L)).as("dup_of"))
+          .as[(Long, Long, Long)].collect().toSeq)
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData((ts(0), 0L, aTxt)) // A claims every band
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: band owners must come back from state
+    try {
+      in.addData((ts(1), 1L, bTxt)) // in-horizon near-dup of A
+      q2.processAllAvailable()
+      in.addData((ts(30), 9L, xTxt)) // watermark past ts(1)+horizon
+      q2.processAllAvailable()
+      in.addData((ts(45), 10L, xTxt)) // flush the final agg
+      q2.processAllAvailable()
+      val rows = { import scala.jdk.CollectionConverters._
+        batches.asScala.values.flatten.toSeq }
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc.getOrElse(0L, Nil).map(r => (r._2, r._3)) == Seq((0L, -1L)),
+        s"A must emit exactly one novel verdict across the restart: $rows")
+      val b = byDoc.getOrElse(1L, Nil)
+      assert(b.size == 1 && b.head._2 >= 1L && b.head._3 == 0L,
+        s"B must flag against A's restored band ownership exactly once: $rows")
+    } finally q2.stop()
+  }
+
+  test("attribution join: buffered view state survives a query restart from checkpoint") {
+    // Round-10 verdict item 5: the stream-stream join buffers views in
+    // the state store; a purchase arriving AFTER a kill must still
+    // attribute to the view buffered BEFORE it, exactly once.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val batches = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(Long, Timestamp, Timestamp, Double)]]()
+    def start() = StreamOps.attributionJoin(
+        views.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "p_ts", "amount"),
+        "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches.put(bid, batch
+          .select($"user_id", $"v_ts", $"p_ts", $"amount")
+          .as[(Long, Timestamp, Timestamp, Double)].collect().toSeq)
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      views.addData((1L, ts(1))) // buffered into join state, no match yet
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: the purchase must match the restored view
+    try {
+      purchases.addData((1L, ts(5), 9.99))
+      q2.processAllAvailable()
+      views.addData((8L, ts(59))) // advance both watermarks
+      purchases.addData((9L, ts(59), 0.0))
+      q2.processAllAvailable()
+      val rows = { import scala.jdk.CollectionConverters._
+        batches.asScala.values.flatten.toSeq }
+      assert(rows == Seq((1L, ts(1), ts(5), 9.99)),
+        s"exactly one attribution across the restart, no loss/dup: $rows")
+    } finally q2.stop()
+  }
+
   test("streaming AutoComplete: per-window prefix top-k == batch PrefixTopK.flat") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
