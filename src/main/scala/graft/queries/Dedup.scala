@@ -994,21 +994,40 @@ object Dedup extends QueryModule {
     * row. Package-visible so the planted-duplicate spec exercises the
     * production pipeline.
     */
-  private[graft] def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def ngramNovelty(docs: DataFrame, n: Int): DataFrame =
+    ngramNovelty(docs, n,
+      TextAnalytics.skewSalted(docs.sparkSession))
+
+  private[graft] def ngramNovelty(docs: DataFrame, n: Int,
+      salted: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df as a window count over ONE shingle-clustered exchange (the
-    // round-10 j11/d25 pattern): the former docFreq aggregate + join
-    // consumed the shingle frame from two differently-pruned branches —
-    // the corpus shingle generation ran twice and the join reshuffled
-    // it again. Now: one shingle-gen pass, one repartition(shingle),
-    // then the per-doc agg (its own doc-keyed exchange, map-side
-    // partial). Boilerplate hot shingles concentrate a partition — the
-    // x16 skew note applies (salted two-phase fallback at extreme SF).
-    docs.select(col("doc_id"),
-        explode(HashedShinglesExpr.hashedShingles(col("text"), n)).as("shingle"))
-      .repartition(col("shingle"))
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    // DEFAULT: df as a window count over ONE shingle-clustered exchange
+    // (the round-10 j11/d25 pattern): the former docFreq aggregate +
+    // join consumed the shingle frame from two differently-pruned
+    // branches — the corpus shingle generation ran twice and the join
+    // reshuffled it again. Now: one shingle-gen pass, one
+    // repartition(shingle), then the per-doc agg (its own doc-keyed
+    // exchange, map-side partial). Boilerplate hot shingles concentrate
+    // a window partition, so `spark.graft.saltedSkew` selects the same
+    // fallback as x14/x16 (round-10 ADVICE — the guard is real code,
+    // not a comment): df folds via a two-phase partial aggregate (each
+    // final group gets ≤ one partial row per map partition, whatever
+    // the shingle's corpus share) and joins back through
+    // KeyedOps.saltedStatsJoin on (shingle, salt). SkewFallbackSpec
+    // proves identity on a boilerplate-heavy corpus.
+    val sh = docs.select(col("doc_id"),
+      explode(HashedShinglesExpr.hashedShingles(col("text"), n)).as("shingle"))
+    val withDf =
+      if (salted) {
+        val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        graft.operators.KeyedOps.saltedStatsJoin(sh, dfTbl, Seq("shingle"),
+          TextAnalytics.saltBuckets(docs.sparkSession), col("doc_id"))
+      } else {
+        sh.repartition(col("shingle"))
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      }
+    withDf
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))

@@ -117,7 +117,7 @@ object TextAnalytics extends QueryModule {
   // ------------------- x14/x16 LM-score plan shapes -------------------
   //
   // Two result-identical physical shapes per query, selected by
-  // `spark.graft.lm.saltedSkew` (SkewFallbackSpec proves identity on a
+  // `spark.graft.saltedSkew` (SkewFallbackSpec proves identity on a
   // planted hot-context corpus AND the driver fixtures):
   //
   // DEFAULT (window-count, round-10): cluster the token/bigram instance
@@ -140,7 +140,7 @@ object TextAnalytics extends QueryModule {
   //      row per map partition, whatever the term's corpus share (this
   //      is the "salted count": the map partition is the salt);
   //   3. the vocab-sized stats frame joins back on (term…, salt) with
-  //      the stats side replicated across `lm.saltBuckets` explicit
+  //      the stats side replicated across `spark.graft.saltBuckets` explicit
   //      salts (salt = hash(doc_id) mod S on the big side), so a hot
   //      term's postings split across S join partitions by
   //      construction — bounded without relying on AQE.
@@ -152,30 +152,13 @@ object TextAnalytics extends QueryModule {
   // on a corpus where one context holds ≥20% of bigrams). The join
   // strategy stays size-selected: broadcast while the stats side fits,
   // shuffle on the salted keys past that (PlanSpec pins the keys).
-  private[graft] val LmSaltedSkewKey = "spark.graft.lm.saltedSkew"
-  private[graft] val LmSaltBucketsKey = "spark.graft.lm.saltBuckets"
+  private[graft] val SaltedSkewKey = "spark.graft.saltedSkew"
+  private[graft] val SaltBucketsKey = "spark.graft.saltBuckets"
 
-  private def lmSalted(s: SparkSession): Boolean =
-    s.conf.get(LmSaltedSkewKey, "false").toBoolean
-  private def lmSaltBuckets(s: SparkSession): Int =
-    s.conf.get(LmSaltBucketsKey, "16").toInt
-
-  /** Salted equi-join of a vocab-sized `stats` frame onto a corpus-sized
-    * `big` frame on `terms`: stats rows replicate across all `buckets`
-    * salt values (a Generate, not a join), big rows carry
-    * salt = hash(doc_id) mod buckets, and the join keys on
-    * (terms…, salt) — every join partition holds ≤ ~1/buckets of any
-    * single term's rows.
-    */
-  private def saltedStatsJoin(big: DataFrame, stats: DataFrame,
-      terms: Seq[String], buckets: Int): DataFrame = {
-    val statsS = stats.withColumn("salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
-    big.withColumn("salt",
-        pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
-      .join(statsS, terms :+ "salt")
-      .drop("salt")
-  }
+  private[graft] def skewSalted(s: SparkSession): Boolean =
+    s.conf.get(SaltedSkewKey, "false").toBoolean
+  private[graft] def saltBuckets(s: SparkSession): Int =
+    s.conf.get(SaltBucketsKey, "16").toInt
 
   /** x14 core — per-doc unigram-LM mean log-probability
     * logp(w) = ln((n_w + 1)/(n_c + V)) weighted by the doc's own term
@@ -202,7 +185,8 @@ object TextAnalytics extends QueryModule {
           .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
           .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
         val cw = dw.groupBy($"w").agg(sum($"n_dw").as("n_w"))
-        saltedStatsJoin(dw, cw, Seq("w"), lmSaltBuckets(sess))
+        graft.operators.KeyedOps.saltedStatsJoin(dw, cw, Seq("w"),
+          saltBuckets(sess), col("doc_id"))
       } else {
         docs
           .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
@@ -253,8 +237,9 @@ object TextAnalytics extends QueryModule {
         // the (w1)-keyed stats join is vocab-sized × vocab-sized (AQE
         // skew-join CAN split a join, unlike a window); the corpus-sized
         // join below is the salted one
-        saltedStatsJoin(db, c12.join(c1, "w1"), Seq("w1", "w2"),
-          lmSaltBuckets(sess))
+        graft.operators.KeyedOps.saltedStatsJoin(db,
+          c12.join(c1, "w1"), Seq("w1", "w2"), saltBuckets(sess),
+          col("doc_id"))
       } else {
         binst
           .repartition($"w1") // the one clustering shuffle — skew note above
@@ -1084,10 +1069,10 @@ object TextAnalytics extends QueryModule {
     // filtering: template spam and wrong-segmentation text score far
     // below fluent prose under the corpus's own distribution. Plan
     // shapes (default window-count / salted skew fallback) and the
-    // `spark.graft.lm.saltedSkew` dispatch: see [[unigramLogprob]] and
+    // `spark.graft.saltedSkew` dispatch: see [[unigramLogprob]] and
     // the LM-score block comment above it.
     "x14_unigram_logprob" -> ((s, dir) =>
-      unigramLogprob(Tables.documents(s, dir), lmSalted(s))),
+      unigramLogprob(Tables.documents(s, dir), skewSalted(s))),
 
     // X15: corpus-wide QUALITY DECILE assignment — the bucketing step of
     // quality-stratified mixing / curriculum ordering (keep the top
@@ -1121,10 +1106,10 @@ object TextAnalytics extends QueryModule {
     // curation runs (a doc of common words in an uncommon ORDER now
     // scores low, which x14 cannot see). Plan shapes (default
     // window-count / salted skew fallback) and the
-    // `spark.graft.lm.saltedSkew` dispatch: see [[bigramLogprob]] and
+    // `spark.graft.saltedSkew` dispatch: see [[bigramLogprob]] and
     // the LM-score block comment above it.
     "x16_bigram_logprob" -> ((s, dir) =>
-      bigramLogprob(Tables.documents(s, dir), lmSalted(s))),
+      bigramLogprob(Tables.documents(s, dir), skewSalted(s))),
 
     // X17: FEATURE-HASHED document embeddings — the text→vector bridge:
     // each doc becomes an L2-normalized 16-dim signed bag-of-words

@@ -181,7 +181,28 @@ object ScaleFixture {
     if (mode == "all" || mode == "events") runEvents(spark, root, time)
     if (mode == "all" || mode == "skew") runSkew(spark, root, time)
     if (mode == "all" || mode == "x25") runX25(spark, root, time)
+    if (mode == "decade2") runDecade2(spark, root, time)
     spark.stop()
+  }
+
+  /** Second-decade spot run (r10 verdict item 8): the steepest-slope
+    * document queries at 10× vs 100× (50k → 500k docs) — the 12×-linear
+    * bar had only ever been tested one decade out.
+    */
+  private def runDecade2(spark: SparkSession, root: String,
+      time: (String, String) => Double): Unit = {
+    val tenX = s"$root/x10"
+    val hundredX = s"$root/x100"
+    genDocuments(spark, tenX, 10)
+    genDocuments(spark, hundredX, 100)
+    val queries = Seq("x14_unigram_logprob", "x16_bigram_logprob",
+      "d12_ngram_novelty")
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, tenX).count())
+    val t10 = queries.map(q => q -> time(q, tenX)).toMap
+    val t100 = queries.map(q => q -> time(q, hundredX)).toMap
+    queries.foreach { q =>
+      println(f"decade2,$q,${t10(q)}%.2f,${t100(q)}%.2f,${t100(q) / t10(q)}%.1f")
+    }
   }
 
   /** x25 exact vs percentile_approx boundary slope (round-10 verdict
@@ -233,7 +254,7 @@ object ScaleFixture {
     genDocumentsSkew(spark, s1, 1); genDocumentsSkew(spark, s10, 10)
     val queries = Seq("x14_unigram_logprob", "x16_bigram_logprob")
     for (shape <- Seq("default", "salted")) {
-      spark.conf.set(graft.queries.TextAnalytics.LmSaltedSkewKey,
+      spark.conf.set(graft.queries.TextAnalytics.SaltedSkewKey,
         (shape == "salted").toString)
       queries.foreach(q => graft.SparkEntry.queries(q)(spark, s1).count())
       val t1 = queries.map(q => q -> time(q, s1)).toMap
@@ -242,7 +263,7 @@ object ScaleFixture {
         println(f"skew,$q,$shape,${t1(q)}%.2f,${t10(q)}%.2f,${t10(q) / t1(q)}%.1f")
       }
     }
-    spark.conf.unset(graft.queries.TextAnalytics.LmSaltedSkewKey)
+    spark.conf.unset(graft.queries.TextAnalytics.SaltedSkewKey)
   }
 
   private def runCore(spark: SparkSession, root: String,

@@ -146,9 +146,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x14/x16 salted fallback: no window count, corpus join keyed on (term, salt)") {
+  test("x14/x16/d12 salted fallback: no window count, corpus join keyed on (term, salt)") {
     // Round-11 (r10 verdict item 1): the skew fallback behind
-    // spark.graft.lm.saltedSkew plans ZERO Window operators (a hot
+    // spark.graft.saltedSkew plans ZERO Window operators (a hot
     // term's window partition cannot be split by any runtime feature),
     // no bare-term clustering repartition, and its corpus-sized stats
     // join must key on (term…, salt) — the explicit salt that bounds a
@@ -156,12 +156,14 @@ class PlanSpec extends SparkSpec {
     // strategy stays size-selected (broadcast at toy SF, shuffle on the
     // salted keys past that), so the pin is on the JOIN KEYS.
     try {
-      spark.conf.set(graft.queries.TextAnalytics.LmSaltedSkewKey, "true")
+      spark.conf.set(graft.queries.TextAnalytics.SaltedSkewKey, "true")
       for ((q, saltedKeys) <- Seq(
           "x14_unigram_logprob" ->
-            """Join \[w#\d+, salt#""",
+            """Join \[w#\d+, __salt#""",
           "x16_bigram_logprob" ->
-            """Join \[w1#\d+, w2#\d+, salt#""")) {
+            """Join \[w1#\d+, w2#\d+, __salt#""",
+          "d12_ngram_novelty" ->
+            """Join \[shingle#\d+L?, __salt#""")) {
         val df = SparkEntry.queries(q)(spark, dir)
         df.collect() // finalize AQE
         val p = df.queryExecution.executedPlan.toString
@@ -173,7 +175,7 @@ class PlanSpec extends SparkSpec {
         assert(saltedKeys.r.findFirstIn(p).isDefined,
           s"$q salted: the stats join must key on (term…, salt):\n$p")
       }
-    } finally spark.conf.unset(graft.queries.TextAnalytics.LmSaltedSkewKey)
+    } finally spark.conf.unset(graft.queries.TextAnalytics.SaltedSkewKey)
   }
 
   test("x17/t6: per-group stats ride clustered windows — no derived-frame join") {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The x14/x16 hot-key fallback, proven (round-10 verdict item 1): the
-  * salted two-phase shape behind `spark.graft.lm.saltedSkew` must be
+  * salted two-phase shape behind `spark.graft.saltedSkew` must be
   * result-IDENTICAL to the default window-count shape — on the driver
   * fixtures AND on a planted skew corpus where one context holds well
   * over 20% of all bigrams (the "the"-context straggler the default
@@ -65,6 +65,30 @@ class SkewFallbackSpec extends SparkSpec {
     assert(sortedRows(d) == sortedRows(s))
   }
 
+  /** Boilerplate-heavy corpus for the d12 shingle-df fallback: every doc
+    * starts with the same 12-token boilerplate banner, so the banner's
+    * 8-gram shingles carry df = n_docs — the hot fingerprint class the
+    * round-10 ADVICE flagged for the repartition+window-count pattern.
+    */
+  private def boilerplateCorpus(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val banner = "all rights reserved terms of use privacy policy cookie notice applies"
+    spark.range(300).map { id =>
+      val rng = new scala.util.Random(id * 40503L + 3)
+      val body = (0 until 25).map(_ => s"w${rng.nextInt(400)}").mkString(" ")
+      (id, s"$banner $body")
+    }.toDF("doc_id", "text")
+  }
+
+  test("d12 salted shingle-df shape is result-identical on a boilerplate corpus") {
+    val d = graft.queries.Dedup.ngramNovelty(boilerplateCorpus(), 8,
+      salted = false)
+    val s = graft.queries.Dedup.ngramNovelty(boilerplateCorpus(), 8,
+      salted = true)
+    assert(s.count() > 0)
+    assert(sortedRows(d) == sortedRows(s))
+  }
+
   test("x14/x16 salted shape matches the default on the driver fixture") {
     val docs = graft.core.Tables.documents(spark, dir)
     assert(sortedRows(TextAnalytics.unigramLogprob(docs, salted = false)) ==
@@ -75,7 +99,7 @@ class SkewFallbackSpec extends SparkSpec {
 
   test("queries-map dispatch: the conf flag selects the salted plan") {
     try {
-      spark.conf.set(TextAnalytics.LmSaltedSkewKey, "true")
+      spark.conf.set(TextAnalytics.SaltedSkewKey, "true")
       for (q <- Seq("x14_unigram_logprob", "x16_bigram_logprob")) {
         val p = SparkEntry.queries(q)(spark, dir)
           .queryExecution.executedPlan.toString
@@ -84,6 +108,6 @@ class SkewFallbackSpec extends SparkSpec {
         assert(p.contains("xxhash64"),
           s"$q salted plan must salt on the doc hash:\n$p")
       }
-    } finally spark.conf.unset(TextAnalytics.LmSaltedSkewKey)
+    } finally spark.conf.unset(TextAnalytics.SaltedSkewKey)
   }
 }
