@@ -575,6 +575,29 @@ object Dedup extends QueryModule {
           round($"dup_tokens".cast("double") / $"n_toks", 6).as("dup_frac"))
     },
 
+    // D28: EXACT-SUBSTRING EXCISION — the cleaned-corpus OUTPUT that
+    // d25's span REPORT exists for (Lee et al. ACL'22 ExactSubstr
+    // policy: a W-token window seen anywhere else is removed, ONE copy
+    // survives). Keep-first is global and deterministic: per
+    // fingerprint, the occurrence with the smallest (doc_id, pos)
+    // survives — computed as a min-of-struct WINDOW over one
+    // fp-clustered exchange (no sort, unlike a row_number rank; the
+    // hot-fp caveat is d25/x16's, and the same saltedSkew machinery
+    // applies if a profile ever shows boilerplate fps dominating).
+    // Every other occurrence's W token positions are excised; a doc's
+    // kept tokens re-concatenate in order and the per-doc javaHash
+    // checksum proves BYTE-level parity of the cleaned text against
+    // the oracle (the x24 convention), not just counts. Internal
+    // repeats excise too (first occurrence kept). ALL docs emit a row —
+    // docs under W tokens pass through unchanged; a fully-duplicated
+    // doc comes out empty (checksum 0). Shape: gram frame ∝ corpus
+    // tokens, coverage ∝ excised volume × W, one doc-keyed left join
+    // to rebuild text; the corpus is scanned twice (gram pass + rebuild
+    // pass — the Generate barrier keeps each scan to one tokenize).
+    "d28_substring_excision" -> { (s, dir) =>
+      substringExcision(Tables.documents(s, dir), 8)
+    },
+
     // D23: CROSS-SOURCE CONTAMINATION MATRIX — pairwise 8-gram overlap
     // between ingest sources (the d9 decontamination machinery turned
     // source×source): which feeds are re-crawling each other's content.
@@ -987,6 +1010,52 @@ object Dedup extends QueryModule {
     },
   )
 
+  /** d28's excision pipeline over an arbitrary (doc_id, text) frame
+    * (see the query entry's scaladoc for the policy). Package-visible
+    * so the planted-duplicate spec exercises the production path:
+    * (doc_id, n_toks, n_excised, n_kept, checksum), one row per doc.
+    */
+  private[graft] def substringExcision(docs: DataFrame, W: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select($"doc_id",
+        explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+    val grams = toks
+      .filter(size($"ts") >= W)
+      .select($"doc_id",
+        transform($"ts", w => pmod(
+          HashFunctions.javaStringHashCode(w).cast("long"),
+          lit(4294967296L))).as("hs"))
+      .select($"doc_id",
+        explode(expr(s"sequence(0, size(hs) - $W)")).as("i"), $"hs")
+      .select($"doc_id", $"i".cast("long").as("pos"),
+        HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
+          .as("fp"))
+    val excised = grams
+      .repartition($"fp")
+      .withColumn("keeper",
+        min(struct($"doc_id", $"pos")).over(Window.partitionBy($"fp")))
+      .filter(struct($"doc_id", $"pos") =!= $"keeper")
+    val cov = excised
+      .select($"doc_id",
+        explode(expr(s"sequence(pos, pos + ${W - 1})")).as("t"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"t")).as("cov"))
+    toks
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce($"cov", expr("CAST(array() AS array<bigint>)")))
+      .withColumn("cleaned", filter($"ts",
+        (w, i) => !array_contains($"cov", i.cast("long"))))
+      .select($"doc_id",
+        size($"ts").cast("long").as("n_toks"),
+        size($"cov").cast("long").as("n_excised"),
+        size($"cleaned").cast("long").as("n_kept"),
+        HashFunctions.javaStringHashCode(array_join($"cleaned", " "))
+          .cast("long").as("checksum"))
+  }
+
   /** Per-doc shared-shingle fraction (see the d12 query note). A doc's
     * shingles are already DISTINCT (fused expr pass 3), so the shingle's
     * row count IS its document frequency, and a shingle with df >= 2 is
@@ -1208,6 +1277,50 @@ object Dedup extends QueryModule {
       """SELECT md5(text) AS digest, min(doc_id) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // keep-first replayed as row_number() = 1 over (doc_id, pos) — the
+    // rank-1 row IS the Spark side's min-struct keeper; empty cleaned
+    // text hashes to 0 on both sides (javaHash('') guard: DuckDB's
+    // char-fold cannot take the empty string)
+    "d28_substring_excision" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${ws("text")} AS ts,
+         |    list_transform(${ws("text")},
+         |      w -> ${OracleFragments.javaHashU32("w")}) AS hs
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i::BIGINT AS pos,
+         |    list_reduce(list_prepend(0::BIGINT, hs[i+1 : i+8]),
+         |      (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+         |        % 1000000007) AS fp
+         |  FROM (SELECT doc_id, hs,
+         |          unnest(generate_series(0, len(hs) - 8)) AS i
+         |        FROM th WHERE len(hs) >= 8)),
+         |exc AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, row_number() OVER (PARTITION BY fp
+         |      ORDER BY doc_id, pos) AS rk FROM g)
+         |  WHERE rk > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS t
+         |  FROM exc, (SELECT unnest(generate_series(0, 7)) AS j)),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS t0, ts[i] AS w
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+         |        FROM th)),
+         |kept AS (
+         |  SELECT tok.doc_id, t0, w FROM tok
+         |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.t0 = cov.t),
+         |ka AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(w, ' ' ORDER BY t0) AS cleaned
+         |  FROM kept GROUP BY 1)
+         |SELECT th.doc_id, len(th.ts)::BIGINT AS n_toks,
+         |  (len(th.ts) - coalesce(n_kept, 0))::BIGINT AS n_excised,
+         |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |  CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+         |       ELSE ${OracleFragments.javaHash("cleaned")} END AS checksum
+         |FROM th LEFT JOIN ka ON th.doc_id = ka.doc_id""".stripMargin,
 
     "d25_substring_spans" ->
       s"""WITH th AS (

@@ -500,6 +500,38 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
   }
 
+  test("substring excision (d28): keep-first, full-dup empties, untouched uniques") {
+    import spark.implicits._
+    // doc 0: unique 12-token text — no window recurs, passes untouched.
+    // doc 1: byte-copy of doc 0 — every 8-token window recurs, doc 0's
+    //        occurrences are keepers (smaller doc_id), doc 1 empties.
+    // doc 2: unique 10 tokens + doc 0's first 8 tokens appended — only
+    //        that borrowed window (one gram, 8 tokens) excises.
+    // doc 3: under W tokens — no grams, passes untouched.
+    val u = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
+    val borrowed = "alpha beta gamma delta eps zeta eta theta"
+    val docs = Seq(
+      (0L, u),
+      (1L, u),
+      (2L, s"one two three four five six seven eight nine ten $borrowed"),
+      (3L, "short doc only")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Dedup.substringExcision(docs, 8)
+      .select($"doc_id", $"n_toks", $"n_excised", $"n_kept", $"checksum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def h(s: String): Long = s.hashCode.toLong
+    assert(out(0L) == ((12L, 0L, 12L, h(u))),
+      s"keeper doc must pass through byte-identical: ${out(0L)}")
+    assert(out(1L) == ((12L, 12L, 0L, 0L)),
+      s"full duplicate must excise to empty: ${out(1L)}")
+    assert(out(2L) == ((18L, 8L, 10L,
+      h("one two three four five six seven eight nine ten"))),
+      s"borrowed window must excise, rest survives byte-exact: ${out(2L)}")
+    assert(out(3L) == ((3L, 0L, 3L, h("short doc only"))),
+      s"sub-W doc must pass through: ${out(3L)}")
+  }
+
   test("LSH-scaled components (d26) refine the exact components (d7)") {
     // d26's verified pair set is the LSH-candidate RESTRICTION of d7's
     // exact jaccard>=0.5 pair graph (same threshold, fewer edges), so
