@@ -128,6 +128,50 @@ object Similarity extends QueryModule {
     assignJvm(c1)
   }
 
+  /** Shared IVF coarse stage (v4/v14): centroids = the first `nCents`
+    * corpus vectors, collected (bounded by the constant); the corpus
+    * assignment runs as a SHUFFLE-FREE JIT scan — the round-11
+    * kmeansAssign pattern; the former BNLJ broadcast + per-vector rank
+    * window paid ~6 AQE stages for arithmetic against a 10-row
+    * constant — and the query probes (top-`nprobe` centroids per
+    * query) are computed driver-side from the same collected frames,
+    * entering the plan as a literal (q_id, cid) frame. Parity: the
+    * loops replay row_number() OVER (ORDER BY csim DESC, cid) ranks
+    * exactly (strict > keeps the smallest cid on ties; the sortWith
+    * comparator is the same ordering), and cosineJvm is the Catalyst
+    * cosine fold bit-for-bit.
+    */
+  private def ivfCoarse(s: SparkSession, dir: String, nCents: Int,
+      nprobe: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val corpus = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val centsArr = corpus.filter(col("vec_id") < nCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val assign = corpus.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          var best = Double.NegativeInfinity
+          var bestC = centsArr.head._1
+          var i = 0
+          while (i < centsArr.length) {
+            val c = VectorFunctions.cosineJvm(e, centsArr(i)._2)
+            if (c > best) { best = c; bestC = centsArr(i)._1 }
+            i += 1
+          }
+          (id, e, bestC)
+        }
+      }.toDF("vec_id", "embedding", "cid")
+    val qsArr = corpus.filter(col("vec_id") < QuerySetSize)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val probes = qsArr.toSeq.flatMap { case (qid, qe) =>
+      centsArr.map { case (cid, ce) =>
+        (cid, VectorFunctions.cosineJvm(qe, ce)) }
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        .take(nprobe).map { case (cid, _) => (qid, cid) }.toSeq
+    }.toDF("q_id", "cid")
+    (assign, probes)
+  }
+
   /** The ONE pinned k-means assignment frame per (session, dir, k) —
     * v6 and d19 share it (round-8 verdict: d19 re-ran the 2-round Lloyd
     * assignment v6 had already computed, ~1.7 s of its 2.3 s bench
@@ -309,26 +353,11 @@ object Similarity extends QueryModule {
     // corpus/n_centroids, not the corpus.
     "v4_knn_ivf" -> { (s, dir) =>
       import s.implicits._
-      val corpus = emb(s, dir).select($"vec_id", $"embedding")
-      val cents = corpus.filter($"vec_id" < 10)
-        .select($"vec_id".as("cid"), $"embedding".as("c_emb"))
-      // inverted-list assignment: nearest centroid per vector
-      val assign = graft.operators.KeyedOps.topKPerKey(
-          corpus.crossJoin(broadcast(cents))
-            .select($"vec_id", $"embedding", $"cid",
-              VectorFunctions.cosine($"embedding", $"c_emb").as("csim")),
-          Seq($"vec_id"), Seq($"csim".desc, $"cid"), 1, "crank")
-        .select($"vec_id", $"embedding", $"cid")
-      // queries probe their 2 nearest centroids
-      val probes = graft.operators.KeyedOps.topKPerKey(
-          corpus.filter($"vec_id" < QuerySetSize)
-            .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-            .crossJoin(broadcast(cents))
-            .select($"q_id", $"q_emb", $"cid",
-              VectorFunctions.cosine($"q_emb", $"c_emb").as("csim")),
-          Seq($"q_id"), Seq($"csim".desc, $"cid"), 2, "crank")
-        .select($"q_id", $"q_emb", $"cid")
+      val (assign, probes) = ivfCoarse(s, dir, 10, 2)
+      val qemb = emb(s, dir).filter($"vec_id" < QuerySetSize)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
       val cands = assign.join(broadcast(probes), Seq("cid"))
+        .join(broadcast(qemb), Seq("q_id"))
         .filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
           VectorFunctions.cosine($"q_emb", $"embedding").as("sim"))
@@ -632,22 +661,7 @@ object Similarity extends QueryModule {
       import s.implicits._
       val M = 8; val sub = 8; val Kcb = 16; val R = 20
       val corpus = emb(s, dir).select($"vec_id", $"embedding")
-      val cents = corpus.filter($"vec_id" < 10)
-        .select($"vec_id".as("cid"), $"embedding".as("c_emb"))
-      val assign = graft.operators.KeyedOps.topKPerKey(
-          corpus.crossJoin(broadcast(cents))
-            .select($"vec_id", $"embedding", $"cid",
-              VectorFunctions.cosine($"embedding", $"c_emb").as("csim")),
-          Seq($"vec_id"), Seq($"csim".desc, $"cid"), 1, "crank")
-        .select($"vec_id", $"embedding", $"cid")
-      val probes = graft.operators.KeyedOps.topKPerKey(
-          corpus.filter($"vec_id" < QuerySetSize)
-            .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-            .crossJoin(broadcast(cents))
-            .select($"q_id", $"q_emb", $"cid",
-              VectorFunctions.cosine($"q_emb", $"c_emb").as("csim")),
-          Seq($"q_id"), Seq($"csim".desc, $"cid"), 2, "crank")
-        .select($"q_id", $"cid")
+      val (assign, probes) = ivfCoarse(s, dir, 10, 2)
       // driver-side ADC tables over the v9/v13 codebook (bounded:
       // n_queries × M × Kcb doubles)
       val cb: Array[Array[Float]] = emb(s, dir).filter($"vec_id" < Kcb)
