@@ -492,11 +492,24 @@ object TextAnalytics extends QueryModule {
         .select($"doc_id".as("qid"),
           explode(array_distinct(
             slice(TextFunctions.wsTokens($"text"), 1, 3))).as("w"))
+      // spark.graft.bm25.termParallel (round-10 ADVICE, real code):
+      // default clusters on qid alone — post-scan parallelism is then
+      // bounded by the distinct query count (≤5 here), which is the
+      // right trade while queries are few (every downstream operator
+      // shares the one exchange). When query fan-out grows, the flag
+      // widens the clustering to (qid, w) — parallelism ∝ query TERMS —
+      // at the cost of two more posting-sized exchanges (the (qid,doc)
+      // score agg and the per-qid rank no longer ride the first
+      // shuffle). Result-identical (SkewFallbackSpec).
+      val hitKeys =
+        if (s.conf.get("spark.graft.bm25.termParallel", "false").toBoolean)
+          Seq($"qid", $"w")
+        else Seq($"qid")
       val hits = toks
         .select($"doc_id", size($"ts").cast("long").as("len_d"),
           explode($"ts").as("w"))
         .join(broadcast(q), "w")
-        .repartition($"qid") // the ONE shuffle — see plan note above
+        .repartition(hitKeys: _*) // the ONE shuffle — see plan note above
         .groupBy($"qid", $"w", $"doc_id", $"len_d")
         .agg(count(lit(1)).as("n_dw"))
         // one row per (qid, w, posting) ⇒ count over (qid, w) = df(w)

@@ -97,6 +97,16 @@ class SkewFallbackSpec extends SparkSpec {
       sortedRows(TextAnalytics.bigramLogprob(docs, salted = true)))
   }
 
+  test("j11 term-parallel clustering (bm25.termParallel) is result-identical") {
+    // the (qid, w) clustering trades two more posting-sized exchanges
+    // for parallelism ∝ query terms — scores must not move at all
+    val base = sortedRows(SparkEntry.queries("j11_bm25")(spark, dir))
+    try {
+      spark.conf.set("spark.graft.bm25.termParallel", "true")
+      assert(sortedRows(SparkEntry.queries("j11_bm25")(spark, dir)) == base)
+    } finally spark.conf.unset("spark.graft.bm25.termParallel")
+  }
+
   test("queries-map dispatch: the conf flag selects the salted plan") {
     try {
       spark.conf.set(TextAnalytics.SaltedSkewKey, "true")
