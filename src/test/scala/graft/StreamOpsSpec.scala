@@ -492,13 +492,16 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming near-dedup: band ownership survives a query restart from checkpoint") {
-    // Round-10 verdict item 5: kill-and-resume for the LSH band state
-    // machine. A claims its bands in run 1; after a restart from the
-    // checkpoint, an in-horizon near-dup must still flag against A's
-    // RESTORED ownership, and nothing may emit twice (the idempotent
-    // batchId-keyed sink below makes replayed microbatches overwrite,
-    // so a duplicate verdict row would surface as a doc_id collision).
+  // Round-10 verdict item 5: kill-and-resume for the LSH band state
+  // machine. A claims its bands in run 1; after a restart from the
+  // checkpoint, an in-horizon near-dup must still flag against A's
+  // RESTORED ownership, and nothing may emit twice (the idempotent
+  // batchId-keyed sink below makes replayed microbatches overwrite,
+  // so a duplicate verdict row would surface as a doc_id collision).
+  // Runs under BOTH state-store providers — restart recovery exercises
+  // the provider's snapshot/replay path, which differs materially
+  // between the HDFS-backed and RocksDB backends.
+  private def nearDedupRestartScenario(): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val aTxt = "the quick brown fox jumps over the lazy dog and runs far away home"
@@ -544,6 +547,17 @@ class StreamOpsSpec extends SparkSpec {
       assert(b.size == 1 && b.head._2 >= 1L && b.head._3 == 0L,
         s"B must flag against A's restored band ownership exactly once: $rows")
     } finally q2.stop()
+  }
+
+  test("streaming near-dedup: band ownership survives a query restart from checkpoint") {
+    nearDedupRestartScenario()
+  }
+
+  test("streaming near-dedup restart under RocksDB: identical recovery semantics") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try nearDedupRestartScenario()
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("attribution join: buffered view state survives a query restart from checkpoint") {
