@@ -449,7 +449,7 @@ object GameStatsMain {
 object CuratePipelineMain {
   def main(args: Array[String]): Unit = {
     val o = Opts.parse("CuratePipelineMain", args,
-      Map("minQuality" -> "0.35", "neardup" -> "true"),
+      Map("minQuality" -> "0.35", "neardup" -> "true", "excise" -> "false"),
       required = Seq("input", "output"))
     implicit val spark: org.apache.spark.sql.SparkSession =
       Opts.session("graft-curate")
@@ -505,13 +505,31 @@ object CuratePipelineMain {
       .select($"doc_id", $"lang", $"source",
         TextAnalytics.piiScrub($"text").as("text"))
       .localCheckpoint()
-    TrainExport.exportCurated(curated, o("output"))
+    // optional exact-substring EXCISION over the survivors (the d28
+    // transform): doc-level dedup keeps one copy of a near-dup PAIR,
+    // but shared boilerplate spans across otherwise-distinct survivors
+    // remain — this stage removes every non-keeper 8-token window
+    // occurrence from the kept corpus. Same checkpoint-then-export
+    // pattern as above (the excision frame also feeds the export
+    // diamond); its own Observation carries the excised-token count
+    // into the funnel, consumed by the checkpoint's materialization.
+    val (toExport, tokensExcised) =
+      if (o.bool("excise")) {
+        val exObs = new org.apache.spark.sql.Observation("excise")
+        val ex = graft.queries.Dedup.withExcisedText(curated, 8)
+          .observe(exObs, sum($"n_excised").as("tokens_excised"))
+          .select($"doc_id", $"lang", $"source", $"text")
+          .localCheckpoint()
+        (ex, exObs.get("tokens_excised").toString.toLong)
+      } else (curated, 0L)
+    TrainExport.exportCurated(toExport, o("output"))
 
     val m = obs.get
     val funnel =
       s"""{"n_in":${m("n_in")},"n_quality":${m("n_quality")},""" +
         s""""n_unique":${m("n_unique")},"n_kept":${m("n_kept")},""" +
-        s""""pii_redacted":${m("pii_redacted")}}"""
+        s""""pii_redacted":${m("pii_redacted")},""" +
+        s""""tokens_excised":$tokensExcised}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(o("output"), "_funnel.json"), funnel)
     println(s"curate: $funnel -> ${o("output")}")

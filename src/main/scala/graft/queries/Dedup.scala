@@ -1010,18 +1010,24 @@ object Dedup extends QueryModule {
     },
   )
 
-  /** d28's excision pipeline over an arbitrary (doc_id, text) frame
-    * (see the query entry's scaladoc for the policy). Package-visible
-    * so the planted-duplicate spec exercises the production path:
-    * (doc_id, n_toks, n_excised, n_kept, checksum), one row per doc.
+  /** The d28 excision transform over an arbitrary frame carrying
+    * (doc_id, text, …): every non-keeper W-token-window occurrence is
+    * removed (see the d28 query scaladoc for the keep-first policy) and
+    * `text` is REPLACED by the cleaned, space-rejoined token sequence.
+    * All other columns pass through; adds `n_toks` (original token
+    * count) and `n_excised`. This is the form the curation pipeline
+    * composes (`CuratePipelineMain --excise`); the d28 query derives
+    * its stats/checksum row from it.
     */
-  private[graft] def substringExcision(docs: DataFrame, W: Int): DataFrame = {
+  private[graft] def withExcisedText(docs: DataFrame, W: Int): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    val passthrough = docs.columns.filter(c => c != "text").map(col).toSeq
     val toks = docs
-      .select($"doc_id",
-        explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+      .select(passthrough :+
+        explode(array(TextFunctions.wsTokens($"text"))).as("ts"): _*)
     val grams = toks
+      .select($"doc_id", $"ts")
       .filter(size($"ts") >= W)
       .select($"doc_id",
         transform($"ts", w => pmod(
@@ -1048,11 +1054,23 @@ object Dedup extends QueryModule {
         coalesce($"cov", expr("CAST(array() AS array<bigint>)")))
       .withColumn("cleaned", filter($"ts",
         (w, i) => !array_contains($"cov", i.cast("long"))))
-      .select($"doc_id",
+      .select(passthrough ++ Seq(
+        array_join($"cleaned", " ").as("text"),
         size($"ts").cast("long").as("n_toks"),
-        size($"cov").cast("long").as("n_excised"),
-        size($"cleaned").cast("long").as("n_kept"),
-        HashFunctions.javaStringHashCode(array_join($"cleaned", " "))
+        size($"cov").cast("long").as("n_excised")): _*)
+  }
+
+  /** d28's stats/checksum row over an arbitrary (doc_id, text) frame
+    * (see the query entry's scaladoc for the policy). Package-visible
+    * so the planted-duplicate spec exercises the production path:
+    * (doc_id, n_toks, n_excised, n_kept, checksum), one row per doc.
+    */
+  private[graft] def substringExcision(docs: DataFrame, W: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    withExcisedText(docs.select($"doc_id", $"text"), W)
+      .select($"doc_id", $"n_toks", $"n_excised",
+        ($"n_toks" - $"n_excised").as("n_kept"),
+        HashFunctions.javaStringHashCode($"text")
           .cast("long").as("checksum"))
   }
 

@@ -316,7 +316,8 @@ class MainsSpec extends SparkSpec {
     // funnel report exists and is monotone non-increasing
     val funnel = Files.readString(java.nio.file.Paths.get(out, "_funnel.json"))
     val nums = """\d+""".r.findAllIn(funnel).map(_.toLong).toSeq
-    val Seq(nIn, nQuality, nUnique, nKept, _) = nums
+    val Seq(nIn, nQuality, nUnique, nKept, _, tokensExcised) = nums
+    assert(tokensExcised == 0L, "excision is off by default")
     assert(nIn >= nQuality && nQuality >= nUnique && nUnique >= nKept,
       s"funnel must be monotone: $funnel")
     assert(nKept > 0, "curated corpus must be non-empty")
@@ -340,6 +341,46 @@ class MainsSpec extends SparkSpec {
     val pii = back.agg(sum(
       graft.queries.TextAnalytics.piiCount($"text"))).as[Long].head()
     assert(pii == 0L, "exported corpus must be PII-free")
+  }
+
+  test("CuratePipelineMain --excise: survivors lose exactly the d28 spans") {
+    import spark.implicits._
+    val out = tmp("curate-excise-out")
+    CuratePipelineMain.main(Array(
+      "--input=/root/testdata/sf0.001", s"--output=$out",
+      "--minQuality=0.35", "--neardup=true", "--excise=true"))
+    val funnel = Files.readString(java.nio.file.Paths.get(out, "_funnel.json"))
+    val tokensExcised =
+      """"tokens_excised":(\d+)""".r.findFirstMatchIn(funnel).get
+        .group(1).toLong
+    // replay: the excision stage sees exactly the kept + scrubbed docs;
+    // its per-doc n_excised must sum to the funnel's counter, and the
+    // exported texts must be byte-identical to the replayed transform
+    val sf = "/root/testdata/sf0.001"
+    val qualityIds = graft.core.Tables.documents(spark, sf)
+      .filter(graft.queries.TextAnalytics.qualityCol($"text") >= 0.35)
+    val uniqueIds = graft.queries.Dedup.normalizedKeepers(qualityIds)
+      .select($"doc_id").as[Long].collect().toSet
+    val losers = graft.queries.Dedup.sharedJaccardPairs(spark, sf, 0.5)
+      .select($"doc_j").as[Long].collect().toSet
+    val keptIds = uniqueIds -- losers
+    val keptDocs = graft.core.Tables.documents(spark, sf)
+      .filter($"doc_id".isInCollection(keptIds))
+      .select($"doc_id",
+        graft.queries.TextAnalytics.piiScrub($"text").as("text"))
+    val replay = graft.queries.Dedup.withExcisedText(keptDocs, 8)
+      .select($"doc_id", $"text", $"n_excised")
+      .as[(Long, String, Long)].collect()
+    assert(replay.map(_._3).sum == tokensExcised,
+      s"funnel counter must equal the replayed excision sum")
+    assert(tokensExcised > 0L,
+      "the sf0.001 survivors share spans — excision must remove some")
+    val exported = spark.read.parquet(out)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    replay.foreach { case (id, text, _) =>
+      assert(exported(id) == text,
+        s"exported text for doc $id must be the excised transform")
+    }
   }
 
   test("CorpusReportMain: every diagnostic lands as parseable bounded JSON") {
