@@ -43,6 +43,27 @@ object OracleFragments {
   def tokenize(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), w -> len(w) > 0)"
 
+  /** Double-promoted, index-order dot product of two FLOAT[] expressions
+    * — replays `VectorFunctions.dot` (left fold of promoted products).
+    */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b),
+       |    p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Euclidean norm of a FLOAT[] expression — replays
+    * `VectorFunctions.norm` (fold of squared promotions, sqrt last).
+    */
+  def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform($a, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))""".stripMargin
+
+  /** Cosine similarity — replays `VectorFunctions.cosine`/`cosineJvm`
+    * bit-for-bit: dot/(normA·normB), all folds in index order.
+    */
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+
   /** Whitespace tokens, empties dropped — replays `TextFunctions.wsTokens`.
     * The class is spelled out because Java's `\s` includes vertical tab
     * (\x0B) while RE2's `\s` does not — `\s+` here would silently

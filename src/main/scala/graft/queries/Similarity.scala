@@ -26,6 +26,9 @@ object Similarity extends QueryModule {
   private val QuerySetSize = 20
   private val K = 5
   private val KmK = 8 // k-means cluster count (v6)
+  private val MmrShort = 20 // v15 relevance shortlist size
+  private val MmrK = 5 // v15 diversified picks per query
+  private val MmrLambda = 0.7 // v15 relevance-vs-diversity trade
 
   /** Pseudo-random-but-portable hyperplane component w(i,j) for plane i,
     * dim j (1-based): knuth(i*64+j)/2^32 - 0.5 — reproducible in any SQL
@@ -753,7 +756,98 @@ object Similarity extends QueryModule {
           (sum(coalesce($"hit_mp", lit(0L))).cast("double") / K)
             .as("recall_mp"))
     },
+
+    // V15: MMR diversified re-rank (Carbonell & Goldstein '98) — the
+    // production fix for "the top-k are five near-duplicates of each
+    // other": greedily re-rank a relevance shortlist, penalizing each
+    // candidate by its max similarity to what is already selected
+    // (score = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)).
+    // Scale shape: the corpus work is exactly v1's broadcast-queries
+    // codegen scan (no corpus shuffle) plus ONE bounded join-back that
+    // re-attaches embeddings to the n_queries×20 shortlist (v14's
+    // rerank pattern — candidate vectors never ride the top-k
+    // exchange). The greedy loop is genuinely sequential (pick n
+    // depends on picks 1..n-1), so it runs as a typed flatMapGroups
+    // over ≤20-row groups — the A11 escape doctrine, never the driver.
+    // Determinism: cosineJvm is bit-identical to the oracle's fold (v1
+    // precedent; symmetric-argument swap commutes bitwise), the MMR
+    // arithmetic is written in the same IEEE operation order in both
+    // engines (λ·sim − (1−λ)·maxpair with (1−λ) materialized as one
+    // double), and every argmax ties on vec_id.
+    "v15_mmr_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+      val bc = s.sparkContext.broadcast(
+        corpus.filter(_._1 < QuerySetSize).collect())
+      val scored = corpus.mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, e) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, qe) =>
+            (qid, id, VectorFunctions.cosineJvm(qe, e))
+          }
+        }
+      }.toDF("q_id", "vec_id", "sim")
+      val shortlist = graft.operators.KeyedOps.topKPerKey(scored,
+          Seq($"q_id"), Seq($"sim".desc, $"vec_id"), MmrShort)
+        .select($"q_id", $"vec_id", $"sim")
+      val withEmb = emb(s, dir).join(broadcast(shortlist), "vec_id")
+        .select($"q_id", $"vec_id", $"sim", $"embedding")
+        .as[(Long, Long, Double, Array[Float])]
+      mmrSelect(withEmb, MmrK, MmrLambda)
+    },
   )
+
+  /** The v15 greedy MMR core over a (q_id, vec_id, sim, embedding)
+    * shortlist: per query, pick `k` candidates maximizing
+    * λ·sim − (1−λ)·max-similarity-to-picked, ties on vec_id. Groups are
+    * shortlist-bounded (≤20 rows), so the flatMapGroups is the A11
+    * bounded-imperative escape, not a scale hazard. Factored for the
+    * planted-corpus spec.
+    */
+  private[graft] def mmrSelect(
+      withEmb: org.apache.spark.sql.Dataset[(Long, Long, Double, Array[Float])],
+      k: Int, lam: Double): DataFrame = {
+    val s = withEmb.sparkSession
+    import s.implicits._
+    val oneMinusLam = 1 - lam
+    withEmb.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cands = it.toArray.sortBy { case (_, id, sim, _) => (-sim, id) }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+        var step = 1
+        while (step <= k && picked.length < cands.length) {
+          var bestId = -1L; var bestScore = 0.0
+          var bestEmb: Array[Float] = null; var first = true
+          cands.foreach { case (_, id, sim, e) =>
+            if (!picked.exists(_._1 == id)) {
+              val sc =
+                if (picked.isEmpty) lam * sim
+                else {
+                  var mp = Double.NegativeInfinity
+                  picked.foreach { case (_, pe) =>
+                    val ps = VectorFunctions.cosineJvm(e, pe)
+                    if (ps > mp) mp = ps
+                  }
+                  lam * sim - oneMinusLam * mp
+                }
+              if (first || sc > bestScore ||
+                  (sc == bestScore && id < bestId)) {
+                first = false; bestScore = sc; bestId = id; bestEmb = e
+              }
+            }
+          }
+          out += ((qid, bestId, bestScore, step))
+          picked += ((bestId, bestEmb))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "vec_id", "mmr", "rank")
+      .select(col("q_id"), col("vec_id"),
+        round(col("mmr"), 6).as("mmr"), col("rank"))
+  }
 
   /** (vec_id, dim, value) long-form sign projection of an
     * (vec_id, embedding) frame — see the v10 query note. Package-visible
@@ -801,13 +895,9 @@ object Similarity extends QueryModule {
     * index-order left fold => bit-identical doubles.
     */
   private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0::DOUBLE,
-       |  list_transform(list_zip($a, $b),
-       |    p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)""".stripMargin
+    OracleFragments.dotSql(a, b)
 
-  private def normSql(a: String): String =
-    s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-       |  list_transform($a, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))""".stripMargin
+  private def normSql(a: String): String = OracleFragments.normSql(a)
 
   /** DuckDB replay of [[kmeansAssign]] at k = KmK: CTEs ending in
     * `assign1(vec_id, embedding, cid)` — shared by v6 and d19.
@@ -916,8 +1006,62 @@ object Similarity extends QueryModule {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** v15's greedy MMR as a recursive CTE: the working table carries one
+    * row per query per step with the selected set as a list; each
+    * iteration computes max-pair-similarity per remaining candidate
+    * (join on the pair CTE, grouped) and keeps the row_number()=1 argmax
+    * — the same λ·sim − (1−λ)·maxpair arithmetic, same vec_id tiebreak,
+    * as the Spark-side loop.
+    */
+  private def v15Sql: String =
+    s"""WITH RECURSIVE
+       |short AS (
+       |  SELECT q_id, vec_id, sim FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      ${cosineSql("q.embedding", "c.embedding")} AS sim,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS r
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $QuerySetSize)
+       |  WHERE r <= $MmrShort),
+       |pair AS (
+       |  SELECT s1.q_id, s1.vec_id AS a, s2.vec_id AS b,
+       |    ${cosineSql("e1.embedding", "e2.embedding")} AS sim
+       |  FROM short s1 JOIN short s2
+       |    ON s1.q_id = s2.q_id AND s1.vec_id <> s2.vec_id
+       |  JOIN embeddings e1 ON e1.vec_id = s1.vec_id
+       |  JOIN embeddings e2 ON e2.vec_id = s2.vec_id),
+       |sel(q_id, step, vec_id, mmr, picked) AS (
+       |  SELECT q_id, 1, vec_id, $MmrLambda * sim, [vec_id] FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS r FROM short) WHERE r = 1
+       |  UNION ALL
+       |  SELECT q_id, step + 1, vec_id, mmr, list_append(picked, vec_id)
+       |  FROM (
+       |    SELECT d.q_id, d.step, d.vec_id, d.picked,
+       |      $MmrLambda * s.sim - ${1 - MmrLambda} * d.maxpair AS mmr,
+       |      row_number() OVER (PARTITION BY d.q_id
+       |        ORDER BY ($MmrLambda * s.sim - ${1 - MmrLambda} * d.maxpair)
+       |          DESC, d.vec_id) AS r
+       |    FROM (
+       |      SELECT sel.q_id, sel.step, sel.picked, p.b AS vec_id,
+       |        max(p.sim) AS maxpair
+       |      FROM sel JOIN pair p ON p.q_id = sel.q_id
+       |        AND list_contains(sel.picked, p.a)
+       |        AND NOT list_contains(sel.picked, p.b)
+       |      WHERE sel.step < $MmrK
+       |      GROUP BY 1, 2, 3, 4) d
+       |    JOIN short s ON s.q_id = d.q_id AND s.vec_id = d.vec_id)
+       |  WHERE r = 1)
+       |SELECT q_id, vec_id, round(mmr, 6) AS mmr,
+       |  CAST(step AS INTEGER) AS rank
+       |FROM sel""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
+
+    "v15_mmr_rerank" -> v15Sql,
 
     "v12_knn_multiprobe" -> v12Sql,
 

@@ -534,6 +534,50 @@ object TextAnalytics extends QueryModule {
         .select($"qid", $"doc_id", $"score", $"rank")
     },
 
+    // J12: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    // 2009) — the production recipe for combining a lexical (BM25) and
+    // a dense (embedding-cosine) retriever without score calibration:
+    // rrf(d) = Σ_lists 1/(60 + rank_list(d)), summed over the lists
+    // that retrieved d. Query set = docs 0-4, querying by their own
+    // leading tokens (the j11 sparse side, self included) and by their
+    // own embedding (doc_id ≡ vec_id in the fixture corpus, self
+    // included) — "more like this document" over both signals.
+    // Scale shape: the sparse side is j11's plan UNCHANGED (query terms
+    // broadcast into the token stream, one clustering exchange); the
+    // dense side is v1's broadcast-queries codegen scan (no corpus
+    // shuffle); the fusion itself is a full-outer join of two
+    // ≤(n_queries×10)-row rank frames — bounded at any corpus size.
+    // Rank reciprocals are exact small-int divisions (1.0/61 …), so the
+    // fused ordering is IEEE-identical in both engines by construction
+    // — no decimal laundering needed, unlike the BM25 scores.
+    "j12_rrf_fusion" -> { (s, dir) =>
+      import s.implicits._
+      val sparse = queries("j11_bm25")(s, dir)
+        .select($"qid", $"doc_id", $"rank".as("r_s"))
+      val corpus = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val bcq = s.sparkContext.broadcast(
+        corpus.filter(_._1 < 5).collect())
+      val dscored = corpus.mapPartitions { it =>
+        val qs = bcq.value
+        it.flatMap { case (id, e) =>
+          qs.iterator.map { case (qid, qe) =>
+            (qid, id, graft.functions.VectorFunctions.cosineJvm(qe, e))
+          }
+        }
+      }.toDF("qid", "doc_id", "sim")
+      val dense = graft.operators.KeyedOps.topKPerKey(dscored,
+          Seq($"qid"), Seq($"sim".desc, $"doc_id"), 10)
+        .select($"qid", $"doc_id", $"rank".as("r_d"))
+      val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+        .select($"qid", $"doc_id",
+          (coalesce(lit(1.0) / (lit(60) + $"r_s"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"r_d"), lit(0.0))).as("rrf"))
+      graft.operators.KeyedOps.topKPerKey(fused, Seq($"qid"),
+          Seq($"rrf".desc, $"doc_id"), 10)
+        .select($"qid", $"doc_id", round($"rrf", 9).as("rrf"), $"rank")
+    },
+
     // X7: bigram PMI — collocation strength of consecutive token pairs
     // (the n-gram LM / contamination-fingerprint table). Three hash aggs
     // (bigrams, unigrams, total) + two vocab-sized joins; ln rounded to
@@ -1478,6 +1522,42 @@ object TextAnalytics extends QueryModule {
   private[queries] def qualitySubSql: String =
     s"SELECT doc_id, $qualityExprSql AS quality FROM ($qualityGSql)"
 
+  /** j11's full BM25 oracle as a standalone statement — also embedded
+    * as j12's `sparse` subquery (nested-WITH), so the two stay one
+    * definition.
+    */
+  private def j11Sql: String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, w, count(*) AS n_dw FROM (
+       |    SELECT doc_id, unnest(${ws("text")}) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |len AS (SELECT doc_id, sum(n_dw)::BIGINT AS len_d FROM dw
+       |        GROUP BY 1),
+       |df AS (SELECT w, count(*)::BIGINT AS df FROM dw GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n_docs,
+       |        sum(len_d)::DOUBLE / count(*) AS avglen FROM len),
+       |q AS (
+       |  SELECT DISTINCT qid, w FROM (
+       |    SELECT doc_id AS qid,
+       |      unnest(list_slice(${ws("text")}, 1, 3)) AS w
+       |    FROM documents WHERE doc_id < 5)),
+       |scored AS (
+       |  SELECT q.qid, dw.doc_id,
+       |    round(CAST(sum(CAST(round(
+       |        round(ln(1.0 + (n_docs::DOUBLE - df + 0.5) / (df + 0.5)),
+       |          9) *
+       |        ((n_dw * (1.2 + 1)) /
+       |         (n_dw::DOUBLE + 1.2 *
+       |           ((1 - 0.75) + 0.75 * len_d::DOUBLE / avglen))), 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+       |  FROM dw JOIN q USING (w) JOIN df USING (w)
+       |    JOIN len ON dw.doc_id = len.doc_id, tot
+       |  GROUP BY 1, 2)
+       |SELECT qid, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id) AS rank FROM scored)
+       |WHERE rank <= 10""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "d8_corpus_curation" -> {
       val hits = langProfiles.map { case (lang, words) =>
@@ -1525,36 +1605,30 @@ object TextAnalytics extends QueryModule {
          |      FROM documents)
          |GROUP BY word""".stripMargin,
 
-    "j11_bm25" ->
-      s"""WITH dw AS (
-         |  SELECT doc_id, w, count(*) AS n_dw FROM (
-         |    SELECT doc_id, unnest(${ws("text")}) AS w FROM documents)
-         |  GROUP BY 1, 2),
-         |len AS (SELECT doc_id, sum(n_dw)::BIGINT AS len_d FROM dw
-         |        GROUP BY 1),
-         |df AS (SELECT w, count(*)::BIGINT AS df FROM dw GROUP BY 1),
-         |tot AS (SELECT count(*)::BIGINT AS n_docs,
-         |        sum(len_d)::DOUBLE / count(*) AS avglen FROM len),
-         |q AS (
-         |  SELECT DISTINCT qid, w FROM (
-         |    SELECT doc_id AS qid,
-         |      unnest(list_slice(${ws("text")}, 1, 3)) AS w
-         |    FROM documents WHERE doc_id < 5)),
-         |scored AS (
-         |  SELECT q.qid, dw.doc_id,
-         |    round(CAST(sum(CAST(round(
-         |        round(ln(1.0 + (n_docs::DOUBLE - df + 0.5) / (df + 0.5)),
-         |          9) *
-         |        ((n_dw * (1.2 + 1)) /
-         |         (n_dw::DOUBLE + 1.2 *
-         |           ((1 - 0.75) + 0.75 * len_d::DOUBLE / avglen))), 9)
-         |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
-         |  FROM dw JOIN q USING (w) JOIN df USING (w)
-         |    JOIN len ON dw.doc_id = len.doc_id, tot
-         |  GROUP BY 1, 2)
-         |SELECT qid, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+    "j11_bm25" -> j11Sql,
+
+    "j12_rrf_fusion" ->
+      s"""WITH sparse AS (SELECT * FROM ($j11Sql)),
+         |dense AS (
+         |  SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${OracleFragments.cosineSql("q.embedding", "c.embedding")}
+         |          DESC, c.vec_id) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings c
+         |    WHERE q.vec_id < 5)
+         |  WHERE rank <= 10),
+         |fused AS (
+         |  SELECT COALESCE(s.qid, d.qid) AS qid,
+         |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + s.rank), 0.0) +
+         |      COALESCE(1.0 / (60 + d.rank), 0.0) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.qid = d.qid AND s.doc_id = d.doc_id)
+         |SELECT qid, doc_id, round(rrf, 9) AS rrf,
+         |  CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY score DESC, doc_id) AS rank FROM scored)
+         |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
          |WHERE rank <= 10""".stripMargin,
 
     "x7_pmi_bigrams" ->

