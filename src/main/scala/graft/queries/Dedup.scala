@@ -1008,6 +1008,94 @@ object Dedup extends QueryModule {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hit"))
     },
+
+    // D29: URL-canonicalization dedup — the cheapest and FIRST dedup
+    // stage of a web-crawl curation pipeline (run before any content
+    // hashing: CCNet/RefinedWeb both dedup by normalized URL at ingest).
+    // The corpus carries no URL column, so the query PLANTS one
+    // deterministically from doc_id (the x24 PII pattern): mixed-case
+    // host, optional "www." prefix, optional trailing slash, optional
+    // tracking query string — the four normalization hazards.
+    // Canonicalization = lowercase → strip "?…" → strip trailing "/" →
+    // strip "www." after the scheme; doc_id%23 hosts × doc_id%13 paths
+    // fold the corpus onto 299 canonical URLs (real collisions at
+    // every fixture SF). Keeper election is the
+    // crawl rule: LONGEST document wins, ties to the smallest doc_id —
+    // one max-of-struct hash aggregate on the canonical key (map-side
+    // partials bound the shuffle; the exchange carries one row per
+    // canonical URL, never the corpus text). At 100 TB this is the
+    // model shape: a short-string key agg whose cost is ∝ distinct
+    // URLs, with the text column pruned away before the exchange.
+    "d29_url_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when($"doc_id" % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+        lit("site"), ($"doc_id" % 23).cast("string"),
+        lit(".com/page/"), ($"doc_id" % 13).cast("string"),
+        when($"doc_id" % 3 === 0, lit("/")).otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+          concat(lit("?utm_source=feed&ref="), $"doc_id".cast("string")))
+          .otherwise(lit("")))
+      val canon = regexp_replace(
+        regexp_replace(
+          regexp_replace(lower($"url"), "\\?.*$", ""),
+          "/$", ""),
+        "^https://www\\.", "https://")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", url.as("url"))
+        .select($"doc_id", $"n_chars", canon.as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct($"n_chars", (-$"doc_id").as("negid"))).as("m"))
+        .select($"canonical_url", $"n_docs",
+          (-$"m.negid").as("keeper_id"), $"m.n_chars".as("keeper_chars"))
+    },
+
+    // D30: CONTAMINATION REPORT — the per-source overlap-fraction
+    // summary d9's membership check stops short of: for every training
+    // doc, the FRACTION of its hashed 5-gram shingles that appear in
+    // the held-out benchmark set (a deterministic 5% hash-sample), then
+    // the per-source rollup an eval owner actually reads: how many docs
+    // touch the benchmark at all, how many cross the 20% removal
+    // threshold, and the corpus-level overlap rate. The GPT-3 appendix-C
+    // recipe reports exactly this shape before deciding what to drop.
+    // Plan: ONE shingle-keyed equi-join (train shingles × distinct
+    // bench shingles — the d9 shape, shuffle ∝ corpus shingles), one
+    // doc-keyed LEFT join of the per-doc hit counts back onto the
+    // doc-count-sized (doc, source, n_sh) frame so zero-hit docs stay
+    // in the denominators, one ~20-row source agg. Every ratio is
+    // integer-exact until a single final division (flag compare is
+    // n_hit·5 ≥ n_sh — no doubles in the predicate), so the report is
+    // bit-stable at any partitioning.
+    "d30_contamination_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          HashedShinglesExpr.hashedShingles($"text", 5).as("arr"))
+        .select($"doc_id", $"source",
+          size($"arr").cast("long").as("n_sh"), $"arr")
+      val isBench = HashFunctions.hashSample($"doc_id", 0.05)
+      val benchShingles = docs.filter(isBench)
+        .select(explode($"arr").as("shingle")).distinct()
+      val hits = docs.filter(!isBench)
+        .select($"doc_id", explode($"arr").as("shingle"))
+        .join(benchShingles, Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hit"))
+      docs.filter(!isBench)
+        .select($"doc_id", $"source", $"n_sh")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when($"n_hit" > 0, 1L).otherwise(0L)).as("n_overlapping"),
+          sum(when($"n_hit" * 5 >= $"n_sh" && $"n_sh" > 0, 1L)
+            .otherwise(0L)).as("n_flagged"),
+          sum($"n_hit").as("tot_hit"), sum($"n_sh").as("tot_sh"))
+        .select($"source", $"n_train_docs", $"n_overlapping", $"n_flagged",
+          round($"tot_hit".cast("double") / $"tot_sh", 6)
+            .as("overlap_rate"))
+    },
   )
 
   /** The d28 excision transform over an arbitrary frame carrying
@@ -1774,6 +1862,64 @@ object Dedup extends QueryModule {
          |FROM sh JOIN bench USING (shingle)
          |WHERE NOT ($bench)
          |GROUP BY 1""".stripMargin
+    },
+
+    "d29_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    'https://' ||
+         |      CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
+         |      'site' || (doc_id % 23)::VARCHAR ||
+         |      '.com/page/' || (doc_id % 13)::VARCHAR ||
+         |      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         |      CASE WHEN doc_id % 4 = 0
+         |        THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
+         |        ELSE '' END AS url
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(lower(url), '\\?.*$$', ''),
+         |        '/$$', ''),
+         |      '^https://www\\.', 'https://') AS canonical_url
+         |  FROM u)
+         |SELECT canonical_url, count(*)::BIGINT AS n_docs,
+         |  first(doc_id ORDER BY n_chars DESC, doc_id) AS keeper_id,
+         |  max(n_chars)::BIGINT AS keeper_chars
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "d30_contamination_report" -> {
+      val thr = (0.05 * 4294967296.0).toLong
+      val bench = s"${OracleFragments.knuthU32("doc_id")} < $thr"
+      s"""WITH th AS (
+         |  SELECT doc_id, source, list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    ${shingleListSqlN("hs", 5)} AS arr FROM th),
+         |docs AS (
+         |  SELECT doc_id, source, len(arr)::BIGINT AS n_sh, arr FROM d),
+         |bench AS (
+         |  SELECT DISTINCT unnest(arr) AS shingle FROM docs
+         |  WHERE $bench),
+         |hits AS (
+         |  SELECT sh.doc_id, count(*)::BIGINT AS n_hit FROM
+         |    (SELECT doc_id, unnest(arr) AS shingle FROM docs
+         |     WHERE NOT ($bench)) sh
+         |  JOIN bench USING (shingle) GROUP BY 1),
+         |j AS (
+         |  SELECT docs.source, COALESCE(h.n_hit, 0) AS n_hit, docs.n_sh
+         |  FROM docs LEFT JOIN hits h USING (doc_id)
+         |  WHERE NOT ($bench))
+         |SELECT source, count(*)::BIGINT AS n_train_docs,
+         |  sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_overlapping,
+         |  sum(CASE WHEN n_hit * 5 >= n_sh AND n_sh > 0 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_flagged,
+         |  round(sum(n_hit)::DOUBLE / sum(n_sh), 6) AS overlap_rate
+         |FROM j GROUP BY 1""".stripMargin
     },
   )
 }

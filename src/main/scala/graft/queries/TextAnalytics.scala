@@ -1410,6 +1410,105 @@ object TextAnalytics extends QueryModule {
           // round to 6dp: JVM Math.log and libm log may differ 1 ulp
           round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
     },
+
+    // J13: POSITIONAL PHRASE SEARCH — the adjacency-matching serving
+    // path j9's document-level postings cannot answer ("new york" must
+    // not match a doc containing the words in separate places). Queries
+    // are query-by-example like j11: the first TWO tokens of docs 0–4
+    // form the phrase, qid = doc_id. Plan: the positional posting
+    // stream (posexplode of the token array) is pruned AT THE SCAN by a
+    // broadcast join against the ≤10 query terms — only postings of
+    // words that appear in some phrase survive, so the adjacency
+    // equi-join on (qid, doc_id, pos+1 = pos) shuffles query-term
+    // postings, never the corpus. Occurrence counting and the per-qid
+    // top-10 both ride qid-prefixed keys (the j11 clustering argument);
+    // phrase-match count is exact integer arithmetic end to end. At
+    // 100 TB the pruned posting stream IS the positional index slice a
+    // search engine would read — the plan is the index lookup, with the
+    // index build fused into the scan.
+    "j13_phrase_search" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id",
+          explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+      val q = toks.filter($"doc_id" < 5 && size($"ts") >= 2)
+        .select($"doc_id".as("qid"), $"ts" (0).as("w1"), $"ts" (1).as("w2"))
+      val post = toks
+        .select($"doc_id", posexplode($"ts").as(Seq("pos", "w")))
+      val h1 = post.join(broadcast(q), $"w" === $"w1")
+        .select($"qid", $"doc_id", $"pos")
+      val h2 = post.join(broadcast(q.select($"qid".as("qid2"), $"w2")),
+          $"w" === $"w2")
+        .select($"qid2", $"doc_id".as("doc2"), $"pos".as("pos2"))
+      val hits = h1.join(h2,
+          $"qid" === $"qid2" && $"doc_id" === $"doc2" &&
+            $"pos" + 1 === $"pos2")
+        .groupBy($"qid", $"doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+      graft.operators.KeyedOps.topKPerKey(hits, Seq($"qid"),
+          Seq($"n_hits".desc, $"doc_id".asc), 10)
+        .select($"qid", $"doc_id", $"n_hits", $"rank")
+    },
+
+    // X28: QUALITY-CLASSIFIER TRAINING — the on-cluster training step
+    // x27's hashed scorer only pretends happened: 3 full-batch
+    // gradient-descent iterations of a logistic regression predicting
+    // lang == 'en' from three rowwise text features (token count /50,
+    // distinct-token fraction, mean token length /5), the fastText-
+    // classifier stand-in every curation stack trains on its own
+    // corpus sample. Each iteration is ONE tiny aggregate over the
+    // feature frame (6 numbers cross the exchange: n, n_correct, four
+    // gradient components) with the current weights entering as
+    // broadcast literals — at 100 TB that is 3 map-reduce passes with
+    // constant driver state, the textbook distributed-GD shape (the
+    // k-means/PQ-codebook collect precedent: a constant-bounded 1-row
+    // collect per iteration). Cross-engine exactness uses the repo's
+    // j11 convention: per-row doubles (z, sigmoid) are IEEE-identical
+    // given identical operand order, libm-adjacent values are round-9
+    // anchored, per-row gradient contributions are round-9 then summed
+    // in DECIMAL (exact, order-free), and each weight update re-anchors
+    // at round-6 so iteration 2/3 start from bit-identical weights in
+    // both engines. Output: one row per iteration — the accuracy of the
+    // PRE-update weights (measured in the same pass as the gradient)
+    // and the POST-update weight vector.
+    "x28_classifier_train" -> { (s, dir) =>
+      import s.implicits._
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val feat = Tables.documents(s, dir)
+        .select($"lang",
+          explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+        .filter(size($"ts") > 0)
+        .select(
+          when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+          (size($"ts").cast("double") / 50.0).as("x1"),
+          (size(array_distinct($"ts")).cast("double") / size($"ts"))
+            .as("x2"),
+          (aggregate($"ts", lit(0L), (a, w) => a + length(w))
+            .cast("double") / (size($"ts") * 5)).as("x3"))
+      val eta = 0.5
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      val rows = (1 to 3).map { it =>
+        val z = lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
+          lit(w(3)) * $"x3"
+        val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+        def grad(x: Column) =
+          sum(round(($"y" - p) * x, 9).cast("decimal(20,9)"))
+        val r = feat.agg(
+          count(lit(1)).as("n"),
+          sum(when((p >= 0.5) === ($"y" === 1.0), 1L).otherwise(0L))
+            .as("n_correct"),
+          grad(lit(1.0)).as("g0"), grad($"x1").as("g1"),
+          grad($"x2").as("g2"), grad($"x3").as("g3")).head()
+        val n = r.getLong(0)
+        val acc = round6(r.getLong(1).toDouble / n)
+        val g = (2 to 5).map(i => r.getDecimal(i).doubleValue).toArray
+        w = Array.tabulate(4)(k => round6(w(k) + eta * g(k) / n))
+        (it, acc, w(0), w(1), w(2), w(3))
+      }
+      rows.toDF("iter", "acc_before", "w0", "w1", "w2", "w3")
+    },
   )
 
   /** The x10 chunk frame (doc_id, chunk_idx, chunk_len, fp): fixed-size
@@ -2195,5 +2294,75 @@ object TextAnalytics extends QueryModule {
          |d AS (SELECT count(*) AS n_docs FROM documents)
          |SELECT doc_id, tf.word AS word, round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
          |FROM tf JOIN df ON tf.word = df.word CROSS JOIN d""".stripMargin,
+
+    "j13_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${ws("text")} AS ts FROM documents),
+         |q AS (
+         |  SELECT doc_id AS qid, ts[1] AS w1, ts[2] AS w2 FROM toks
+         |  WHERE doc_id < 5 AND len(ts) >= 2),
+         |post AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS w FROM (
+         |    SELECT doc_id, ts,
+         |      unnest(generate_series(1, len(ts))) AS i FROM toks)),
+         |h1 AS (
+         |  SELECT q.qid, p.doc_id, p.pos FROM post p JOIN q ON p.w = q.w1),
+         |h2 AS (
+         |  SELECT q.qid, p.doc_id, p.pos FROM post p JOIN q ON p.w = q.w2),
+         |hits AS (
+         |  SELECT h1.qid, h1.doc_id, count(*)::BIGINT AS n_hits
+         |  FROM h1 JOIN h2 ON h1.qid = h2.qid AND h1.doc_id = h2.doc_id
+         |    AND h1.pos + 1 = h2.pos
+         |  GROUP BY 1, 2)
+         |SELECT qid, doc_id, n_hits, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY n_hits DESC, doc_id) AS rank FROM hits)
+         |WHERE rank <= 10""".stripMargin,
+
+    "x28_classifier_train" -> {
+      // 3 unrolled GD iterations; each wt<i> CTE carries the round-6
+      // post-update weights + the pre-update accuracy of iteration i
+      val featSql =
+        s"""SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |  len(ts)::DOUBLE / 50.0 AS x1,
+           |  len(list_distinct(ts))::DOUBLE / len(ts) AS x2,
+           |  coalesce(list_sum(list_transform(ts, w -> len(w))), 0)::DOUBLE
+           |    / (len(ts) * 5) AS x3
+           |FROM (SELECT lang, ${ws("text")} AS ts FROM documents)
+           |WHERE len(ts) > 0""".stripMargin
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "winit" else s"wt${i - 1}"
+        s"""s$i AS (
+           |  SELECT f.y, f.x1, f.x2, f.x3,
+           |    round(1.0 / (1.0 + exp(-(w.c0 + w.c1 * f.x1 + w.c2 * f.x2
+           |      + w.c3 * f.x3))), 9) AS p
+           |  FROM feat f CROSS JOIN $prev w),
+           |a$i AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |    sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+           |      ::BIGINT AS n_correct,
+           |    sum(CAST(round((y - p) * 1.0, 9) AS DECIMAL(20,9))) AS g0,
+           |    sum(CAST(round((y - p) * x1, 9) AS DECIMAL(20,9))) AS g1,
+           |    sum(CAST(round((y - p) * x2, 9) AS DECIMAL(20,9))) AS g2,
+           |    sum(CAST(round((y - p) * x3, 9) AS DECIMAL(20,9))) AS g3
+           |  FROM s$i),
+           |wt$i AS (
+           |  SELECT round(w.c0 + 0.5 * (a.g0::DOUBLE) / a.n, 6) AS c0,
+           |    round(w.c1 + 0.5 * (a.g1::DOUBLE) / a.n, 6) AS c1,
+           |    round(w.c2 + 0.5 * (a.g2::DOUBLE) / a.n, 6) AS c2,
+           |    round(w.c3 + 0.5 * (a.g3::DOUBLE) / a.n, 6) AS c3,
+           |    round(a.n_correct::DOUBLE / a.n, 6) AS acc
+           |  FROM a$i a CROSS JOIN $prev w)""".stripMargin
+      }
+      s"""WITH feat AS ($featSql),
+         |winit AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT 1 AS iter, acc AS acc_before,
+         |  c0 AS w0, c1 AS w1, c2 AS w2, c3 AS w3 FROM wt1
+         |UNION ALL SELECT 2, acc, c0, c1, c2, c3 FROM wt2
+         |UNION ALL SELECT 3, acc, c0, c1, c2, c3 FROM wt3""".stripMargin
+    },
   )
 }

@@ -292,7 +292,11 @@ object ScaleFixture {
       "d25_substring_spans", "x27_quality_classifier",
       "d26_lsh_dedup_components", "d27_lsh_keeper",
       // round-11 retrieval additions
-      "v15_mmr_rerank", "j12_rrf_fusion")
+      "v15_mmr_rerank", "j12_rrf_fusion",
+      // round-11 second batch: URL dedup, contamination report,
+      // positional phrase search, distributed classifier training
+      "d29_url_dedup", "d30_contamination_report", "j13_phrase_search",
+      "x28_classifier_train")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

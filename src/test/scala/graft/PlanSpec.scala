@@ -381,4 +381,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       "no UDFs in the hash path")
   }
+
+  test("d29_url_dedup: one hash-agg exchange on the canonical key, text pruned") {
+    val p = plan("d29_url_dedup")
+    assert(!p.contains("Join"), s"URL dedup is a single aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one shuffle — the canonical-key agg:\n$p")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(!p.contains("text#"), "the text column must be pruned at the scan")
+  }
+
+  test("j13_phrase_search: query terms broadcast into the posting stream") {
+    val p = plan("j13_phrase_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both phrase terms must prune postings via broadcast equi-joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"adjacency must stay an equi-join:\n$p")
+  }
+
+  test("x28_classifier_train: gradient aggregates are map-side partial, no UDFs") {
+    // the query's own result is a driver-built LocalRelation (the 3
+    // collected iterations); the distributed shape to pin is the
+    // per-iteration aggregate — rebuild iteration 1's agg and check it
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val feat = graft.core.Tables.documents(spark, dir)
+      .select($"lang",
+        explode(array(graft.functions.TextFunctions.wsTokens($"text")))
+          .as("ts"))
+      .filter(size($"ts") > 0)
+      .select(when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+        (size($"ts").cast("double") / 50.0).as("x1"))
+    val agg = feat.agg(count(lit(1)), sum($"x1".cast("decimal(20,9)")))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), "gradient agg must combine map-side")
+    assert(!p.contains("ScalaUDF"), "feature math must stay codegen")
+  }
 }

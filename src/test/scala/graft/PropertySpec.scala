@@ -649,4 +649,115 @@ class PropertySpec extends SparkSpec {
         s"doc $id: got ($score, $kept), expected ($es, $ek)")
     }
   }
+
+  test("URL dedup (d29): canonical forms are clean, groups partition the corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01" // 500 docs on 299 URL keys: real dups
+    val got = graft.SparkEntry.queries("d29_url_dedup")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(got.map(_._2).sum == nDocs, "groups must partition the corpus")
+    assert(got.exists(_._2 > 1), "the planted keyspace must collide")
+    got.foreach { case (url, n, keeper, chars) =>
+      assert(url.matches("https://site[0-9]+\\.com/page/[0-9]+"),
+        s"canonicalization left residue: $url")
+      // the keeper's planted identity must canonicalize to its own group
+      assert(keeper % 23 == url.drop("https://site".length)
+        .takeWhile(_.isDigit).toLong, s"keeper $keeper not in group $url")
+      assert(n >= 1 && chars > 0)
+    }
+  }
+
+  test("contamination report (d30): counts nest and rates bound correctly") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("d30_contamination_report")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val nBench = graft.core.Tables.documents(spark, dir)
+      .filter(graft.functions.HashFunctions.hashSample(col("doc_id"), 0.05))
+      .count()
+    val nTrain = graft.core.Tables.documents(spark, dir).count() - nBench
+    assert(got.map(_._2).sum == nTrain,
+      "train side must be the full non-benchmark corpus (zero-hit docs too)")
+    got.foreach { case (src, n, overlapping, flagged, rate) =>
+      assert(flagged <= overlapping && overlapping <= n,
+        s"$src: flagged ≤ overlapping ≤ docs must nest")
+      assert(rate >= 0.0 && rate <= 1.0, s"$src rate $rate")
+    }
+  }
+
+  test("phrase search (j13): hit counts equal a driver-side positional replay") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def toks(t: String): Array[String] =
+      t.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val phrases = docs.filter(_._1 < 5)
+      .map { case (id, t) => id -> toks(t).take(2) }
+      .filter(_._2.length == 2)
+    val expected = (for {
+      (qid, Array(w1, w2)) <- phrases
+      (did, t) <- docs
+      ts = toks(t)
+      n = ts.indices.dropRight(1).count(i => ts(i) == w1 && ts(i + 1) == w2)
+      if n > 0
+    } yield (qid, did) -> n.toLong).toMap
+    val got = graft.SparkEntry.queries("j13_phrase_search")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty, "each phrase must at least match its own doc")
+    got.foreach { case (qid, did, n, _) =>
+      assert(expected((qid, did)) == n, s"($qid,$did): $n")
+    }
+    // top-10 cut: everything the replay found beyond rank 10 is absent,
+    // everything ranked is present with the right count
+    phrases.foreach { case (qid, _) =>
+      val all = expected.collect { case ((q, d), n) if q == qid => (d, n) }
+      val want = all.toSeq.sortBy { case (d, n) => (-n, d) }.take(10).toMap
+      val have = got.filter(_._1 == qid).map(t => t._2 -> t._3).toMap
+      assert(have == want, s"q$qid top-10 mismatch")
+    }
+  }
+
+  test("classifier training (x28): iteration 1 replays exactly from the corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def toks(t: String): Array[String] =
+      t.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val feats = graft.core.Tables.documents(spark, dir)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (lang, t) => (if (lang == "en") 1.0 else 0.0, toks(t)) }
+      .filter(_._2.nonEmpty)
+      .map { case (y, ts) =>
+        (y, ts.length / 50.0, ts.distinct.length.toDouble / ts.length,
+          ts.map(_.length.toLong).sum.toDouble / (ts.length * 5))
+      }
+    // iteration 1: w = 0 ⇒ p = 0.5 for every row, so the replay needs
+    // no libm at all — the gradient is exact decimal arithmetic
+    val n = feats.length
+    def dsum(f: ((Double, Double, Double, Double)) => Double): Double =
+      feats.map(t => BigDecimal(java.math.BigDecimal.valueOf(f(t))
+        .setScale(9, java.math.RoundingMode.HALF_UP))).sum.toDouble
+    val g = Array(
+      dsum { case (y, _, _, _) => (y - 0.5) * 1.0 },
+      dsum { case (y, x1, _, _) => (y - 0.5) * x1 },
+      dsum { case (y, _, x2, _) => (y - 0.5) * x2 },
+      dsum { case (y, _, _, x3) => (y - 0.5) * x3 })
+    val wantW = g.map(gk => r6(0.0 + 0.5 * gk / n))
+    val wantAcc = r6(feats.count(_._1 == 1.0).toDouble / n) // all predicted en
+    val got = graft.SparkEntry.queries("x28_classifier_train")(spark, dir)
+      .as[(Int, Double, Double, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3), "three iterations")
+    val it1 = got.head
+    assert(it1._2 == wantAcc, s"iter-1 accuracy ${it1._2} != $wantAcc")
+    assert(Seq(it1._3, it1._4, it1._5, it1._6) == wantW.toSeq,
+      s"iter-1 weights ${it1.productIterator.drop(2).toSeq} != ${wantW.toSeq}")
+    // later iterations move: the classifier is actually learning
+    assert(got(1)._2 != wantAcc || got(2)._2 != wantAcc,
+      "accuracy must move once weights are nonzero")
+  }
 }
