@@ -1096,6 +1096,37 @@ object Dedup extends QueryModule {
           round($"tot_hit".cast("double") / $"tot_sh", 6)
             .as("overlap_rate"))
     },
+
+    // D31: HOST BLOCKLIST FILTER — the URL-level curation stage that
+    // runs BEFORE any content op in a web-crawl pipeline (the
+    // RefinedWeb/CCNet recipe: drop whole hosts from a curated
+    // blocklist, then report the surviving per-host inventory). URLs
+    // are the d29 deterministic synthesis (the fixture carries none);
+    // host = the registrable-domain slice of the canonical form (www.
+    // and case stripped — d29's canonicalization subset that matters
+    // for host identity). Plan: host extraction is ROWWISE on the scan,
+    // the blocklist is a ~3-row broadcast LEFT ANTI join (never a
+    // shuffle at any corpus size), and the report is one ≤23-row hash
+    // aggregate — at 100 TB this is a map-only filter with one tiny
+    // agg, the cheapest possible gate to run first. Integer-exact
+    // output (counts and char sums only).
+    "d31_host_filter" -> { (s, dir) =>
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when($"doc_id" % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+        lit("site"), ($"doc_id" % 23).cast("string"),
+        lit(".com/page/"), ($"doc_id" % 13).cast("string"))
+      val host = regexp_extract(lower($"url"),
+        "^https://(?:www\\.)?([^/]+)", 1)
+      val block = Seq("site0.com", "site7.com", "site13.com")
+        .toDF("host")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", url.as("url"))
+        .select($"doc_id", $"n_chars", host.as("host"))
+        .join(broadcast(block), Seq("host"), "left_anti")
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("tot_chars"))
+    },
   )
 
   /** The d28 excision transform over an arbitrary frame carrying
@@ -1921,5 +1952,24 @@ object Dedup extends QueryModule {
          |  round(sum(n_hit)::DOUBLE / sum(n_sh), 6) AS overlap_rate
          |FROM j GROUP BY 1""".stripMargin
     },
+
+    "d31_host_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    'https://' ||
+         |      CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
+         |      'site' || (doc_id % 23)::VARCHAR ||
+         |      '.com/page/' || (doc_id % 13)::VARCHAR AS url
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_extract(lower(url),
+         |      '^https://(?:www\\.)?([^/]+)', 1) AS host
+         |  FROM u)
+         |SELECT host, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS tot_chars
+         |FROM h
+         |WHERE host NOT IN ('site0.com', 'site7.com', 'site13.com')
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -796,6 +796,37 @@ object Similarity extends QueryModule {
         .as[(Long, Long, Double, Array[Float])]
       mmrSelect(withEmb, MmrK, MmrLambda)
     },
+
+    // V16: HARD-NEGATIVE MINING — the contrastive-training data op
+    // (the DPR / SimCSE recipe): for each query vector, the top-K most
+    // similar corpus vectors whose LABEL differs from the query's —
+    // "close in embedding space, wrong class", the negatives that
+    // actually move a contrastive loss (random negatives are too easy
+    // and teach nothing after the first epochs). Scale shape: v1's
+    // broadcast-queries codegen scan unchanged — the label filter rides
+    // the same pass at zero extra cost (labels travel inside the
+    // 20-row broadcast, never a join) — then one bounded salted top-K.
+    // No corpus-sized shuffle anywhere: the mining stage is a pure map
+    // over the corpus at any size. sim parity: cosineJvm ≡ the oracle's
+    // index-order double fold (v1 precedent).
+    "v16_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"label", $"embedding")
+        .as[(Long, Int, Array[Float])]
+      val bc = s.sparkContext.broadcast(
+        corpus.filter(_._1 < QuerySetSize).collect())
+      val scored = corpus.mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, lab, e) =>
+          qs.iterator.filter(_._2 != lab).map { case (qid, _, qe) =>
+            (qid, id, VectorFunctions.cosineJvm(qe, e))
+          }
+        }
+      }.toDF("q_id", "vec_id", "sim")
+      graft.operators.KeyedOps.topKPerKey(scored, Seq($"q_id"),
+          Seq($"sim".desc, $"vec_id"), K)
+        .select($"q_id", $"vec_id", $"sim", $"rank")
+    },
   )
 
   /** The v15 greedy MMR core over a (q_id, vec_id, sim, embedding)
@@ -1058,10 +1089,26 @@ object Similarity extends QueryModule {
        |  CAST(step AS INTEGER) AS rank
        |FROM sel""".stripMargin
 
+  /** v16 = v1's scored CTE with the self-exclusion predicate replaced
+    * by the label-mismatch predicate — identical cosine fold, identical
+    * (sim desc, vec_id) rank tiebreak. */
+  private def v16Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS sim
+       |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+       |  WHERE q.vec_id < $QuerySetSize)
+       |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
 
     "v15_mmr_rerank" -> v15Sql,
+
+    "v16_hard_negatives" -> v16Sql,
 
     "v12_knn_multiprobe" -> v12Sql,
 

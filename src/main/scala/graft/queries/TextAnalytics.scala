@@ -1509,7 +1509,84 @@ object TextAnalytics extends QueryModule {
       }
       rows.toDF("iter", "acc_before", "w0", "w1", "w2", "w3")
     },
+
+    // X29: INTERPOLATED BIGRAM LM (Jelinek-Mercer) — the smoothing that
+    // makes x16's fluency score usable as a production filter: raw
+    // bigram MLE assigns ln(≈0) to any construction the corpus hasn't
+    // seen, so rare-but-fine prose scores like garbage. JM interpolation
+    // backs off to the unigram model instead:
+    //   p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N,   λ = 0.75
+    // (the KenLM-class recipe; KN smoothing differs only in the
+    // discount arithmetic, the plan shape is identical). Two shapes,
+    // same flag as x14/x16: default rides x16's single w1-clustered
+    // exchange for (c12, c1) window counts, then attaches the unigram
+    // stats by a VOCAB-sized (w2)-keyed equi-join — a join, not a
+    // window, so a hot w2 ("the") is AQE-skew-splittable; salted
+    // replaces both attachments with explicit (term…, salt) joins so no
+    // corpus-sized exchange is ever keyed by a bare term. Parity: both
+    // divisions and the interpolation sum are IEEE doubles in identical
+    // operand order, ln is round-9 anchored, per-term products round-9,
+    // decimal accumulation, final round-6 (x13/x16 convention).
+    "x29_interp_lm" -> ((s, dir) =>
+      interpLm(Tables.documents(s, dir), skewSalted(s))),
   )
+
+  /** x29 core — Jelinek-Mercer interpolated bigram LM score
+    * p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N over an arbitrary
+    * (doc_id, text) frame; `salted` selects the skew-robust shape
+    * (same flag and doctrine as [[bigramLogprob]]). Factored for
+    * SkewFallbackSpec's identity proof on the planted hot-context
+    * corpus.
+    */
+  private[graft] def interpLm(docs: DataFrame, salted: Boolean): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
+    val uni = toks.select(explode($"ts").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n_w2"))
+      .withColumnRenamed("w", "w2")
+    val ntot = toks.select(explode($"ts").as("w"))
+      .agg(count(lit(1)).as("n_tok"))
+    val binst = toks.filter(size($"ts") >= 2)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => struct(element_at($"ts", i).as("w1"),
+            element_at($"ts", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val counts =
+      if (salted) {
+        val db = binst.groupBy($"doc_id", $"w1", $"w2")
+          .agg(count(lit(1)).as("n_dw"))
+        val c12 = db.groupBy($"w1", $"w2").agg(sum($"n_dw").as("c12"))
+        val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+        val bi = graft.operators.KeyedOps.saltedStatsJoin(db,
+          c12.join(c1, "w1"), Seq("w1", "w2"), saltBuckets(sess),
+          col("doc_id"))
+        graft.operators.KeyedOps.saltedStatsJoin(bi, uni, Seq("w2"),
+          saltBuckets(sess), col("doc_id"))
+      } else {
+        binst
+          .repartition($"w1") // x16's one clustering shuffle
+          .withColumn("c12",
+            count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
+          .withColumn("c1", count(lit(1)).over(Window.partitionBy($"w1")))
+          .groupBy($"doc_id", $"w1", $"w2", $"c12", $"c1")
+          .agg(count(lit(1)).as("n_dw"))
+          .join(uni, "w2") // vocab-sized stats side — size-selected join
+      }
+    val p = lit(0.75) * ($"c12".cast("double") / $"c1".cast("double")) +
+      lit(0.25) * ($"n_w2".cast("double") / $"n_tok".cast("double"))
+    counts
+      .crossJoin(broadcast(ntot)) // 1-row corpus token total
+      .select($"doc_id", $"n_dw",
+        round($"n_dw".cast("double") * round(log(p), 9), 9)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_dw").as("n_bigrams"),
+        round(sum($"term").cast("double") / sum($"n_dw").cast("double"), 6)
+          .as("mean_logprob"))
+  }
 
   /** The x10 chunk frame (doc_id, chunk_idx, chunk_len, fp): fixed-size
     * overlapping token windows (size 64, stride 48) with an
@@ -2039,6 +2116,33 @@ object TextAnalytics extends QueryModule {
          |    AS DECIMAL(28,12))) AS DOUBLE) / sum(n_dw)::DOUBLE, 6)
          |    AS mean_logprob
          |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vv
+         |GROUP BY doc_id""".stripMargin,
+
+    "x29_interp_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${ws("text")} AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id, w1, w2, count(*) AS n_dw FROM (
+         |    SELECT doc_id,
+         |      unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+         |      unnest(list_slice(toks, 2, len(toks))) AS w2
+         |    FROM t WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, sum(n_dw)::BIGINT AS c12
+         |        FROM db GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+         |uni AS (SELECT w AS w2, count(*)::BIGINT AS n_w2 FROM (
+         |        SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |nt AS (SELECT count(*)::BIGINT AS n_tok FROM (
+         |        SELECT unnest(toks) AS w FROM t))
+         |SELECT doc_id, sum(n_dw)::BIGINT AS n_bigrams,
+         |  round(CAST(sum(CAST(round(n_dw::DOUBLE *
+         |      round(ln(0.75 * (c12::DOUBLE / c1::DOUBLE) +
+         |            0.25 * (n_w2::DOUBLE / n_tok::DOUBLE)), 9), 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / sum(n_dw)::DOUBLE, 6)
+         |    AS mean_logprob
+         |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |  JOIN uni USING (w2), nt
          |GROUP BY doc_id""".stripMargin,
 
     "x15_quality_deciles" ->

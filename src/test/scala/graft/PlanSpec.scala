@@ -292,6 +292,7 @@ class PlanSpec extends SparkSpec {
       "j12_rrf_fusion", // embeds j11's sparse side ⇒ same 1-row broadcast
       "d20_dup_pagerank", // 1-row doc-count broadcast per iteration
       "x16_bigram_logprob", // 1-row vocab-size broadcast
+      "x29_interp_lm", // 1-row corpus-token-total broadcast
       "x21_temperature_mix", // 1-row weight-sum broadcast
       "x25_shard_manifest", // 1-row octile-boundary broadcast
       "d22_snapshot_diff", // 1-row max(doc_id) twin-shift broadcast
@@ -397,6 +398,53 @@ class PlanSpec extends SparkSpec {
       s"both phrase terms must prune postings via broadcast equi-joins:\n$p")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
       s"adjacency must stay an equi-join:\n$p")
+  }
+
+  test("v16_hard_negatives: label filter rides the broadcast scan — no join") {
+    val p = plan("v16_hard_negatives")
+    assert(!p.contains("Join"),
+      s"negatives must come from the broadcast-queries scan, not a join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"the corpus must be scanned once:\n$p")
+  }
+
+  test("x29_interp_lm: x16's clustered windows + vocab-sized unigram stats join") {
+    val df = SparkEntry.queries("x29_interp_lm")(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
+      s"exactly one w1-clustering repartition expected:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the unigram stats side must stay size-selected (broadcast here):\n$p")
+    // the salted variant's join-key pin rides the x14/x16 salted test
+  }
+
+  test("x29_interp_lm salted: no window count, joins keyed on (term…, salt)") {
+    try {
+      spark.conf.set(graft.queries.TextAnalytics.SaltedSkewKey, "true")
+      val df = SparkEntry.queries("x29_interp_lm")(spark, dir)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Window"),
+        s"salted: no window count may survive:\n$p")
+      assert(!p.contains("REPARTITION_BY_COL"),
+        s"salted: no bare-term clustering repartition:\n$p")
+      assert("""Join \[w1#\d+, w2#\d+, __salt#""".r.findFirstIn(p).isDefined,
+        s"salted: bigram stats join must key on (w1, w2, salt):\n$p")
+      assert("""Join \[w2#\d+, __salt#""".r.findFirstIn(p).isDefined,
+        s"salted: unigram stats join must key on (w2, salt):\n$p")
+    } finally spark.conf.unset(graft.queries.TextAnalytics.SaltedSkewKey)
+  }
+
+  test("d31_host_filter: rowwise host + broadcast anti-join + one tiny agg") {
+    val p = plan("d31_host_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must be a broadcast LEFT ANTI join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one shuffle — the per-host agg:\n$p")
+    assert(!p.contains("text#"), "the text column must be pruned at the scan")
   }
 
   test("x28_classifier_train: gradient aggregates are map-side partial, no UDFs") {

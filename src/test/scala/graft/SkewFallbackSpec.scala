@@ -65,6 +65,13 @@ class SkewFallbackSpec extends SparkSpec {
     assert(sortedRows(d) == sortedRows(s))
   }
 
+  test("x29 salted interpolated-LM shape is result-identical on the skew corpus") {
+    val d = TextAnalytics.interpLm(skewCorpus(), salted = false)
+    val s = TextAnalytics.interpLm(skewCorpus(), salted = true)
+    assert(s.count() > 0)
+    assert(sortedRows(d) == sortedRows(s))
+  }
+
   /** Boilerplate-heavy corpus for the d12 shingle-df fallback: every doc
     * starts with the same 12-token boilerplate banner, so the banner's
     * 8-gram shingles carry df = n_docs — the hot fingerprint class the
