@@ -134,6 +134,40 @@ object Multimodal {
       buckets.map(c => c.toFloat / total)
     }
 
+    private def lumaOf(rgb: Int): Int =
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+
+    /** 64-bit difference hash (dHash, Krawetz) — THE cheap perceptual
+      * image signature: bilinear-downscale to 9×8, integer BT.601 luma,
+      * bit 8y+x set iff luma(x,y) > luma(x+1,y). Stable under re-encode
+      * and mild rescale, which is exactly what a crawl's duplicate
+      * images differ by; the blocking key for image near-dedup.
+      */
+    def dHash(payload: Array[Byte]): Long = dHashOf(decodeOrThrow(payload))
+
+    private[multimodal] def dHashOf(img: BufferedImage): Long = {
+      val out = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lumaOf(out.getRGB(x, y)) > lumaOf(out.getRGB(x + 1, y)))
+            h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
     /** Real resize: decode, scale to n×n (area-preserving smooth scale),
       * re-encode as PNG.
       */
@@ -546,6 +580,44 @@ object Multimodal {
         Frame(m.media_id, idx, ts, thumb)
       }
     }
+  }
+
+  /** LAION-class image NEAR-DEDUP: dHash every decodable image (one
+    * decode per row, map-only — undecodable payloads drop, the P13
+    * tolerant shape), band the 64-bit hash into 4×16-bit bands,
+    * candidate pairs = equi-join on (band index, band value), verify
+    * candidates with bit_count(xor) ≤ maxBits. Pigeonhole guarantee:
+    * with 4 bands, any pair within Hamming distance 3 leaves ≥1 band
+    * untouched, so recall is EXACT for maxBits ≤ 3 (spec-proven against
+    * brute force) — the d3/d4 banded-LSH doctrine over pixels instead
+    * of shingles. Scale shape: the corpus-sized exchange carries only
+    * (band, 16-bit value, 64-bit hash, id) — PIXELS NEVER SHUFFLE; the
+    * equi-join is band-blocked so cost ∝ collisions, and the verify is
+    * rowwise integer arithmetic on the pair frame. At 100 TB of images
+    * this is the standard two-stage pipeline: a decode map, a 20-byte
+    * blocking shuffle, a bounded verify.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxBits: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.mapPartitions { it =>
+      it.flatMap(m => ImageCodec.decode(m.payload)
+        .map(img => (m.media_id, ImageCodec.dHashOf(img))))
+    }.toDF("media_id", "dhash")
+    val banded = hashes.select($"media_id", $"dhash",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"dhash", b * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
+        .as("bv"))
+      .select($"media_id", $"dhash", $"bv.band".as("band"), $"bv.v".as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct() // a pair may collide on several bands
+      .select($"id_a", $"id_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("int").as("hamming"))
+      .filter($"hamming" <= maxBits)
   }
 
   /** Deterministic REAL-video fixture: n animated GIFs (3-6 frames of

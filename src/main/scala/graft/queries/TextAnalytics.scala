@@ -1546,8 +1546,9 @@ object TextAnalytics extends QueryModule {
     val uni = toks.select(explode($"ts").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n_w2"))
       .withColumnRenamed("w", "w2")
-    val ntot = toks.select(explode($"ts").as("w"))
-      .agg(count(lit(1)).as("n_tok"))
+    // N folds from the vocab frame (Σ c(w) — no second tokenize pass;
+    // the vocab-sized re-agg is free next to a corpus scan)
+    val ntot = uni.agg(sum($"n_w2").as("n_tok"))
     val binst = toks.filter(size($"ts") >= 2)
       .select($"doc_id", explode(
         transform(sequence(lit(1), size($"ts") - 1),

@@ -185,4 +185,54 @@ class MultimodalSpec extends SparkSpec {
     // garbage bytes are undecodable, not a crash
     assert(Multimodal.VideoCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("image near-dedup: banded dHash pairs == brute-force Hamming<=3 (pigeonhole recall)") {
+    import spark.implicits._
+    // fixture: 40 VISUALLY DISTINCT images (random 4x4-block patterns —
+    // the gradient fixture is perceptually one image and dHash rightly
+    // collapses it) + 6 planted near-dups: 3 byte-identical re-uploads
+    // (hamming 0) and 3 one-pixel edits
+    val base = (0 until 40).map { i =>
+      val rng = new scala.util.Random(i * 9176L + 11)
+      val (w, h) = (32, 24)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (by <- 0 until h / 4; bx <- 0 until w / 4) {
+        val c = rng.nextInt(0xffffff)
+        for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+          img.setRGB(x, y, c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRecord(i.toLong, "image", bos.toByteArray, w, h, 0L)
+    }.toArray
+    val planted = (0 until 3).map { i =>
+      base(i).copy(media_id = 100L + i) // exact re-upload, new id
+    } ++ (3 until 6).map { i =>
+      val img = Multimodal.ImageCodec.decode(base(i).payload).get
+      img.setRGB(0, 0, 0xffffff) // one-pixel edit
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      base(i).copy(media_id = 200L + i, payload = bos.toByteArray)
+    }
+    val media = spark.createDataset(base.toSeq ++ planted)
+    val pairs = Multimodal.imageNearDupPairs(media, maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact re-uploads MUST pair at hamming 0
+    for (i <- 0 until 3)
+      assert(pairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 == 0),
+        s"re-upload of $i not found in $pairs")
+    // brute-force reference: ALL pairs within 3 bits (4 bands, <=3
+    // flipped bits => >=1 band untouched => candidate generated)
+    val hashes = media.collect().map(m =>
+      (m.media_id, Multimodal.ImageCodec.dHash(m.payload)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(pairs == brute,
+      s"banded recall must be exact at maxBits=3: ${brute.diff(pairs)} missed")
+    // and the blocking is selective: nowhere near all-pairs
+    assert(pairs.size < 46 * 45 / 8, s"pair explosion: ${pairs.size}")
+  }
 }
