@@ -48,6 +48,51 @@ object TextAnalytics extends QueryModule {
       (lit(1.0) - TextFunctions.punctRatio(text)) * lit(0.3)
   }
 
+  /** Per-doc Gopher-gate frame shared by x26 and x30: ONE fused
+    * repetition-stats scan (the x8 Generate-barrier pattern) producing
+    * the six rule booleans plus the doc's rollup columns (doc_id,
+    * source, lang, token count n, x3 quality). Consumers select what
+    * they need — Catalyst prunes the rest, so x26 never pays for the
+    * quality expression it doesn't read.
+    */
+  private[graft] def gopherDocFrame(docs: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+    val toks = TextFunctions.wsTokens($"text")
+    docs
+      .select($"doc_id", $"source", $"lang", $"text",
+        explode(array(RepetitionStatsExpr.repetitionStats($"text")))
+          .as("r")) // Generate barrier: ONE stats scan (x8 pattern)
+      .select($"doc_id", $"source", $"lang",
+        qualityCol($"text").as("quality"),
+        $"r.n_tokens".cast("long").as("n"),
+        $"r.n_distinct".cast("long").as("nd"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sumlen"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("alpha_n"),
+        size(filter(array(stops.map(lit): _*),
+          st => array_contains(toks, st))).cast("long").as("stop_n"),
+        length($"text").cast("long").as("n_chars"),
+        (length($"text") -
+          length(regexp_replace($"text", "[#…]", ""))).cast("long")
+          .as("sym_n"))
+      .select($"doc_id", $"source", $"lang", $"quality", $"n",
+        ($"n" >= 50 && $"n" <= 100000).as("r_len"),
+        ($"n" > 0 && $"sumlen" >= $"n" * 3 && $"sumlen" <= $"n" * 10)
+          .as("r_wordlen"),
+        ($"n" > 0 && $"alpha_n" * 5 >= $"n" * 4).as("r_alpha"),
+        ($"stop_n" >= 2).as("r_stop"),
+        ($"n_chars" === 0 || $"sym_n" * 10 <= $"n_chars").as("r_symbol"),
+        ($"n" > 0 && ($"n" - $"nd") * 10 <= $"n" * 3).as("r_rep"))
+  }
+
+  /** The composite Gopher verdict over [[gopherDocFrame]]'s flags. */
+  private[graft] def gopherPass: Column =
+    col("r_len") && col("r_wordlen") && col("r_alpha") && col("r_stop") &&
+      col("r_symbol") && col("r_rep")
+
   /** (doc_id, lang, source, text, n_toks, quality, shard) — the x25
     * curriculum shard assignment: shard = quality OCTILE from ONE exact
     * percentile aggregate broadcast as a 1-row boundary frame (the x15
@@ -1079,35 +1124,8 @@ object TextAnalytics extends QueryModule {
     // ~40-80%/source, r_stop ~45-80%, r_rep ~4-15%).
     "x26_gopher_rules" -> { (s, dir) =>
       import s.implicits._
-      val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in",
-        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
-      val toks = TextFunctions.wsTokens($"text")
-      val flagged = Tables.documents(s, dir)
-        .select($"source", $"text",
-          explode(array(RepetitionStatsExpr.repetitionStats($"text")))
-            .as("r")) // Generate barrier: ONE stats scan (x8 pattern)
-        .select($"source",
-          $"r.n_tokens".cast("long").as("n"),
-          $"r.n_distinct".cast("long").as("nd"),
-          aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sumlen"),
-          size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
-            .as("alpha_n"),
-          size(filter(array(stops.map(lit): _*),
-            st => array_contains(toks, st))).cast("long").as("stop_n"),
-          length($"text").cast("long").as("n_chars"),
-          (length($"text") -
-            length(regexp_replace($"text", "[#…]", ""))).cast("long")
-            .as("sym_n"))
-        .select($"source",
-          ($"n" >= 50 && $"n" <= 100000).as("r_len"),
-          ($"n" > 0 && $"sumlen" >= $"n" * 3 && $"sumlen" <= $"n" * 10)
-            .as("r_wordlen"),
-          ($"n" > 0 && $"alpha_n" * 5 >= $"n" * 4).as("r_alpha"),
-          ($"stop_n" >= 2).as("r_stop"),
-          ($"n_chars" === 0 || $"sym_n" * 10 <= $"n_chars").as("r_symbol"),
-          ($"n" > 0 && ($"n" - $"nd") * 10 <= $"n" * 3).as("r_rep"))
-      val pass = $"r_len" && $"r_wordlen" && $"r_alpha" && $"r_stop" &&
-        $"r_symbol" && $"r_rep"
+      val flagged = gopherDocFrame(Tables.documents(s, dir))
+      val pass = gopherPass
       def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
       flagged.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
@@ -1529,6 +1547,35 @@ object TextAnalytics extends QueryModule {
     // decimal accumulation, final round-6 (x13/x16 convention).
     "x29_interp_lm" -> ((s, dir) =>
       interpLm(Tables.documents(s, dir), skewSalted(s))),
+
+    // X30: DATASET CARD — the per-source datasheet a corpus release
+    // ships (Gebru et al.'s "Datasheets for Datasets", the model-card
+    // sibling every production corpus publishes): doc/token inventory,
+    // language spread, mean x3 quality, and the Gopher-gate pass rate,
+    // all from ONE corpus pass. Plan: rides the SAME fused
+    // repetition-stats scan as x26 (gopherDocFrame — one definition),
+    // one ~20-row source aggregate; at 100 TB the card is a free
+    // by-product of the quality sweep the pipeline already runs —
+    // reporting must never cost a second corpus read. Parity: counts
+    // integer-exact; mean_quality decimal-accumulated round-9/round-6
+    // (x9 convention); mean_tokens is one double division of two exact
+    // integers.
+    "x30_dataset_card" -> { (s, dir) =>
+      import s.implicits._
+      val pass = gopherPass
+      gopherDocFrame(Tables.documents(s, dir))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct($"lang").as("n_langs"),
+          sum($"n").as("tot_tokens"),
+          round(sum($"n").cast("double") / count(lit(1)), 6)
+            .as("mean_tokens"),
+          round(sum(round($"quality", 9).cast("decimal(28,12)"))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_gopher_pass"))
+        .withColumn("pass_rate",
+          round($"n_gopher_pass".cast("double") / $"n_docs", 6))
+    },
   )
 
   /** x29 core — Jelinek-Mercer interpolated bigram LM score
@@ -1674,6 +1721,43 @@ object TextAnalytics extends QueryModule {
   private def ws(e: String) = OracleFragments.wsTokens(e)
 
   /** (doc_id, n_tokens, stop_ratio, punct_ratio) — the x3 feature body. */
+  /** Gopher rule-flag CTE chain (t → g → f) shared by the x26 and x30
+    * oracles — the SQL twin of [[gopherDocFrame]], one definition.
+    * `carry` = identity columns threaded through to `f` alongside the
+    * token count `n` and the six rule booleans.
+    */
+  private def gopherFlagSqlCte(carry: String): String = {
+    val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""t AS (
+       |  SELECT $carry, text, ${ws("text")} AS toks FROM documents),
+       |g AS (
+       |  SELECT $carry,
+       |    len(toks)::BIGINT AS n,
+       |    len(list_distinct(list_transform(toks,
+       |      w -> ${OracleFragments.javaHashU32("w")})))::BIGINT AS nd,
+       |    coalesce(list_sum(list_transform(toks, w -> len(w))), 0)::BIGINT
+       |      AS sumlen,
+       |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+       |      AS alpha_n,
+       |    len(list_filter($stopList, s -> list_contains(toks, s)))::BIGINT
+       |      AS stop_n,
+       |    len(text)::BIGINT AS n_chars,
+       |    (len(text) - len(regexp_replace(text, '[#…]', '', 'g')))::BIGINT
+       |      AS sym_n
+       |  FROM t),
+       |f AS (
+       |  SELECT $carry, n,
+       |    (n >= 50 AND n <= 100000) AS r_len,
+       |    (n > 0 AND sumlen >= n * 3 AND sumlen <= n * 10) AS r_wordlen,
+       |    (n > 0 AND alpha_n * 5 >= n * 4) AS r_alpha,
+       |    (stop_n >= 2) AS r_stop,
+       |    (n_chars = 0 OR sym_n * 10 <= n_chars) AS r_symbol,
+       |    (n > 0 AND (n - nd) * 10 <= n * 3) AS r_rep
+       |  FROM g)""".stripMargin
+  }
+
   private def qualityGSql: String = {
     val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
       "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
@@ -2271,36 +2355,8 @@ object TextAnalytics extends QueryModule {
          |  FROM (SELECT doc_id, ${ws("text")} AS ts FROM documents)
          |  WHERE len(ts) > 0)""".stripMargin,
 
-    "x26_gopher_rules" -> {
-      val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
-        "is", "it", "that", "for", "on", "as", "with", "at", "by", "from")
-        .map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH t AS (
-         |  SELECT source, text, ${ws("text")} AS toks FROM documents),
-         |g AS (
-         |  SELECT source,
-         |    len(toks)::BIGINT AS n,
-         |    len(list_distinct(list_transform(toks,
-         |      w -> ${OracleFragments.javaHashU32("w")})))::BIGINT AS nd,
-         |    coalesce(list_sum(list_transform(toks, w -> len(w))), 0)::BIGINT
-         |      AS sumlen,
-         |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
-         |      AS alpha_n,
-         |    len(list_filter($stopList, s -> list_contains(toks, s)))::BIGINT
-         |      AS stop_n,
-         |    len(text)::BIGINT AS n_chars,
-         |    (len(text) - len(regexp_replace(text, '[#…]', '', 'g')))::BIGINT
-         |      AS sym_n
-         |  FROM t),
-         |f AS (
-         |  SELECT source,
-         |    (n >= 50 AND n <= 100000) AS r_len,
-         |    (n > 0 AND sumlen >= n * 3 AND sumlen <= n * 10) AS r_wordlen,
-         |    (n > 0 AND alpha_n * 5 >= n * 4) AS r_alpha,
-         |    (stop_n >= 2) AS r_stop,
-         |    (n_chars = 0 OR sym_n * 10 <= n_chars) AS r_symbol,
-         |    (n > 0 AND (n - nd) * 10 <= n * 3) AS r_rep
-         |  FROM g),
+    "x26_gopher_rules" ->
+      s"""WITH ${gopherFlagSqlCte("source")},
          |a AS (
          |  SELECT source, count(*)::BIGINT AS n_docs,
          |    sum(CASE WHEN r_len THEN 1 ELSE 0 END)::BIGINT AS p_len,
@@ -2315,8 +2371,26 @@ object TextAnalytics extends QueryModule {
          |SELECT source, n_docs, p_len, p_wordlen, p_alpha, p_stop,
          |  p_symbol, p_rep, n_pass,
          |  round(n_pass::DOUBLE / n_docs, 6) AS pass_rate
-         |FROM a""".stripMargin
-    },
+         |FROM a""".stripMargin,
+
+    "x30_dataset_card" ->
+      s"""WITH ${gopherFlagSqlCte("doc_id, source, lang")},
+         |q AS ($qualitySubSql),
+         |j AS (
+         |  SELECT f.source, f.lang, f.n, q.quality,
+         |    (r_len AND r_wordlen AND r_alpha AND r_stop AND r_symbol
+         |      AND r_rep) AS pass
+         |  FROM f JOIN q USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  sum(n)::BIGINT AS tot_tokens,
+         |  round(sum(n)::DOUBLE / count(*), 6) AS mean_tokens,
+         |  round(CAST(sum(CAST(round(quality, 9) AS DECIMAL(28,12)))
+         |    AS DOUBLE) / count(*), 6) AS mean_quality,
+         |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass,
+         |  round(sum(CASE WHEN pass THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS pass_rate
+         |FROM j GROUP BY 1""".stripMargin,
 
     "x24_pii_scrub" -> {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -298,7 +298,8 @@ object ScaleFixture {
       "d29_url_dedup", "d30_contamination_report", "j13_phrase_search",
       "x28_classifier_train",
       // round-11 third batch: hard negatives, interpolated LM, host filter
-      "v16_hard_negatives", "x29_interp_lm", "d31_host_filter")
+      "v16_hard_negatives", "x29_interp_lm", "d31_host_filter",
+      "x30_dataset_card")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

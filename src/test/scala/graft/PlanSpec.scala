@@ -447,6 +447,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text#"), "the text column must be pruned at the scan")
   }
 
+  test("x30_dataset_card: one fused scan, no join — the card rides the quality sweep") {
+    val df = SparkEntry.queries("x30_dataset_card")(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"the card must be a by-product of ONE corpus pass:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join — quality and gopher flags come from the same fused scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"at most the distinct-lang + source agg exchanges:\n$p")
+  }
+
   test("x28_classifier_train: gradient aggregates are map-side partial, no UDFs") {
     // the query's own result is a driver-built LocalRelation (the 3
     // collected iterations); the distributed shape to pin is the
