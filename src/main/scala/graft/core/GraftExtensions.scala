@@ -21,7 +21,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     struct for Gopher-style repetition quality signals;
   *   - `minhash_bands(str, n, numPerm, bandSize)` — MinHash LSH band
   *     keys (P = 2^31−1 permutation family), the streaming near-dup
-  *     blocking primitive.
+  *     blocking primitive;
+  *   - `cosine_f32(a, b)` — fused cosine similarity over float arrays
+  *     (one JIT'd loop; the kNN scoring primitive).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -57,6 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashBandsExpr(text, n, np, bs, graft.queries.Dedup.P)
         case _ => throw new IllegalArgumentException(
           "usage: minhash_bands(text, <int n>, <int numPerm>, <int bandSize>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimExpr].getName,
+        "cosine_f32"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => graft.functions.CosineSimExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: cosine_f32(array<float>, array<float>)")
       }))
   }
 }

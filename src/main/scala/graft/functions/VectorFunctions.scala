@@ -19,7 +19,20 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Cosine over float-array columns — since round 11 the fused codegen
+    * [[CosineSimExpr]] (one JIT'd loop, inside WholeStageCodegen) rather
+    * than the composed `dot/(norm*norm)` HOF form: `zip_with`/
+    * `aggregate` lambdas evaluate INTERPRETED per element, 3×dim closure
+    * calls per candidate pair on the bucket-joined kNN frames.
+    * Bit-identical by construction (same index-order double folds).
+    */
   def cosine(a: Column, b: Column): Column =
+    CosineSimExpr.cosineF32(a, b)
+
+  /** The composed higher-order-function cosine (the pre-round-11 form,
+    * kept as the differential-parity reference for the spec).
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */

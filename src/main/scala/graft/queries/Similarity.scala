@@ -59,7 +59,16 @@ object Similarity extends QueryModule {
   }
 
   /** Sign-bit LSH bucket of an embedding: bit i = [dot(w_i, e) >= 0]. */
+  // Since round 11 the fused codegen LshBucketExpr (one JIT'd loop)
+  // rather than NumPlanes interpreted aggregate(zip_with(...)) passes
+  // per row — bit-identical weights/fold order (FunctionsSpec).
   private def lshBucket(e: org.apache.spark.sql.Column) =
+    graft.functions.LshBucketExpr.lshBucket(e, NumPlanes)
+
+  /** The composed HOF bucket (pre-round-11 form, kept as the
+    * differential-parity reference for the spec).
+    */
+  private[graft] def lshBucketHof(e: org.apache.spark.sql.Column) =
     (0 until NumPlanes).map { i =>
       val proj = aggregate(
         zip_with(e, sequence(lit(1), lit(64)),

@@ -200,6 +200,53 @@ class FunctionsSpec extends SparkSpec {
     keys.foreach(k => assert(got(k) == ref(k), s"knuthHash($k)"))
   }
 
+  test("cosine_f32 is bit-identical to the HOF fold and to cosineJvm") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val pairs = for (a <- vecs; b <- vecs if a._1 < b._1)
+      yield (a._1, b._1, a._2, b._2)
+    val df = pairs.toDF("ia", "ib", "a", "b")
+      .select($"ia", $"ib",
+        graft.functions.CosineSimExpr.cosineF32($"a", $"b").as("fused"),
+        graft.functions.VectorFunctions.cosineHof($"a", $"b").as("hof"))
+      .collect()
+    val byKey = vecs.toMap
+    df.foreach { r =>
+      val fused = r.getDouble(2); val hof = r.getDouble(3)
+      val jvm = graft.functions.VectorFunctions.cosineJvm(
+        byKey(r.getLong(0)), byKey(r.getLong(1)))
+      assert(java.lang.Double.doubleToLongBits(fused) ==
+        java.lang.Double.doubleToLongBits(hof),
+        s"fused=$fused hof=$hof")
+      assert(java.lang.Double.doubleToLongBits(fused) ==
+        java.lang.Double.doubleToLongBits(jvm),
+        s"fused=$fused jvm=$jvm")
+    }
+    // and the SQL-registered form agrees (GraftExtensions surface)
+    val sqlRow = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
+      .selectExpr("cosine_f32(a, b) AS c").head()
+    assert(java.lang.Double.doubleToLongBits(sqlRow.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(
+        graft.functions.VectorFunctions.cosineJvm(vecs(0)._2, vecs(1)._2)))
+  }
+
+  test("lsh_bucket fused expression matches the composed HOF plane folds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val rows = vecs.toDF("id", "e")
+      .select($"id",
+        graft.functions.LshBucketExpr.lshBucket($"e", 8).as("fused"),
+        graft.queries.Similarity.lshBucketHof($"e").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id=${r.getLong(0)}: fused=${r.getLong(1)} hof=${r.getLong(2)}"))
+  }
+
   test("stopwordRatio and punctRatio bounds") {
     import spark.implicits._
     val r = Seq("the cat!!!").toDF("t")

@@ -400,6 +400,16 @@ class PlanSpec extends SparkSpec {
       s"adjacency must stay an equi-join:\n$p")
   }
 
+  test("v3_knn_lsh: fused cosine stays inside a codegen span, no HOF lambdas") {
+    val df = SparkEntry.queries("v3_knn_lsh")(spark, dir)
+    df.collect() // finalize AQE so codegen spans materialize
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*cosine_f32""".r.findFirstIn(p).isDefined,
+      s"cosine_f32 must sit inside a WholeStageCodegen Project:\n$p")
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+      s"no interpreted higher-order scoring in the kNN hot path:\n$p")
+  }
+
   test("v16_hard_negatives: label filter rides the broadcast scan — no join") {
     val p = plan("v16_hard_negatives")
     assert(!p.contains("Join"),
