@@ -1127,6 +1127,29 @@ object Dedup extends QueryModule {
         .groupBy($"host")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("tot_chars"))
     },
+
+    // D32: SOFT-DEDUP WEIGHTS — the keep-everything alternative to
+    // d27's keeper election: every copy survives but carries training
+    // weight 1/|cluster| over the LSH component graph, so a document
+    // duplicated 40× contributes the same expected gradient mass as a
+    // unique one (the down-weighting recipe used when dropping dups
+    // would lose paraphrase diversity). Rides the session's ONE
+    // banded pair-gen + CC fixpoint (the d26/d27 pin); cluster size
+    // attaches as a window count over one component-keyed exchange —
+    // partition size = cluster size, bounded by the near-dup cluster
+    // cap, not by any corpus-frequency Zipf tail. Singletons weight
+    // 1.0 by construction. weight = 1.0/n is one IEEE division of
+    // exact integers — identical cross-engine without rounding (the
+    // j12 rank-reciprocal precedent).
+    "d32_dup_weights" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      lshDupComponents(s, dir)
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy($"component")))
+        .select($"id".as("doc_id"), $"component", $"n_copies",
+          (lit(1.0) / $"n_copies").as("weight"))
+    },
   )
 
   /** The d28 excision transform over an arbitrary frame carrying
@@ -1971,5 +1994,12 @@ object Dedup extends QueryModule {
          |FROM h
          |WHERE host NOT IN ('site0.com', 'site7.com', 'site13.com')
          |GROUP BY 1""".stripMargin,
+
+    "d32_dup_weights" ->
+      s"""$lshComponentsCteSql
+         |SELECT id AS doc_id, component,
+         |  count(*) OVER (PARTITION BY component)::BIGINT AS n_copies,
+         |  1.0 / count(*) OVER (PARTITION BY component) AS weight
+         |FROM comp""".stripMargin,
   )
 }

@@ -760,4 +760,27 @@ class PropertySpec extends SparkSpec {
     assert(got(1)._2 != wantAcc || got(2)._2 != wantAcc,
       "accuracy must move once weights are nonzero")
   }
+
+  test("soft-dedup weights (d32): one row per doc, uniform 1/n per cluster, " +
+      "expected mass of a cluster == one document") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("d32_dup_weights")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(got.length.toLong == nDocs, "every doc keeps a row — soft, not drop")
+    assert(got.map(_._1).distinct.length == got.length, "doc_id unique")
+    val byComp = got.groupBy(_._2)
+    assert(byComp.exists(_._2.length > 1), "fixture must contain real clusters")
+    byComp.foreach { case (comp, rows) =>
+      val n = rows.length
+      assert(rows.forall(_._3 == n), s"component $comp n_copies mismatch")
+      assert(rows.forall(r => r._4 == 1.0 / n),
+        s"component $comp weights not uniform 1/n")
+      // cluster's expected gradient mass ≈ one unique document
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    }
+    // singletons carry full weight
+    assert(byComp.filter(_._2.length == 1).forall(_._2.head._4 == 1.0))
+  }
 }
