@@ -1576,7 +1576,58 @@ object TextAnalytics extends QueryModule {
         .withColumn("pass_rate",
           round($"n_gopher_pass".cast("double") / $"n_docs", 6))
     },
+
+    // X31: BPE MERGE LEARNING — the distributed tokenizer-training step
+    // (Sennrich et al. '16): each iteration counts adjacent-symbol pairs
+    // over the whole corpus, elects the most frequent pair, and rewrites
+    // the corpus with the merged symbol before the next count. Run here
+    // at word level for 2 iterations — the plan SHAPE is the real thing:
+    // per iteration ONE vocab²-bounded pair-count aggregate (map-side
+    // partial; the pair frame, not the corpus, crosses the exchange),
+    // a distributed top-1 (TakeOrderedAndProject — never a single-
+    // partition sort), a 1-row collect (constant driver state, the
+    // x28/k-means precedent), and a ROWWISE literal rewrite of the
+    // canonicalized text. Merge application is plain left-to-right
+    // non-overlapping `replace` on space-padded text — deterministic
+    // and engine-identical by construction (a run "a b a b" merges its
+    // first occurrence only, both engines; documented relaxation vs
+    // strict greedy BPE). Ties elect (n desc, w1 asc, w2 asc) — a
+    // total order. All-integer outputs: zero float-parity surface.
+    "x31_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir), 2)),
   )
+
+  /** x31 core — `iters` BPE merge-learning iterations over an arbitrary
+    * (doc_id, text) frame (see the x31 scale notes in the queries map).
+    * Factored so PropertySpec can replay the election and the merge
+    * rewrite on a planted corpus.
+    */
+  private[graft] def bpeMerges(docs: DataFrame, iters: Int): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    var cur = docs.select($"doc_id",
+      concat(lit(" "), concat_ws(" ", TextFunctions.wsTokens($"text")),
+        lit(" ")).as("t"))
+    val rows = (1 to iters).map { it =>
+      val toks = TextFunctions.wsTokens($"t")
+      val top = cur
+        .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"n_pairs".desc, $"w1".asc, $"w2".asc)
+        .limit(1).head() // 1-row collect: constant driver state
+      val (w1, w2, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      cur = cur.select($"doc_id",
+        call_function("replace", $"t",
+          lit(s" $w1 $w2 "), lit(s" ${w1}_$w2 ")).as("t"))
+      (it, w1, w2, n, s"${w1}_$w2")
+    }
+    rows.toDF("iter", "w1", "w2", "n_pairs", "merged")
+  }
 
   /** x29 core — Jelinek-Mercer interpolated bigram LM score
     * p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N over an arbitrary
@@ -2372,6 +2423,36 @@ object TextAnalytics extends QueryModule {
          |  p_symbol, p_rep, n_pass,
          |  round(n_pass::DOUBLE / n_docs, 6) AS pass_rate
          |FROM a""".stripMargin,
+
+    "x31_bpe_merges" -> {
+      def pairs(src: String, out: String): String =
+        s"""$out AS (
+           |  SELECT w1, w2, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+           |           unnest(list_slice(tk, 2, len(tk))) AS w2
+           |    FROM (SELECT ${ws("t")} AS tk FROM $src)
+           |    WHERE len(tk) >= 2)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    ' ' || array_to_string(${ws("text")}, ' ') || ' ' AS t
+         |  FROM documents),
+         |${pairs("t0", "p1")},
+         |b1 AS (SELECT w1, w2, n FROM p1 ORDER BY n DESC, w1, w2 LIMIT 1),
+         |t1 AS (
+         |  SELECT doc_id, replace(t,
+         |    ' ' || (SELECT w1 FROM b1) || ' ' || (SELECT w2 FROM b1) || ' ',
+         |    ' ' || (SELECT w1 FROM b1) || '_' || (SELECT w2 FROM b1) || ' ')
+         |    AS t
+         |  FROM t0),
+         |${pairs("t1", "p2")},
+         |b2 AS (SELECT w1, w2, n FROM p2 ORDER BY n DESC, w1, w2 LIMIT 1)
+         |SELECT * FROM (
+         |  SELECT 1 AS iter, w1, w2, n AS n_pairs,
+         |    w1 || '_' || w2 AS merged FROM b1
+         |  UNION ALL
+         |  SELECT 2, w1, w2, n, w1 || '_' || w2 FROM b2)""".stripMargin
+    },
 
     "x30_dataset_card" ->
       s"""WITH ${gopherFlagSqlCte("doc_id, source, lang")},

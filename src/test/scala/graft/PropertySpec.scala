@@ -783,4 +783,27 @@ class PropertySpec extends SparkSpec {
     // singletons carry full weight
     assert(byComp.filter(_._2.length == 1).forall(_._2.head._4 == 1.0))
   }
+
+  test("BPE merges (x31): election is the true argmax and iteration 2 " +
+      "sees the rewritten corpus (incl. the consecutive-run relaxation)") {
+    import spark.implicits._
+    // planted: (a,b) dominates; one doc is the consecutive run "a b a b"
+    // whose FIRST occurrence only merges (space consumed by the match —
+    // deterministic both engines, documented relaxation)
+    val docs = Seq(
+      (0L, "a b c a b"),
+      (1L, "a b a b"),
+      (2L, "x a b y"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val got = graft.queries.TextAnalytics.bpeMerges(docs, 2)
+      .as[(Int, String, String, Long, String)].collect().sortBy(_._1)
+    // iteration 1: (a,b) appears 5 times — in doc1 "a b a b" BOTH
+    // adjacent (a,b) pairs count (pair counting is over tokens)
+    assert(got(0) == ((1, "a", "b", 5L, "a_b")), s"iter1=${got(0)}")
+    // after rewrite: doc0 "a_b c a_b", doc1 "a_b a b" (run relaxation:
+    // second occurrence's leading space was consumed), doc2 "x a_b y"
+    // → iteration-2 pairs: (a_b,c) 1, (c,a_b) 1, (a_b,a) 1, (a,b) 1,
+    //   (x,a_b) 1, (a_b,y) 1, (c,c) 2 → argmax (c,c) n=2
+    assert(got(1) == ((2, "c", "c", 2L, "c_c")), s"iter2=${got(1)}")
+  }
 }
