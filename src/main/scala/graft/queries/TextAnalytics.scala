@@ -1198,9 +1198,15 @@ object TextAnalytics extends QueryModule {
     "x17_hash_embedding" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      // norm via a doc-partitioned window over ONE doc-clustered
-      // exchange (round-10 pattern): the former norms aggregate +
-      // doc-keyed join-back consumed the (doc, dim) frame twice
+      // Round-11 rework of the round-10 single-repartition shape: the
+      // explicit repartition(doc_id) BEFORE the aggregate shuffled the
+      // RAW TOKEN-INSTANCE stream (40-60 rows/doc) and, worse, disabled
+      // map-side partial aggregation. Letting the (doc_id, dim) hash
+      // agg plan its own exchange restores the partial combine — at
+      // most 16 rows/doc cross the wire — and the norm window then
+      // re-clusters the tiny aggregated frame on doc_id. Two exchanges,
+      // but both carry ≤16 rows/doc instead of one carrying every
+      // token: strictly less shuffle volume at any corpus size.
       Tables.documents(s, dir)
         .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
         .select($"doc_id",
@@ -1208,7 +1214,6 @@ object TextAnalytics extends QueryModule {
             lit(4294967296L)).as("h"))
         .select($"doc_id", ($"h" % 16).as("dim"),
           (shiftright($"h", 16).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
-        .repartition($"doc_id") // serves the agg AND the norm window
         .groupBy($"doc_id", $"dim").agg(sum($"sign").as("raw"))
         .withColumn("norm",
           sqrt(sum($"raw" * $"raw").over(Window.partitionBy($"doc_id"))

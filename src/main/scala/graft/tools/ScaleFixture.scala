@@ -196,7 +196,10 @@ object ScaleFixture {
     genDocuments(spark, tenX, 10)
     genDocuments(spark, hundredX, 100)
     val queries = Seq("x14_unigram_logprob", "x16_bigram_logprob",
-      "d12_ngram_novelty")
+      "d12_ngram_novelty",
+      // round-11 continuation: the current steepest first-decade slopes
+      "x17_hash_embedding", "x25_shard_manifest", "x20_dsir_weights",
+      "d18_incremental_dedup", "x29_interp_lm")
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, tenX).count())
     val t10 = queries.map(q => q -> time(q, tenX)).toMap
     val t100 = queries.map(q => q -> time(q, hundredX)).toMap

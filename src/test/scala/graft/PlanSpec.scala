@@ -181,23 +181,30 @@ class PlanSpec extends SparkSpec {
   test("x17/t6: per-group stats ride clustered windows — no derived-frame join") {
     // Round-10: x17's norm and t6's sketch cells were aggregates joined
     // back onto their own input frame (double-computed under divergent
-    // pruning). Each final plan must now show ONE clustering repartition,
-    // ONE corpus scan (t6's 1-row total branch REUSES the vocab-counts
-    // exchange, so even its second branch costs no scan), and no
-    // hash/merge join at all.
-    for ((q, scans) <- Seq("x17_hash_embedding" -> 1,
-        "t6_cms_heavy_hitters" -> 1)) {
+    // pruning). Round-11 refinement for x17: the explicit
+    // repartition(doc_id) BEFORE its aggregate shuffled the raw
+    // token-instance stream AND disabled map-side combine — now the
+    // (doc_id, dim) hash agg plans its own exchange (partial_sum
+    // asserted) and the norm window re-clusters the ≤16-rows/doc
+    // aggregated frame. t6 keeps the single explicit clustering.
+    for ((q, scans, reparts) <- Seq(("x17_hash_embedding", 1, 0),
+        ("t6_cms_heavy_hitters", 1, 1))) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
-        s"$q: expected exactly one clustering repartition:\n$p")
+      assert("REPARTITION_BY_COL".r.findAllIn(p).size == reparts,
+        s"$q: unexpected clustering-repartition count:\n$p")
       assert("FileScan parquet".r.findAllIn(p).size == scans,
         s"$q: unexpected scan count (branch recompute crept back?):\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
         s"$q: no derived-frame join expected:\n$p")
     }
+    // the restored map-side combine is the point of the x17 shape
+    val p17 = SparkEntry.queries("x17_hash_embedding")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p17.contains("partial_sum"),
+      s"x17: map-side partial aggregation must be restored:\n$p17")
   }
 
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
