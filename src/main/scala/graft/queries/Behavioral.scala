@@ -214,12 +214,17 @@ object Behavioral extends QueryModule {
       val ev = Tables.events(s, dir)
         .withColumn("w", window($"ts", "1 hour"))
       // the window's mean user-total attaches as a w-partitioned window
-      // over the user-totals stream (round-10 pattern): one
-      // repartition(w) serves the per-user agg AND the mean — the old
-      // mean-aggregate + join-back consumed userTotals twice. Same
-      // decimal arithmetic as the former dsum/count aggregate pair.
+      // over the user-totals stream. Round-11 refinement of the
+      // round-10 single-repartition shape: the explicit repartition(w)
+      // clustered the RAW event stream by window alone — one task per
+      // hour (a straggler at 100 TB: an hour of web events is billions
+      // of rows) AND no map-side combine for the (w, user) agg. Now the
+      // agg plans its own (w, user_id) exchange with partial combine
+      // (≤1 row per (w, user) per map partition) and the mean window
+      // re-clusters only the user-totals frame — both exchanges bounded,
+      // no per-hour hot partition. Same decimal arithmetic as the
+      // former dsum/count aggregate pair.
       val spammers = ev
-        .repartition($"w")
         .groupBy($"w", $"user_id")
         .agg(dsum($"value").as("user_total"))
         .withColumn("mean_total",

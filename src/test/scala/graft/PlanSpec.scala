@@ -407,6 +407,19 @@ class PlanSpec extends SparkSpec {
       s"adjacency must stay an equi-join:\n$p")
   }
 
+  test("j6w_windowed_anti: map-side combine on (w, user), no per-hour clustering") {
+    val df = SparkEntry.queries("j6w_windowed_anti")(spark,
+      "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("REPARTITION_BY_COL"),
+      s"no explicit window-only clustering (per-hour hot partition):\n$p")
+    assert(p.contains("partial_"),
+      s"the (w, user) agg must combine map-side:\n$p")
+    assert(p.contains("LeftAnti"), s"spammer exclusion is an anti-join:\n$p")
+  }
+
   test("v3_knn_lsh: fused cosine stays inside a codegen span, no HOF lambdas") {
     val df = SparkEntry.queries("v3_knn_lsh")(spark, dir)
     df.collect() // finalize AQE so codegen spans materialize
