@@ -836,6 +836,89 @@ object Similarity extends QueryModule {
           Seq($"sim".desc, $"vec_id"), K)
         .select($"q_id", $"vec_id", $"sim", $"rank")
     },
+
+    // V17: PQ CODEBOOK TRAINING — the per-subspace k-means step v9's
+    // stand-in codebook presupposes (FAISS trains PQ exactly this way:
+    // independent Lloyd runs over each subspace's 8-dim slices). One
+    // update round from the v9 init: assign every (vector, subspace)
+    // slice to its argmin-L2² cell (a JIT broadcast scan — the x28/
+    // k-means constant-driver-state doctrine; the collected update is
+    // ≤ M·Kcb·sub = 1024 decimal-exact dimension means), re-assign
+    // against the trained cells, and report per-cell occupancy plus a
+    // round-6 centroid component-sum fingerprint. Distances fold in
+    // index order (pqCodeJvm's exact loop), ties elect the smaller
+    // cell id, centroid means accumulate in DECIMAL — the oracle
+    // replays every step bit-for-bit. Scale shape: 2 corpus scans +
+    // ONE bounded (m, cid, j) aggregate + a 128-row stats join; the
+    // corpus never shuffles.
+    "v17_pq_train" -> { (s, dir) =>
+      import s.implicits._
+      val M = 8; val sub = 8; val Kcb = 16
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+      // candidate lists per subspace: (cid, centroid), ascending cid —
+      // iteration order + strictly-less argmin = smaller-cid ties
+      def assign(cands: Array[Array[(Int, Array[Double])]]) = {
+        val bc = s.sparkContext.broadcast(cands)
+        corpus.mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (_, e) =>
+            (0 until M).iterator.map { m =>
+              val cm = cs(m)
+              var best = Double.PositiveInfinity; var bestK = -1
+              var k = 0
+              while (k < cm.length) {
+                val c = cm(k)._2; var acc = 0.0; var j = 0
+                while (j < sub) {
+                  val d = e(m * sub + j).toDouble - c(j); acc += d * d
+                  j += 1
+                }
+                if (acc < best) { best = acc; bestK = cm(k)._1 }
+                k += 1
+              }
+              (m, bestK, e.slice(m * sub, (m + 1) * sub).toSeq)
+            }
+          }
+        }.toDF("m", "cid", "sv")
+      }
+      val init: Array[Array[(Int, Array[Double])]] = {
+        val cb = corpus.filter(_._1 < Kcb).collect().sortBy(_._1)
+        Array.tabulate(M)(m => Array.tabulate(Kcb)(k =>
+          (k, Array.tabulate(sub)(j => cb(k)._2(m * sub + j).toDouble))))
+      }
+      // Lloyd update: decimal-exact per-dimension means, bounded collect
+      val meanRows = assign(init)
+        .select($"m", $"cid", posexplode($"sv").as(Seq("j", "v")))
+        .groupBy($"m", $"cid", $"j")
+        .agg((sum($"v".cast("double").cast("decimal(22,8)")).cast("double") /
+          count(lit(1))).as("cm"))
+        .collect() // ≤ M·Kcb·sub = 1024 rows: constant driver state
+      val cands1: Array[Array[(Int, Array[Double])]] =
+        Array.tabulate(M) { m =>
+          meanRows.filter(_.getInt(0) == m)
+            .groupBy(_.getInt(1)).toArray.sortBy(_._1)
+            .map { case (cid, rows) =>
+              val c = new Array[Double](sub)
+              rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+              (cid, c)
+            }
+        }
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val csums = cands1.zipWithIndex.flatMap { case (cm, m) =>
+        cm.map { case (cid, c) =>
+          var acc = 0.0; var j = 0
+          while (j < sub) { acc += c(j); j += 1 }
+          (m, cid, round6(acc))
+        }
+      }.toSeq.toDF("m", "cid", "c_sum")
+      assign(cands1)
+        .groupBy($"m", $"cid").agg(count(lit(1)).as("n_assigned"))
+        .join(broadcast(csums), Seq("m", "cid")) // 128-row stats join
+        .select($"m".cast("long").as("m"), $"cid".cast("long").as("cid"),
+          $"n_assigned", $"c_sum")
+    },
   )
 
   /** The v15 greedy MMR core over a (q_id, vec_id, sim, embedding)
@@ -1026,6 +1109,57 @@ object Similarity extends QueryModule {
       |    ORDER BY dist, k) AS r FROM grid)
       |WHERE r = 1""".stripMargin
 
+  /** Index-order L2² fold over two zipped lists (the pqCodeJvm loop). */
+  private def l2ListSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b),
+       |    p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+       |       * (p[1]::DOUBLE - p[2]::DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** v17: per-subspace Lloyd round from the v9 init, replayed with the
+    * same decimal means / index-order distance folds / smaller-cid ties
+    * as the Spark side.
+    */
+  private def v17Sql: String =
+    s"""WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+       |sv AS (
+       |  SELECT e.vec_id, ms.m,
+       |    list_slice(e.embedding, ms.m*8+1, ms.m*8+8) AS sv
+       |  FROM embeddings e CROSS JOIN ms),
+       |c0 AS (SELECT m, vec_id AS cid, sv AS c FROM sv WHERE vec_id < 16),
+       |a0 AS (
+       |  SELECT vec_id, m, cid, sv FROM (
+       |    SELECT s.vec_id, s.m, c.cid, s.sv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2ListSql("s.sv", "c.c")}, c.cid) AS r
+       |    FROM sv s JOIN c0 c ON s.m = c.m)
+       |  WHERE r = 1),
+       |dm AS (
+       |  SELECT m, cid, j,
+       |    CAST(sum(CAST(sv[j]::DOUBLE AS DECIMAL(22,8))) AS DOUBLE)
+       |      / count(*) AS cm
+       |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) js
+       |  GROUP BY 1, 2, 3),
+       |c1 AS (SELECT m, cid, list(cm ORDER BY j) AS c FROM dm GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2ListSql("s.sv", "c.c")}, c.cid) AS r
+       |    FROM sv s JOIN c1 c ON s.m = c.m)
+       |  WHERE r = 1),
+       |cs AS (
+       |  SELECT m, cid,
+       |    round(CAST(list_reduce(list_prepend(0.0::DOUBLE, c),
+       |      (x, y) -> x + y) AS DOUBLE), 6) AS c_sum
+       |  FROM c1),
+       |cnt AS (
+       |  SELECT m, cid, count(*)::BIGINT AS n_assigned
+       |  FROM a1 GROUP BY 1, 2)
+       |SELECT cnt.m::BIGINT AS m, cnt.cid::BIGINT AS cid, n_assigned, c_sum
+       |FROM cnt JOIN cs USING (m, cid)""".stripMargin
+
   private def v12Sql: String = {
     val probeList = ("bucket" +: (0 until NumPlanes).map(i =>
       s"xor(bucket, ${1L << i})")).mkString(", ")
@@ -1118,6 +1252,8 @@ object Similarity extends QueryModule {
     "v15_mmr_rerank" -> v15Sql,
 
     "v16_hard_negatives" -> v16Sql,
+
+    "v17_pq_train" -> v17Sql,
 
     "v12_knn_multiprobe" -> v12Sql,
 

@@ -302,7 +302,7 @@ object ScaleFixture {
       "x28_classifier_train",
       // round-11 third batch: hard negatives, interpolated LM, host filter
       "v16_hard_negatives", "x29_interp_lm", "d31_host_filter",
-      "x30_dataset_card", "d32_dup_weights", "x31_bpe_merges")
+      "x30_dataset_card", "d32_dup_weights", "x31_bpe_merges", "v17_pq_train")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

@@ -784,6 +784,57 @@ class PropertySpec extends SparkSpec {
     assert(byComp.filter(_._2.length == 1).forall(_._2.head._4 == 1.0))
   }
 
+  test("PQ training (v17): occupancy partitions the corpus per subspace; " +
+      "subspace 0 replays exactly (init assign -> decimal means -> reassign)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("v17_pq_train")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val corpus = graft.core.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    // every subspace's cells partition the corpus
+    out.groupBy(_._1).foreach { case (m, rows) =>
+      assert(rows.map(_._3).sum == corpus.length, s"subspace $m occupancy")
+    }
+    // full JVM replay of subspace 0: init assign → decimal means → reassign
+    val sub = 8
+    val subvecs = corpus.map { case (id, e) => (id, e.take(sub)) }
+    def argmin(e: Array[Float], cands: Seq[(Int, Array[Double])]): Int = {
+      var best = Double.PositiveInfinity; var bk = -1
+      cands.foreach { case (cid, c) =>
+        var acc = 0.0; var j = 0
+        while (j < sub) { val d = e(j).toDouble - c(j); acc += d * d; j += 1 }
+        if (acc < best) { best = acc; bk = cid }
+      }
+      bk
+    }
+    val init = (0 until 16).map(k =>
+      (k, subvecs(k)._2.map(_.toDouble)))
+    val byCell = subvecs.groupBy { case (_, e) => argmin(e, init) }
+    val cents1 = byCell.toSeq.sortBy(_._1).map { case (cid, members) =>
+      (cid, Array.tabulate(sub) { j =>
+        val s = members.foldLeft(BigDecimal(0)) { (acc, m) =>
+          acc + BigDecimal(m._2(j).toDouble).setScale(8,
+            BigDecimal.RoundingMode.HALF_UP)
+        }
+        s.toDouble / members.length // decimal sum → double, then one division
+      })
+    }
+    val wantCounts = subvecs.groupBy { case (_, e) => argmin(e, cents1) }
+      .map { case (cid, ms) => cid.toLong -> ms.length.toLong }
+    val wantSums = cents1.map { case (cid, c) =>
+      cid.toLong -> BigDecimal(c.sum).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val m0 = out.filter(_._1 == 0L)
+    assert(m0.map(r => r._2 -> r._3).toMap == wantCounts,
+      "subspace-0 occupancy must replay exactly")
+    m0.foreach { case (_, cid, _, cSum) =>
+      assert(cSum == wantSums(cid), s"c_sum mismatch for cell $cid")
+    }
+  }
+
   test("BPE merges (x31): election is the true argmax and iteration 2 " +
       "sees the rewritten corpus (incl. the consecutive-run relaxation)") {
     import spark.implicits._
