@@ -72,8 +72,12 @@ object TextAnalytics extends QueryModule {
         aggregate(toks, lit(0L), (a, w) => a + length(w)).as("sumlen"),
         size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
           .as("alpha_n"),
-        size(filter(array(stops.map(lit): _*),
-          st => array_contains(toks, st))).cast("long").as("stop_n"),
+        // array_intersect, NOT filter(stops, st => contains(toks, st)):
+        // a lambda capturing `toks` re-evaluates the tokenize per stop
+        // word (18 splits/row — the x31 O(len²) bug class); intersect
+        // evaluates both inputs once, same distinct-stopword count
+        size(array_intersect(array(stops.map(lit): _*), toks))
+          .cast("long").as("stop_n"),
         length($"text").cast("long").as("n_chars"),
         (length($"text") -
           length(regexp_replace($"text", "[#…]", ""))).cast("long")
@@ -1613,14 +1617,17 @@ object TextAnalytics extends QueryModule {
       concat(lit(" "), concat_ws(" ", TextFunctions.wsTokens($"text")),
         lit(" ")).as("t"))
     val rows = (1 to iters).map { it =>
-      val toks = TextFunctions.wsTokens($"t")
+      // ts MUST be its own projection before the lambda references it
+      // (the x16 shape): element_at(<raw split expr>, i) inside the
+      // transform lambda re-tokenizes the whole string per element —
+      // O(len²) per row, measured 10× slower at sf0.1
       val top = cur
-        .select(explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("b"))
+        .select(TextFunctions.wsTokens($"t").as("ts"))
+        .filter(size($"ts") >= 2)
+        .select(explode(
+          transform(sequence(lit(1), size($"ts") - 1),
+            i => struct(element_at($"ts", i).as("w1"),
+              element_at($"ts", i + 1).as("w2")))).as("b"))
         .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy($"n_pairs".desc, $"w1".asc, $"w2".asc)
