@@ -146,7 +146,7 @@ object Multimodal {
       */
     def dHash(payload: Array[Byte]): Long = dHashOf(decodeOrThrow(payload))
 
-    private[multimodal] def dHashOf(img: BufferedImage): Long = {
+    private[graft] def dHashOf(img: BufferedImage): Long = {
       val out = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
       try {

@@ -419,6 +419,54 @@ object StreamOps {
           .as("band"))
       .withWatermark("ts", s"$horizonMs milliseconds")
       .select($"band", $"docId", $"ts").as[BandRow]
+    bandOwnerVerdicts(bands, horizonMs)
+  }
+
+  /** STREAMING IMAGE near-dedup — [[streamingNearDedup]]'s multimodal
+    * sibling: band keys are the 4×16-bit slices of the decoded image's
+    * 64-bit dHash (the batch `Multimodal.imageNearDupPairs` blocking
+    * key, bit-identical), computed in a typed flatMap — one decode per
+    * frame, undecodable payloads drop (the P13 tolerant shape, so a
+    * corrupt upload can never wedge the stream). The band-owner state
+    * machine, expiry layers, and per-image verdict fold are SHARED with
+    * the text path ([[bandOwnerVerdicts]] — one definition); at ingest
+    * scale the state is bounded by distinct band values seen per
+    * horizon and pixels never enter the state store — only the 20-byte
+    * band rows do.
+    */
+  def streamingImageDedup(media: DataFrame, tsCol: String, idCol: String,
+                          payloadCol: String, horizonMs: Long)
+                         (implicit spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false") // safe: the bandOwnerVerdicts invariant (scaladoc above)
+    val bands = media
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .flatMap { case (id, ts, payload) =>
+        graft.multimodal.Multimodal.ImageCodec.decode(payload).toSeq
+          .flatMap { img =>
+            val h = graft.multimodal.Multimodal.ImageCodec.dHashOf(img)
+            (0 until 4).map(b =>
+              BandRow(s"$b|${(h >>> (b * 16)) & 0xffffL}", id, ts))
+          }
+      }
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    bandOwnerVerdicts(bands, horizonMs)
+  }
+
+  /** The shared band-owner dedup core: first-seen doc claims each band,
+    * later docs landing on an owned band within `horizonMs` get a hit,
+    * per-(doc, ts) fold emits (doc_id, ts, n_band_hits, dup_of). See
+    * [[streamingNearDedup]] for the expiry and watermark-safety
+    * doctrine.
+    */
+  private def bandOwnerVerdicts(bands: Dataset[BandRow], horizonMs: Long)
+      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
     val verdicts = bands.groupByKey(_.band)
       .flatMapGroupsWithState[BandOwner, BandVerdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -655,4 +655,50 @@ class StreamOpsSpec extends SparkSpec {
         gotW2.contains(("f", "flourish", 1L)), s"window 2 mix: $gotW2")
     } finally q.stop()
   }
+
+  test("streaming image dedup: re-upload hits all 4 dHash bands, distinct " +
+      "images are novel, corrupt payloads drop without wedging the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def png(seed: Int): Array[Byte] = {
+      val rng = new scala.util.Random(seed * 7919L + 5)
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (by <- 0 until 6; bx <- 0 until 8) {
+        val c = rng.nextInt(0xffffff)
+        for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+          img.setRGB(x, y, c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val out = graft.streaming.StreamOps.streamingImageDedup(
+      in.toDF().toDF("ts", "media_id", "payload"),
+      "ts", "media_id", "payload", horizonMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("simg_test")
+      .outputMode("append").start()
+    try {
+      // A, a byte-identical re-upload of A, a distinct image, garbage
+      in.addData((ts(0), 0L, png(1)), (ts(0, 20), 1L, png(1)),
+        (ts(0, 40), 2L, png(2)), (ts(0, 50), 3L, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+      // advance the watermark so the batch-1 rows emit
+      in.addData((ts(5), 9L, png(3)))
+      q.processAllAvailable()
+      in.addData((ts(10), 10L, png(4)))
+      q.processAllAvailable()
+      val got = spark.table("simg_test")
+        .select($"doc_id", $"n_band_hits",
+          coalesce($"dup_of", lit(-1L)).as("dup_of"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got(0L) == ((0L, -1L)), s"first upload is novel: $got")
+      assert(got(1L) == ((4L, 0L)),
+        s"byte-identical re-upload must hit all 4 bands with dup_of=0: $got")
+      assert(got(2L) == ((0L, -1L)), s"distinct image is novel: $got")
+      assert(!got.contains(3L), s"corrupt payload must produce no row: $got")
+    } finally q.stop()
+  }
 }
