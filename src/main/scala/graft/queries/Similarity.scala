@@ -919,6 +919,43 @@ object Similarity extends QueryModule {
         .select($"m".cast("long").as("m"), $"cid".cast("long").as("cid"),
           $"n_assigned", $"c_sum")
     },
+
+    // V18: cluster-balanced diversity sample — keep Q vectors per
+    // k-means cluster, picked by a deterministic multiplicative hash of
+    // vec_id (Knuth 2654435761), so the quota sample is reproducible
+    // and uniform WITHIN each semantic cluster: the curation complement
+    // of d19 (d19 drops redundancy inside a cluster; v18 enforces a
+    // spread ACROSS clusters — the coreset/quota shape SemDeDup-style
+    // pipelines follow the dedup stage with). Third consumer of the
+    // session's ONE pinned Lloyd assignment (v6 + d19 + v18 share it),
+    // which is exactly how the pin's 2-round cost amortizes. Scale
+    // shape: selection runs through the bounded-buffer TopKAggregator
+    // keyed on cid — ≤Q rows per cluster per map partition cross the
+    // exchange — NOT a rank window over the cluster, whose partitions
+    // are corpus/K-sized at 100 TB. (The hash product stays exact in
+    // Long for vec_id < 2^32 — beyond that, widen to a 128-bit or
+    // xxhash64 pick on BOTH sides of the parity contract.)
+    "v18_cluster_sample" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Scored, TopKAggregator}
+      val Q = 12
+      sharedKmeansAssign(s, dir, KmK)
+        .select($"vec_id", $"cid")
+        .as[(Long, Long)]
+        .groupByKey(_._2)
+        .mapValues { case (vid, _) =>
+          // score desc ≡ hash asc; the hash is injective on vec_id
+          // (odd multiplier mod 2^32), so ties cannot occur
+          Scored(-((vid * 2654435761L) % 4294967296L).toDouble, vid)
+        }
+        .agg(new TopKAggregator(Q).toColumn.name("top"))
+        .flatMap { case (cid, top) =>
+          top.zipWithIndex.map { case (sc, i) =>
+            (sc.id, cid, (i + 1).toLong)
+          }
+        }
+        .toDF("vec_id", "cid", "srank")
+    },
   )
 
   /** The v15 greedy MMR core over a (q_id, vec_id, sim, embedding)
@@ -1254,6 +1291,16 @@ object Similarity extends QueryModule {
     "v16_hard_negatives" -> v16Sql,
 
     "v17_pq_train" -> v17Sql,
+
+    "v18_cluster_sample" ->
+      s"""WITH $kmeansCteSql
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+         |  CAST(srank AS BIGINT) AS srank
+         |FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+         |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS srank
+         |  FROM assign1)
+         |WHERE srank <= 12""".stripMargin,
 
     "v12_knn_multiprobe" -> v12Sql,
 

@@ -857,4 +857,34 @@ class PropertySpec extends SparkSpec {
     //   (x,a_b) 1, (a_b,y) 1, (c,c) 2 → argmax (c,c) n=2
     assert(got(1) == ((2, "c", "c", 2L, "c_c")), s"iter2=${got(1)}")
   }
+
+  test("cluster sample (v18): bounded-buffer pick == rank-window pick, " +
+      "quota and determinism hold per cluster") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("v18_cluster_sample")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    // independent formulation: rank window over the same shared assignment
+    val assign = graft.queries.Similarity
+      .sharedKmeansAssign(spark, dir, 8)
+      .select($"vec_id", $"cid".cast("bigint").as("cid"))
+      .as[(Long, Long)].collect()
+    val want = assign.groupBy(_._2).toSeq.flatMap { case (cid, rows) =>
+      rows.map(_._1)
+        .sortBy(vid => ((vid * 2654435761L) % 4294967296L, vid))
+        .take(12).zipWithIndex
+        .map { case (vid, i) => (vid, cid, (i + 1).toLong) }
+    }
+    assert(got.toSet == want.toSet, "aggregator pick != window pick")
+    // quota: ≤12 per cluster, ranks contiguous from 1
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.length <= 12, s"cluster $cid over quota")
+      assert(rows.map(_._3).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"cluster $cid ranks not 1..n")
+    }
+    // deterministic: a second run is identical
+    val again = graft.SparkEntry.queries("v18_cluster_sample")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet, "sample not reproducible")
+  }
 }
