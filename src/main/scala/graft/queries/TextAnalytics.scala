@@ -1603,19 +1603,41 @@ object TextAnalytics extends QueryModule {
     // strict greedy BPE). Ties elect (n desc, w1 asc, w2 asc) — a
     // total order. All-integer outputs: zero float-parity surface.
     "x31_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir), 2)),
+
+    // X32: BPE ENCODE — the APPLY side of x31's tokenizer training, the
+    // pass a pipeline runs over the whole corpus once the merge table is
+    // frozen: rewrite every document with the learned merges and report
+    // per-doc raw/post-merge token counts + compression ratio (the
+    // token-budget input x12/x25 consume; tokenizer-aware budgeting
+    // needs POST-merge counts, not whitespace counts). Plan: the merge
+    // table rides the SAME training loop (2 one-row collects, constant
+    // driver state); encoding is the loop's final rewritten frame — a
+    // chain of rowwise literal replaces, ZERO additional shuffles or
+    // joins (n_raw is carried through the projections from the first
+    // tokenize, so the stats pass needs no corpus join-back). At 100 TB
+    // the encode is embarrassingly parallel: one corpus map per merge
+    // batch. Parity: counts integer-exact; ratio is one IEEE division
+    // of exact integers, round-6; zero-token docs pin ratio = 1.0 by
+    // the shared guard.
+    "x32_bpe_encode" -> ((s, dir) => bpeEncode(Tables.documents(s, dir), 2)),
   )
 
-  /** x31 core — `iters` BPE merge-learning iterations over an arbitrary
-    * (doc_id, text) frame (see the x31 scale notes in the queries map).
-    * Factored so PropertySpec can replay the election and the merge
-    * rewrite on a planted corpus.
+  /** x31/x32 shared core — `iters` BPE merge-learning iterations over an
+    * arbitrary (doc_id, text) frame (see the x31 scale notes in the
+    * queries map). Returns both the elected merge table AND the final
+    * rewritten space-padded corpus (doc_id, n_raw, t), so the encode
+    * side (x32) is the training loop's by-product, never a replay.
+    * `n_raw` rides the corpus projections from the start — the final
+    * stats need no corpus-sized join-back.
     */
-  private[graft] def bpeMerges(docs: DataFrame, iters: Int): DataFrame = {
+  private def bpeLoop(docs: DataFrame, iters: Int)
+      : (Seq[(Int, String, String, Long, String)], DataFrame) = {
     val sess = docs.sparkSession
     import sess.implicits._
-    var cur = docs.select($"doc_id",
-      concat(lit(" "), concat_ws(" ", TextFunctions.wsTokens($"text")),
-        lit(" ")).as("t"))
+    val toks0 = docs.select($"doc_id",
+      TextFunctions.wsTokens($"text").as("ts0"))
+    var cur = toks0.select($"doc_id", size($"ts0").as("n_raw"),
+      concat(lit(" "), concat_ws(" ", $"ts0"), lit(" ")).as("t"))
     val rows = (1 to iters).map { it =>
       // ts MUST be its own projection before the lambda references it
       // (the x16 shape): element_at(<raw split expr>, i) inside the
@@ -1633,12 +1655,39 @@ object TextAnalytics extends QueryModule {
         .orderBy($"n_pairs".desc, $"w1".asc, $"w2".asc)
         .limit(1).head() // 1-row collect: constant driver state
       val (w1, w2, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      cur = cur.select($"doc_id",
+      cur = cur.select($"doc_id", $"n_raw",
         call_function("replace", $"t",
           lit(s" $w1 $w2 "), lit(s" ${w1}_$w2 ")).as("t"))
       (it, w1, w2, n, s"${w1}_$w2")
     }
-    rows.toDF("iter", "w1", "w2", "n_pairs", "merged")
+    (rows, cur)
+  }
+
+  /** x31 core — the elected merge table. Factored so PropertySpec can
+    * replay the election and the merge rewrite on a planted corpus.
+    */
+  private[graft] def bpeMerges(docs: DataFrame, iters: Int): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    bpeLoop(docs, iters)._1.toDF("iter", "w1", "w2", "n_pairs", "merged")
+  }
+
+  /** x32 core — ENCODE with the learned merges: per-doc raw/post-merge
+    * token counts and the compression ratio. Zero-token docs keep
+    * ratio 1.0 (nothing to compress — the divide-by-zero guard both
+    * engines share).
+    */
+  private[graft] def bpeEncode(docs: DataFrame, iters: Int): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val (_, cur) = bpeLoop(docs, iters)
+    cur.select($"doc_id", $"n_raw".cast("long").as("n_raw"),
+        size(TextFunctions.wsTokens($"t")).cast("long").as("n_bpe"))
+      .select($"doc_id", $"n_raw", $"n_bpe",
+        ($"n_raw" - $"n_bpe").as("n_merged"),
+        when($"n_raw" === 0, lit(1.0))
+          .otherwise(round($"n_bpe".cast("double") /
+            $"n_raw".cast("double"), 6)).as("ratio"))
   }
 
   /** x29 core — Jelinek-Mercer interpolated bigram LM score
@@ -2464,6 +2513,43 @@ object TextAnalytics extends QueryModule {
          |    w1 || '_' || w2 AS merged FROM b1
          |  UNION ALL
          |  SELECT 2, w1, w2, n, w1 || '_' || w2 FROM b2)""".stripMargin
+    },
+
+    "x32_bpe_encode" -> {
+      def pairs(src: String, out: String): String =
+        s"""$out AS (
+           |  SELECT w1, w2, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+           |           unnest(list_slice(tk, 2, len(tk))) AS w2
+           |    FROM (SELECT ${ws("t")} AS tk FROM $src)
+           |    WHERE len(tk) >= 2)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH t0 AS (
+         |  SELECT doc_id, len(${ws("text")})::BIGINT AS n_raw,
+         |    ' ' || array_to_string(${ws("text")}, ' ') || ' ' AS t
+         |  FROM documents),
+         |${pairs("t0", "p1")},
+         |b1 AS (SELECT w1, w2, n FROM p1 ORDER BY n DESC, w1, w2 LIMIT 1),
+         |t1 AS (
+         |  SELECT doc_id, n_raw, replace(t,
+         |    ' ' || (SELECT w1 FROM b1) || ' ' || (SELECT w2 FROM b1) || ' ',
+         |    ' ' || (SELECT w1 FROM b1) || '_' || (SELECT w2 FROM b1) || ' ')
+         |    AS t
+         |  FROM t0),
+         |${pairs("t1", "p2")},
+         |b2 AS (SELECT w1, w2, n FROM p2 ORDER BY n DESC, w1, w2 LIMIT 1),
+         |t2 AS (
+         |  SELECT doc_id, n_raw, replace(t,
+         |    ' ' || (SELECT w1 FROM b2) || ' ' || (SELECT w2 FROM b2) || ' ',
+         |    ' ' || (SELECT w1 FROM b2) || '_' || (SELECT w2 FROM b2) || ' ')
+         |    AS t
+         |  FROM t1)
+         |SELECT doc_id, n_raw, len(${ws("t")})::BIGINT AS n_bpe,
+         |  n_raw - len(${ws("t")})::BIGINT AS n_merged,
+         |  CASE WHEN n_raw = 0 THEN 1.0
+         |    ELSE round(len(${ws("t")})::DOUBLE / n_raw::DOUBLE, 6)
+         |  END AS ratio
+         |FROM t2""".stripMargin
     },
 
     "x30_dataset_card" ->

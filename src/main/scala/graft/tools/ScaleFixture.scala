@@ -182,6 +182,10 @@ object ScaleFixture {
     if (mode == "all" || mode == "skew") runSkew(spark, root, time)
     if (mode == "all" || mode == "x25") runX25(spark, root, time)
     if (mode == "decade2") runDecade2(spark, root, time)
+    // "q:<name>,<name>…" — slope just the named document-family queries
+    // (targeted reruns for newly-added ops without the full core sweep)
+    if (mode.startsWith("q:")) runNamed(spark, root, time,
+      mode.stripPrefix("q:").split(",").toSeq)
     spark.stop()
   }
 
@@ -269,6 +273,22 @@ object ScaleFixture {
     spark.conf.unset(graft.queries.TextAnalytics.SaltedSkewKey)
   }
 
+  private def runNamed(spark: SparkSession, root: String,
+      time: (String, String) => Double, queries: Seq[String]): Unit = {
+    val oneX = s"$root/x1"
+    val tenX = s"$root/x10"
+    genDocuments(spark, oneX, 1); genEmbeddings(spark, oneX, 1)
+    genDocuments(spark, tenX, 10); genEmbeddings(spark, tenX, 10)
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
+    graft.queries.Dedup.evictCaches(spark)
+    graft.queries.Similarity.evictCaches(spark)
+    val t1 = queries.map(q => q -> time(q, oneX)).toMap
+    val t10 = queries.map(q => q -> time(q, tenX)).toMap
+    queries.foreach { q =>
+      println(f"scale,$q,${t1(q)}%.2f,${t10(q)}%.2f,${t10(q) / t1(q)}%.1f")
+    }
+  }
+
   private def runCore(spark: SparkSession, root: String,
       time: (String, String) => Double): Unit = {
     val oneX = s"$root/x1"
@@ -302,7 +322,10 @@ object ScaleFixture {
       "x28_classifier_train",
       // round-11 third batch: hard negatives, interpolated LM, host filter
       "v16_hard_negatives", "x29_interp_lm", "d31_host_filter",
-      "x30_dataset_card", "d32_dup_weights", "x31_bpe_merges", "v17_pq_train")
+      "x30_dataset_card", "d32_dup_weights", "x31_bpe_merges", "v17_pq_train",
+      // round-11 fifth batch: cluster-balanced diversity sample,
+      // BPE encode (the x31-apply corpus pass)
+      "v18_cluster_sample", "x32_bpe_encode")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

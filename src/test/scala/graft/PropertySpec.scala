@@ -858,6 +858,24 @@ class PropertySpec extends SparkSpec {
     assert(got(1) == ((2, "c", "c", 2L, "c_c")), s"iter2=${got(1)}")
   }
 
+  test("BPE encode (x32): per-doc counts replay the merges exactly, " +
+      "including the consecutive-run relaxation; empty doc pins ratio 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c a b"),  // → "a_b c a_b": 5 → 3
+      (1L, "a b a b"),    // → "a_b a b" (run relaxation): 4 → 3
+      (2L, "x a b y"),    // → "x a_b y": 4 → 3
+      (3L, "c c c"),      // iter2 (c,c) → "c_c c" (run relaxation): 3 → 2
+      (4L, "")).toDF("doc_id", "text") // 0 tokens → ratio 1.0 guard
+    val got = graft.queries.TextAnalytics.bpeEncode(docs, 2)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, 5L, 3L, 2L, 0.6)), s"doc0=${got(0)}")
+    assert(got(1) == ((1L, 4L, 3L, 1L, 0.75)), s"doc1=${got(1)}")
+    assert(got(2) == ((2L, 4L, 3L, 1L, 0.75)), s"doc2=${got(2)}")
+    assert(got(3) == ((3L, 3L, 2L, 1L, 0.666667)), s"doc3=${got(3)}")
+    assert(got(4) == ((4L, 0L, 0L, 0L, 1.0)), s"doc4=${got(4)}")
+  }
+
   test("cluster sample (v18): bounded-buffer pick == rank-window pick, " +
       "quota and determinism hold per cluster") {
     import spark.implicits._
