@@ -935,6 +935,47 @@ object Similarity extends QueryModule {
     // are corpus/K-sized at 100 TB. (The hash product stays exact in
     // Long for vec_id < 2^32 — beyond that, widen to a 128-bit or
     // xxhash64 pick on BOTH sides of the parity contract.)
+    // V19: INCREMENTAL IVF index maintenance — the d18-for-vectors: a
+    // frozen index (centroids = the first-10 convention v4/v14 serve
+    // queries against) absorbs a new ingest batch WITHOUT a rebuild.
+    // The base/increment split is d18's deterministic 50% hash-split
+    // stand-in; only increment rows are assigned (the JIT
+    // argmax-over-collected-centroids scan, kmeansAssign pattern — the
+    // centroid frame is constant-bounded, the increment never
+    // shuffles for the assignment), then ONE increment-sized hash agg
+    // counts per-cell additions, joined back broadcast — the signal an
+    // index operator watches for cell overflow / re-train triggers.
+    // Cost ∝ increment, never ∝ base — the whole point of incremental
+    // ingest. Parity: strict-> argmax replays row_number() OVER
+    // (ORDER BY csim DESC, cid); cosineJvm is the Catalyst fold
+    // bit-for-bit; counts integer-exact.
+    "v19_ivf_increment" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+      val centsArr = corpus.filter($"vec_id" < 10)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val inc = corpus
+        .filter(!graft.functions.HashFunctions.hashSample($"vec_id", 0.5))
+        .as[(Long, Array[Float])]
+      val assign = inc.mapPartitions { it =>
+        it.map { case (id, e) =>
+          var best = Double.NegativeInfinity
+          var bestC = centsArr.head._1
+          var i = 0
+          while (i < centsArr.length) {
+            val c = VectorFunctions.cosineJvm(e, centsArr(i)._2)
+            if (c > best) { best = c; bestC = centsArr(i)._1 }
+            i += 1
+          }
+          (id, bestC)
+        }
+      }.toDF("vec_id", "cid")
+      assign.join(
+        broadcast(assign.groupBy($"cid").agg(count(lit(1)).as("cell_n_new"))),
+        Seq("cid"))
+        .select($"vec_id", $"cid", $"cell_n_new")
+    },
+
     "v18_cluster_sample" -> { (s, dir) =>
       import s.implicits._
       import graft.operators.{Scored, TopKAggregator}
@@ -1291,6 +1332,25 @@ object Similarity extends QueryModule {
     "v16_hard_negatives" -> v16Sql,
 
     "v17_pq_train" -> v17Sql,
+
+    "v19_ivf_increment" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 10),
+         |inc AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE (${OracleFragments.knuthU32("vec_id")})
+         |    >= 2147483648),
+         |a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS r
+         |    FROM inc e CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |cn AS (SELECT cid, count(*)::BIGINT AS cell_n_new FROM a GROUP BY 1)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, cn.cell_n_new
+         |FROM a JOIN cn USING (cid)""".stripMargin,
 
     "v18_cluster_sample" ->
       s"""WITH $kmeansCteSql

@@ -203,7 +203,10 @@ object ScaleFixture {
       "d12_ngram_novelty",
       // round-11 continuation: the current steepest first-decade slopes
       "x17_hash_embedding", "x25_shard_manifest", "x20_dsir_weights",
-      "d18_incremental_dedup", "x29_interp_lm")
+      "d18_incremental_dedup", "x29_interp_lm",
+      // session 2: x31 is the steepest first-decade slope (5.9× — four
+      // corpus passes by construction); x32 rides the same loop
+      "x31_bpe_merges", "x32_bpe_encode")
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, tenX).count())
     val t10 = queries.map(q => q -> time(q, tenX)).toMap
     val t100 = queries.map(q => q -> time(q, hundredX)).toMap

@@ -508,4 +508,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "gradient agg must combine map-side")
     assert(!p.contains("ScalaUDF"), "feature math must stay codegen")
   }
+
+  test("v19_ivf_increment: assignment never shuffles — one agg exchange, " +
+      "broadcast join-back, no sort-merge join") {
+    val p = plan("v19_ivf_increment")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "at most the cell-count agg + broadcast prep may exchange:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the cell-count join-back must broadcast, not shuffle the increment")
+    assert(p.contains("BroadcastHashJoin"), "join-back must be broadcast")
+  }
 }
