@@ -1150,6 +1150,44 @@ object Dedup extends QueryModule {
         .select($"id".as("doc_id"), $"component", $"n_copies",
           (lit(1.0) / $"n_copies").as("weight"))
     },
+
+    // D33: DEDUP-AWARE TOKEN BUDGET — the per-source report a mixture
+    // builder actually budgets on: raw token counts overstate a
+    // source's contribution by its duplication factor, so the
+    // effective mass is Σ weight·n_tok under d32's soft weights
+    // (weight = 1/|LSH component|). A 40×-duplicated page contributes
+    // one document's tokens to its source's budget; x12/x21-style
+    // mixing should consume THESE totals, not the raw ones. Plan:
+    // rides the session's ONE banded pair-gen + CC fixpoint (the
+    // d26/d27/d32 pin) for the weights; token counts are one rowwise
+    // corpus map; the weight attachment is a doc_id equi-join of two
+    // corpus frames (linear, AQE-splittable — never keyed on a Zipf
+    // term), and the output is one ≤n_sources-row hash agg. Parity:
+    // counts integer-exact; each weight·n_tok product rounds at 9 and
+    // accumulates in DECIMAL (order-free), final round-6 — the x9/x13
+    // convention; dedup_ratio divides the decimal-summed mass by the
+    // exact raw total.
+    "d33_effective_tokens" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = lshDupComponents(s, dir)
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy($"component")))
+        .select($"id".as("doc_id"), (lit(1.0) / $"n_copies").as("weight"))
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          size(TextFunctions.wsTokens($"text")).cast("long").as("n_tok"))
+      toks.join(w, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("raw_tokens"),
+          sum(round($"weight" * $"n_tok", 9).cast("decimal(28,12)"))
+            .as("eff9"))
+        .select($"source", $"n_docs", $"raw_tokens",
+          round($"eff9".cast("double"), 6).as("eff_tokens"),
+          round($"eff9".cast("double") / $"raw_tokens".cast("double"), 6)
+            .as("dedup_ratio"))
+    },
   )
 
   /** The d28 excision transform over an arbitrary frame carrying
@@ -2001,5 +2039,25 @@ object Dedup extends QueryModule {
          |  count(*) OVER (PARTITION BY component)::BIGINT AS n_copies,
          |  1.0 / count(*) OVER (PARTITION BY component) AS weight
          |FROM comp""".stripMargin,
+
+    "d33_effective_tokens" ->
+      s"""$lshComponentsCteSql,
+         |w AS (
+         |  SELECT id AS doc_id,
+         |    CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY component)
+         |      AS weight
+         |  FROM comp),
+         |t AS (
+         |  SELECT doc_id, source, len(${ws("text")})::BIGINT AS n_tok
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS raw_tokens,
+         |  round(CAST(sum(CAST(round(weight * n_tok, 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS eff_tokens,
+         |  round(CAST(sum(CAST(round(weight * n_tok, 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / sum(n_tok)::DOUBLE, 6)
+         |    AS dedup_ratio
+         |FROM t JOIN w USING (doc_id)
+         |GROUP BY 1""".stripMargin,
   )
 }

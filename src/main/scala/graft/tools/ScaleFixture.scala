@@ -327,8 +327,10 @@ object ScaleFixture {
       "v16_hard_negatives", "x29_interp_lm", "d31_host_filter",
       "x30_dataset_card", "d32_dup_weights", "x31_bpe_merges", "v17_pq_train",
       // round-11 fifth batch: cluster-balanced diversity sample,
-      // BPE encode (the x31-apply corpus pass)
-      "v18_cluster_sample", "x32_bpe_encode")
+      // BPE encode (the x31-apply corpus pass), incremental IVF,
+      // dedup-aware token budget
+      "v18_cluster_sample", "x32_bpe_encode", "v19_ivf_increment",
+      "d33_effective_tokens")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen

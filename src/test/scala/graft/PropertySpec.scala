@@ -761,6 +761,42 @@ class PropertySpec extends SparkSpec {
       "accuracy must move once weights are nonzero")
   }
 
+  test("effective tokens (d33): per-source mass == Σ weight·n_tok replayed " +
+      "from d32 exactly; ratio 1.0 iff the source holds no near-dups") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val weights = graft.SparkEntry.queries("d32_dup_weights")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap // doc_id -> (n_copies, weight)
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.wsTokens($"text")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = toks.groupBy(_._2).map { case (src, rows) =>
+      val raw = rows.map(_._3).sum
+      val eff9 = rows.foldLeft(BigDecimal(0)) { case (acc, (id, _, n)) =>
+        acc + BigDecimal(weights(id)._2 * n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      src -> (rows.length.toLong, raw, r6(eff9.toDouble),
+        r6(eff9.toDouble / raw))
+    }
+    val got = graft.SparkEntry.queries("d33_effective_tokens")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == want.size, "one row per source")
+    got.foreach { case (src, nd, raw, eff, ratio) =>
+      assert((nd, raw, eff, ratio) == want(src), s"source $src mismatch")
+      assert(eff <= raw + 1e-9, s"$src effective mass exceeds raw")
+      val srcAllUnique = toks.filter(_._2 == src)
+        .forall(t => weights(t._1)._1 == 1L)
+      assert((ratio == 1.0) == srcAllUnique,
+        s"$src ratio-1.0 iff every doc is its own component")
+    }
+  }
+
   test("soft-dedup weights (d32): one row per doc, uniform 1/n per cluster, " +
       "expected mass of a cluster == one document") {
     import spark.implicits._
