@@ -618,10 +618,20 @@ object TextAnalytics extends QueryModule {
       val dense = graft.operators.KeyedOps.topKPerKey(dscored,
           Seq($"qid"), Seq($"sim".desc, $"doc_id"), 10)
         .select($"qid", $"doc_id", $"rank".as("r_d"))
-      val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
-        .select($"qid", $"doc_id",
-          (coalesce(lit(1.0) / (lit(60) + $"r_s"), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + $"r_d"), lit(0.0))).as("rrf"))
+      // rrf(d) = Σ_lists 1/(60+rank) is a keyed SUM, so fuse by
+      // union + ONE (qid, doc_id) hash agg rather than a full-outer
+      // join (which pays two sorted shuffle branches + the join
+      // operator for the same arithmetic). IEEE parity with the
+      // oracle's coalesce(a,0)+coalesce(b,0) is exact: a list
+      // contributes at most one row per (qid, doc_id), addition of
+      // ≤2 doubles is order-insensitive (commutativity holds in
+      // IEEE; only associativity fails, and it needs ≥3 terms).
+      val contribs = sparse
+        .select($"qid", $"doc_id", (lit(1.0) / (lit(60) + $"r_s")).as("c"))
+        .union(dense
+          .select($"qid", $"doc_id", (lit(1.0) / (lit(60) + $"r_d")).as("c")))
+      val fused = contribs.groupBy($"qid", $"doc_id")
+        .agg(sum($"c").as("rrf"))
       graft.operators.KeyedOps.topKPerKey(fused, Seq($"qid"),
           Seq($"rrf".desc, $"doc_id"), 10)
         .select($"qid", $"doc_id", round($"rrf", 9).as("rrf"), $"rank")
