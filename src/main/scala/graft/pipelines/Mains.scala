@@ -553,7 +553,8 @@ object CorpusReportMain {
     "x26_gopher_rules", // per source — rule-gate pass rates
     "x21_temperature_mix", // per source — resampling weights
     "t6_cms_heavy_hitters", // top-k — heavy-hitter tokens
-    "d23_source_overlap") // source pairs — cross-source contamination
+    "d23_source_overlap", // source pairs — cross-source contamination
+    "d33_effective_tokens") // per source — dedup-aware token budget
 
   def main(args: Array[String]): Unit = {
     val o = Opts.parse("CorpusReportMain", args, Map.empty,

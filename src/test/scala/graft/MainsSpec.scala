@@ -394,7 +394,8 @@ class MainsSpec extends SparkSpec {
     assert(slope < 0.0, s"zipf slope must be negative: $report")
     Seq("x22_zipf_slope", "x13_source_divergence", "x18_hll_distinct",
       "x23_hist_quantiles", "x26_gopher_rules", "x21_temperature_mix",
-      "t6_cms_heavy_hitters", "d23_source_overlap").foreach { n =>
+      "t6_cms_heavy_hitters", "d23_source_overlap",
+      "d33_effective_tokens").foreach { n =>
       val f = java.nio.file.Paths.get(out, s"$n.json")
       assert(Files.exists(f), s"$n.json missing")
       val body = Files.readString(f)
