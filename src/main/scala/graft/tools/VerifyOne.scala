@@ -8,7 +8,8 @@ object VerifyOne {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2).toSeq
-    val spark = graft.core.GraftSession.local(8, "graft-verify-one")
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-verify-one")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
