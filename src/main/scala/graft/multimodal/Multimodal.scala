@@ -270,6 +270,39 @@ object Multimodal {
       rms.map(v => (v / total).toFloat)
     }
 
+    /** 64-bit audio dHash: 65-segment RMS energy envelope, bit s set iff
+      * segment s+1 is LOUDER than segment s — the image-dHash doctrine
+      * over the loudness contour instead of pixel columns. Comparing
+      * ADJACENT energies makes the hash amplitude-invariant: a
+      * volume-scaled re-upload multiplies every segment RMS by the same
+      * factor, preserving all 64 comparisons, so the classic audio
+      * near-dup transformation lands at Hamming distance 0.
+      */
+    private[graft] def dHash(payload: Array[Byte]): Long = {
+      val (_, samples) = decodeOrThrow(payload)
+      val n = samples.length
+      val seg = Array.tabulate(65) { s =>
+        val from = (s.toLong * n / 65).toInt
+        val until = ((s + 1).toLong * n / 65).toInt
+        if (until <= from) 0.0
+        else {
+          var acc = 0.0
+          var i = from
+          while (i < until) {
+            val v = samples(i).toDouble; acc += v * v; i += 1
+          }
+          acc / (until - from) // mean square — sqrt preserves order
+        }
+      }
+      var h = 0L
+      var s = 0
+      while (s < 64) {
+        if (seg(s + 1) > seg(s)) h |= (1L << s)
+        s += 1
+      }
+      h
+    }
+
     /** "Thumbnail" resample: n evenly-spaced samples re-encoded as a
       * mono 16-bit little-endian WAV at the original rate.
       */
@@ -603,6 +636,37 @@ object Multimodal {
       it.flatMap(m => ImageCodec.decode(m.payload)
         .map(img => (m.media_id, ImageCodec.dHashOf(img))))
     }.toDF("media_id", "dhash")
+    bandedHammingPairs(hashes, maxBits)
+  }
+
+  /** Audio NEAR-DEDUP — the same two-stage pipeline over the loudness
+    * contour: [[AudioCodec.dHash]] every decodable clip (one decode per
+    * row, map-only; undecodable payloads drop, the P13 tolerant shape),
+    * then the shared banded-Hamming stage. Volume-scaled re-uploads
+    * land at Hamming 0 by the dHash's amplitude invariance; recall is
+    * EXACT at maxBits ≤ 3 by the same 4-band pigeonhole. SAMPLES NEVER
+    * SHUFFLE — the exchange carries (band, value, hash, id) only.
+    */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxBits: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.mapPartitions { it =>
+      it.flatMap(m =>
+        if (m.kind != "audio") None
+        else AudioCodec.decode(m.payload).map(_ =>
+          (m.media_id, AudioCodec.dHash(m.payload))))
+    }.toDF("media_id", "dhash")
+    bandedHammingPairs(hashes, maxBits)
+  }
+
+  /** Shared banded-Hamming candidate+verify stage (image dHash, audio
+    * dHash — any 64-bit perceptual hash): band into 4×16 bits,
+    * candidate pairs by (band, value) equi-join, verify with
+    * bit_count(xor) ≤ maxBits. Exact recall at maxBits ≤ 3 by
+    * pigeonhole. Input: (media_id, dhash).
+    */
+  private[graft] def bandedHammingPairs(hashes: DataFrame,
+      maxBits: Int): DataFrame = {
+    import hashes.sparkSession.implicits._
     val banded = hashes.select($"media_id", $"dhash",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -409,6 +409,39 @@ object Behavioral extends QueryModule {
           Seq($"n".desc, $"word".desc), 3)
         .select($"prefix", $"word", $"n", $"rank")
     },
+
+    // P23: RETENTION COHORTS — the classic behavioral-analytics rollup
+    // p22's sessions feed: users cohorted by first-active day, the
+    // (cohort, day-offset) activity matrix, and the retention rate vs
+    // cohort size. Plan: user-day activity is ONE distinct exchange,
+    // first-seen ONE user-keyed agg, the cohort attachment a linear
+    // user_id equi-join (AQE-splittable, never keyed on a hot
+    // dimension), and both rollups are bounded (≤ days² cells,
+    // ≤ days cohort sizes — the size join-back broadcasts). No
+    // windows, no skew-prone keys; at 100 TB every exchange carries
+    // (user, day)-grain rows, not events. Parity: day = floor(µs /
+    // 86.4e9) — numerator and denominator are both exact doubles
+    // (< 2^53) so the floored quotient is engine-identical; counts
+    // integer-exact; retention one IEEE division of exact integers,
+    // round-6.
+    "p23_retention_cohorts" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id",
+          floor(unix_micros($"ts") / lit(86400000000L)).cast("long")
+            .as("day"))
+        .distinct()
+      val first = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      val sizes = first.groupBy($"cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.join(first, Seq("user_id"))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_day"))
+        .select($"cohort_day", $"day_offset", $"n_active", $"cohort_size",
+          round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
+            .as("retention"))
+    },
   )
 
   override def oracle: Map[String, String] = Map(
@@ -650,5 +683,22 @@ object Behavioral extends QueryModule {
          |        ORDER BY n DESC, word DESC) AS rank FROM prefixed)
          |WHERE rank <= 3""".stripMargin
     },
+
+    "p23_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |sz AS (
+        |  SELECT cohort_day, count(*)::BIGINT AS cohort_size
+        |  FROM f GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+        |    count(*)::BIGINT AS n_active
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT act.cohort_day, day_offset, n_active, cohort_size,
+        |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
+        |FROM act JOIN sz USING (cohort_day)""".stripMargin,
   )
 }

@@ -247,7 +247,8 @@ object ScaleFixture {
     genEvents(spark, e1, 1); genEvents(spark, e10, 10)
     val queries = Seq("w1_tumbling", "w2_sliding", "w3_session",
       "a9_session_marker", "a18_trailing_hour", "j7_asof_attribution",
-      "j8_range_outage", "p22_sessionize", "j6w_windowed_anti")
+      "j8_range_outage", "p22_sessionize", "j6w_windowed_anti",
+      "p23_retention_cohorts")
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, e1).count())
     val t1 = queries.map(q => q -> time(q, e1)).toMap
     val t10 = queries.map(q => q -> time(q, e10)).toMap

@@ -235,4 +235,63 @@ class MultimodalSpec extends SparkSpec {
     // and the blocking is selective: nowhere near all-pairs
     assert(pairs.size < 46 * 45 / 8, s"pair explosion: ${pairs.size}")
   }
+
+  test("audio near-dedup: banded envelope-dHash pairs == brute-force " +
+      "Hamming<=3; volume-scaled re-upload lands at hamming 0") {
+    import spark.implicits._
+    // fixture: 30 clips with DISTINCT loudness contours (per-clip seeded
+    // per-segment amplitudes over 65 segments — a flat sine would hash
+    // to 0 everywhere and rightly collapse) + planted near-dups:
+    // 3 volume-scaled copies (amplitude invariance => hamming 0) and
+    // 3 copies with two segments re-leveled (small bit flips)
+    def wav(seed: Long, scale: Double, perturb: Set[Int]): Array[Byte] = {
+      val rate = 8000f
+      val nSeg = 65
+      val perSeg = 40 // 2600 samples
+      val rng = new scala.util.Random(seed)
+      val amps = Array.fill(nSeg)(2000 + rng.nextInt(10000))
+      perturb.foreach(s => amps(s) = 14000) // re-level a segment
+      val pcm = new Array[Byte](nSeg * perSeg * 2)
+      for (s <- 0 until nSeg; j <- 0 until perSeg) {
+        val t = s * perSeg + j
+        val v = (math.sin(2 * math.Pi * 440.0 * t / rate) *
+          amps(s) * scale).toInt
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      }
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+        AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (nSeg * perSeg).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = (0 until 30).map(i => Multimodal.MediaRecord(
+      i.toLong, "audio", wav(i * 7919L + 3, 1.0, Set.empty), 0, 0, 325L))
+    val planted = (0 until 3).map { i => // volume-scaled re-upload
+      Multimodal.MediaRecord(100L + i, "audio",
+        wav(i * 7919L + 3, 0.5, Set.empty), 0, 0, 325L)
+    } ++ (3 until 6).map { i => // two segments re-leveled
+      Multimodal.MediaRecord(200L + i, "audio",
+        wav(i * 7919L + 3, 1.0, Set(10, 40)), 0, 0, 325L)
+    }
+    val media = spark.createDataset(base ++ planted)
+    val pairs = Multimodal.audioNearDupPairs(media, maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // volume-scaled copies MUST pair at hamming 0 (amplitude invariance)
+    for (i <- 0 until 3)
+      assert(pairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 == 0),
+        s"volume-scaled re-upload of $i not at hamming 0 in $pairs")
+    val hashes = media.collect().map(m =>
+      (m.media_id, Multimodal.AudioCodec.dHash(m.payload)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(pairs == brute,
+      s"banded recall must be exact at maxBits=3: ${brute.diff(pairs)} missed")
+    assert(pairs.size < 36 * 35 / 8, s"pair explosion: ${pairs.size}")
+  }
 }
