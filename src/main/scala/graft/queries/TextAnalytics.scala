@@ -1630,6 +1630,38 @@ object TextAnalytics extends QueryModule {
     // of exact integers, round-6; zero-token docs pin ratio = 1.0 by
     // the shared guard.
     "x32_bpe_encode" -> ((s, dir) => bpeEncode(Tables.documents(s, dir), 2)),
+
+    // X33: VOCABULARY COVERAGE / OOV RATE — the tokenizer-fit health
+    // report: freeze a top-N vocabulary (here N=20 so the fixture's
+    // 31-word tail actually bites; production N is 32k-256k — still a
+    // CONSTANT) and report each source's out-of-vocabulary token mass
+    // and type count. High OOV on a source = the tokenizer was trained
+    // on the wrong distribution for it (the check run before x31-style
+    // retraining). Plan: ONE corpus-sized (source, w) hash agg — token
+    // instances never cross the wire twice; the vocab is a distributed
+    // TakeOrderedAndProject (never a single-partition sort) broadcast
+    // into a VOCAB-sized left join of the (source, w) frame; output one
+    // ≤n_sources-row agg. Ties at the vocab boundary: (count desc, w
+    // asc) — deterministic in both engines. Counts integer-exact;
+    // oov_rate one IEEE division round-6.
+    "x33_oov_rate" -> { (s, dir) =>
+      import s.implicits._
+      val VocabN = 20
+      val sw = Tables.documents(s, dir)
+        .select($"source", explode(TextFunctions.wsTokens($"text")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+      val vocab = sw.groupBy($"w").agg(sum($"n").as("nw"))
+        .orderBy($"nw".desc, $"w").limit(VocabN)
+        .select($"w", lit(1).as("in_vocab"))
+      sw.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy($"source")
+        .agg(sum($"n").as("n_tokens"),
+          sum(when($"in_vocab".isNull, $"n").otherwise(0L)).as("n_oov"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov_types"))
+        .select($"source", $"n_tokens", $"n_oov", $"n_oov_types",
+          round($"n_oov".cast("double") / $"n_tokens".cast("double"), 6)
+            .as("oov_rate"))
+    },
   )
 
   /** x31/x32 shared core — `iters` BPE merge-learning iterations over an
@@ -2561,6 +2593,24 @@ object TextAnalytics extends QueryModule {
          |  END AS ratio
          |FROM t2""".stripMargin
     },
+
+    "x33_oov_rate" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${ws("text")}) AS w FROM documents),
+         |sw AS (
+         |  SELECT source, w, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, sum(n) AS nw FROM sw GROUP BY 1)
+         |  ORDER BY nw DESC, w LIMIT 20)
+         |SELECT sw.source, sum(sw.n)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN v.w IS NULL THEN sw.n ELSE 0 END)::BIGINT AS n_oov,
+         |  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_oov_types,
+         |  round(sum(CASE WHEN v.w IS NULL THEN sw.n ELSE 0 END)::DOUBLE
+         |    / sum(sw.n)::DOUBLE, 6) AS oov_rate
+         |FROM sw LEFT JOIN vocab v ON sw.w = v.w
+         |GROUP BY 1""".stripMargin,
 
     "x30_dataset_card" ->
       s"""WITH ${gopherFlagSqlCte("doc_id, source, lang")},
