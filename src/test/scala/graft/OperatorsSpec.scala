@@ -130,6 +130,82 @@ class OperatorsSpec extends SparkSpec {
       ConnectedComponents.runStar(nodes, path, maxIter = 1))
   }
 
+  test("connectedComponents == plain JVM union-find on random graphs " +
+      "(independent ground truth, property)") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // both Spark variants are iterative label-propagation shapes that
+    // COULD share a bug; union-find is a structurally different oracle
+    def unionFind(n: Long, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id labeling: root chosen as min via the union rule above
+      (1L to n).map(i => i -> find(i)).toMap
+    }
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25L + rnd.nextInt(25)
+      val es = Seq.fill(40 + rnd.nextInt(40))(
+        (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter { case (a, b) => a != b }
+      val want = unionFind(n, es)
+      val got = ConnectedComponents.runStar(
+        (1L to n).toDF("id"), es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed: star disagrees with union-find")
+    }
+  }
+
+  test("TopKAggregator merge is commutative/associative and order-blind, " +
+      "incl. NaN and -0.0 scores (property)") {
+    import graft.operators.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(4)
+    val adversarial = Seq(Double.NaN, -0.0, 0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.5, -1.5)
+    for (seed <- Seq(3, 17, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(30)(Scored(
+        if (rnd.nextInt(4) == 0) adversarial(rnd.nextInt(adversarial.length))
+        else rnd.nextInt(8).toDouble, // duplicate scores force id ties
+        rnd.nextInt(20).toLong))
+      // reference: full sort under the documented total order
+      val ord = new Ordering[Scored] {
+        def compare(x: Scored, y: Scored): Int = {
+          val c = java.lang.Double.compare(y.score, x.score)
+          if (c != 0) c else java.lang.Long.compare(y.id, x.id)
+        }
+      }
+      // bit-pattern comparison: case-class == is false for NaN == NaN
+      def bits(b: Seq[Scored]): Seq[(Long, Long)] =
+        b.map(s => (java.lang.Double.doubleToLongBits(s.score), s.id))
+      val want = bits(rows.sorted(ord).take(4))
+      // any reduce order must agree
+      val shuffled = rnd.shuffle(rows)
+      val viaReduce = shuffled.foldLeft(agg.zero)(agg.reduce)
+      assert(bits(viaReduce) == want, s"seed=$seed reduce order changed top-k")
+      // any split + merge must agree, in both merge argument orders
+      val cut = 1 + rnd.nextInt(rows.length - 1)
+      val (l, r) = shuffled.splitAt(cut)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      assert(bits(agg.merge(bl, br)) == want, s"seed=$seed merge(l,r) wrong")
+      assert(bits(agg.merge(br, bl)) == want,
+        s"seed=$seed merge not commutative")
+      assert(bits(agg.merge(agg.merge(bl, agg.zero), br)) == want,
+        s"seed=$seed zero not identity under merge")
+    }
+  }
+
   test("Subprocess.pipePartitions streams rows through an external binary") {
     import graft.operators.Subprocess
     import spark.implicits._
