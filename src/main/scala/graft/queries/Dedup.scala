@@ -304,6 +304,7 @@ object Dedup extends QueryModule {
     drop[(SparkSession, String)](pairsCache, _._1, _._2)
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
     drop[(SparkSession, String)](lshComponentsCache, _._1, _._2)
+    drop[(SparkSession, String)](lshPairsCache, _._1, _._2)
   }
 
   /** The LSH-candidate-restricted component assignment (d26/d27 share
@@ -314,12 +315,64 @@ object Dedup extends QueryModule {
   private val lshComponentsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def lshDupComponents(s: SparkSession, dir: String): DataFrame =
-    lshComponentsCache.computeIfAbsent((s, dir), { key =>
+  /** d34 core — incremental component maintenance over an arbitrary
+    * (id) node frame, (src, dst) edge frame, and base-membership
+    * predicate: CC over the base subgraph, contract delta-edge
+    * endpoints through their base labels, CC over the contracted graph
+    * (∝ touched components + new nodes, not the corpus), expand with
+    * one linear join-back. Min-id labels survive contraction exactly
+    * (a base component's rep IS its min member), so the result is
+    * bit-identical to a full-graph rebuild — the d34 oracle proves
+    * that per-row and the spec pins the component-merge case.
+    */
+  private[graft] def incrementalComponents(nodes: DataFrame,
+      edges: DataFrame, isBase: Column => Column): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val baseDocs = nodes.filter(isBase($"id"))
+    val baseLabels = graft.operators.ConnectedComponents.runStar(
+      baseDocs, edges.filter(isBase(col("src")) && isBase(col("dst"))),
+      edgesDistinct = true)
+    // delta edges touch >=1 new node; contract base endpoints to labels
+    val contracted = edges
+      .filter(!(isBase(col("src")) && isBase(col("dst"))))
+      .join(baseLabels.select($"id".as("src"), $"component".as("csrc")),
+        Seq("src"), "left")
+      .join(baseLabels.select($"id".as("dst"), $"component".as("cdst")),
+        Seq("dst"), "left")
+      .select(coalesce($"csrc", $"src").as("src"),
+        coalesce($"cdst", $"dst").as("dst"))
+      .filter($"src" =!= $"dst")
+    val contractedNodes = baseLabels.select($"component".as("id"))
+      .union(nodes.filter(!isBase($"id")))
+      .distinct()
+    val merged = graft.operators.ConnectedComponents.runStar(
+      contractedNodes, contracted)
+    val finalOfRep = merged.select($"id".as("rep"),
+      $"component".as("final_comp"))
+    baseLabels.select($"id", $"component".as("rep"))
+      .union(nodes.filter(!isBase($"id")).select($"id", $"id".as("rep")))
+      .join(finalOfRep, Seq("rep"))
+      .select($"id", $"final_comp".as("component"))
+  }
+
+  /** The band-collision candidate pairs, exact-Jaccard verified —
+    * the d26-family edge set (src < dst, distinct).
+    */
+  /** ONE verified band-collision pair frame per (session, dir): the
+    * full-graph CC (d26 family) and the incremental maintenance path
+    // (d34) consume the SAME edges, so the pair-gen — the expensive
+    * half of the flow — pins once and amortizes, the shingle-pair /
+    * k-means pinning doctrine.
+    */
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsCache.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       import sess.implicits._
       val arrs = shingleArr(sess, d)
-      val pairs = lshBandPairs(minhashSigs(sess, d))
+      lshBandPairs(minhashSigs(sess, d))
         .join(arrs.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
         .join(arrs.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
         .withColumn("inter",
@@ -327,8 +380,16 @@ object Dedup extends QueryModule {
         .filter($"inter" /
           (size($"arr_i") + size($"arr_j") - $"inter") >= 0.5)
         .select($"doc_i".as("src"), $"doc_j".as("dst"))
+        .localCheckpoint(eager = false)
+    })
+
+  private[graft] def lshDupComponents(s: SparkSession, dir: String): DataFrame =
+    lshComponentsCache.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      import sess.implicits._
       graft.operators.ConnectedComponents.runStar(
-          Tables.documents(sess, d).select($"doc_id".as("id")), pairs,
+          Tables.documents(sess, d).select($"doc_id".as("id")),
+          lshVerifiedPairs(sess, d),
           edgesDistinct = true) // lshBandPairs is distinct, doc_i < doc_j
         .localCheckpoint(eager = false)
     })
@@ -1167,6 +1228,31 @@ object Dedup extends QueryModule {
     // accumulates in DECIMAL (order-free), final round-6 — the x9/x13
     // convention; dedup_ratio divides the decimal-summed mass by the
     // exact raw total.
+    // D34: INCREMENTAL COMPONENT MAINTENANCE — merge an ingest batch
+    // into an EXISTING dedup-component assignment without a full-graph
+    // rebuild: the production shape once the d26 graph is maintained
+    // across snapshots (d18 finds the increment's pairs; this op folds
+    // them into the standing components). Algorithm: CC over the BASE
+    // subgraph (in production: the labels you already have on disk),
+    // CONTRACT every delta edge endpoint through its base label
+    // (components become super-nodes), CC over the contracted graph —
+    // whose size is ∝ (touched components + new docs), NOT the corpus —
+    // then one linear join-back expands base members to their final
+    // label. Min-id labels survive contraction exactly (a base
+    // component's rep IS its min member, so the contracted min is the
+    // global min), which is why the ORACLE is the full-rebuild d26
+    // component query: incremental == rebuild, proven per-row, not
+    // asserted. Base/increment = d18's deterministic 50% hash-split.
+    "d34_incremental_components" -> { (s, dir) =>
+      import s.implicits._
+      incrementalComponents(
+        Tables.documents(s, dir).select($"doc_id".as("id")),
+        lshVerifiedPairs(s, dir),
+        c => HashFunctions.hashSample(c, 0.5))
+        .select($"id".as("doc_id"), $"component")
+    },
+
+
     "d33_effective_tokens" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2039,6 +2125,12 @@ object Dedup extends QueryModule {
          |  count(*) OVER (PARTITION BY component)::BIGINT AS n_copies,
          |  1.0 / count(*) OVER (PARTITION BY component) AS weight
          |FROM comp""".stripMargin,
+
+    // incremental == full rebuild, per-row: the oracle IS the d26
+    // full-graph component query
+    "d34_incremental_components" ->
+      s"""$lshComponentsCteSql
+         |SELECT id AS doc_id, component FROM comp""".stripMargin,
 
     "d33_effective_tokens" ->
       s"""$lshComponentsCteSql,

@@ -761,6 +761,29 @@ class PropertySpec extends SparkSpec {
       "accuracy must move once weights are nonzero")
   }
 
+  test("incremental components (d34): planted delta merges two base " +
+      "components through a new node; equals full-graph rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // base = {1,2,3,4,10}, new = {5,6}. Base edges form {1,2} and {3,4};
+    // new node 5 bridges them (2-5, 5-3) — the contraction case where a
+    // delta edge must MERGE two standing base components; 6 and 10 stay
+    // singletons.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L), (2L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    val isBase = (c: org.apache.spark.sql.Column) => c =!= 5L && c =!= 6L
+    val got = graft.queries.Dedup
+      .incrementalComponents(nodes, edges, isBase)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 10L -> 10L), s"got $got")
+    // and equals a from-scratch CC on the full graph
+    val full = graft.operators.ConnectedComponents.runStar(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, "incremental must equal full rebuild")
+  }
+
   test("effective tokens (d33): per-source mass == Σ weight·n_tok replayed " +
       "from d32 exactly; ratio 1.0 iff the source holds no near-dups") {
     import spark.implicits._
