@@ -976,6 +976,61 @@ object Similarity extends QueryModule {
         .select($"vec_id", $"cid", $"cell_n_new")
     },
 
+    // V20: PER-CELL DISTRIBUTION DRIFT — the re-train trigger v19's
+    // maintenance loop watches: for every IVF cell, how well do the NEW
+    // vectors fit the frozen centroid vs the base population? Reported
+    // as each side's mean cosine-to-centroid and the drift delta; a
+    // cell whose increment sits systematically farther from its
+    // centroid than the base did is drifting and wants a Lloyd refresh
+    // (v17) or a split. Plan: ONE JIT assignment scan over the corpus
+    // (collected constant-bounded centroids, kmeansAssign doctrine)
+    // emitting (cid, is_base, csim) — 17 bytes/row to the ONE ≤K-row
+    // hash agg; nothing else shuffles. Parity: cosineJvm ≡ the oracle's
+    // index-order fold; per-row csim rounds at 9, accumulates in
+    // DECIMAL, means round-6; drift = round(new9 − base9, 6) computed
+    // from the two DECIMAL sums so both engines subtract identical
+    // doubles.
+    "v20_cell_drift" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id", $"embedding")
+      val centsArr = corpus.filter($"vec_id" < 10)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val scored = corpus.as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.map { case (id, e) =>
+            var best = Double.NegativeInfinity
+            var bestC = centsArr.head._1
+            var i = 0
+            while (i < centsArr.length) {
+              val c = VectorFunctions.cosineJvm(e, centsArr(i)._2)
+              if (c > best) { best = c; bestC = centsArr(i)._1 }
+              i += 1
+            }
+            (bestC,
+              graft.functions.HashFunctions.knuthHashJvm(id) < 2147483648L,
+              best)
+          }
+        }.toDF("cid", "is_base", "csim")
+      scored.groupBy($"cid")
+        .agg(
+          sum(when($"is_base", 1L).otherwise(0L)).as("n_base"),
+          sum(when(!$"is_base", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"is_base", round($"csim", 9)).otherwise(0.0)
+            .cast("decimal(28,12)")).as("sb9"),
+          sum(when(!$"is_base", round($"csim", 9)).otherwise(0.0)
+            .cast("decimal(28,12)")).as("sn9"))
+        .select($"cid", $"n_base", $"n_new",
+          when($"n_base" === 0, lit(null))
+            .otherwise(round($"sb9".cast("double") / $"n_base", 6))
+            .as("mean_csim_base"),
+          when($"n_new" === 0, lit(null))
+            .otherwise(round($"sn9".cast("double") / $"n_new", 6))
+            .as("mean_csim_new"),
+          when($"n_base" === 0 || $"n_new" === 0, lit(null))
+            .otherwise(round($"sn9".cast("double") / $"n_new" -
+              $"sb9".cast("double") / $"n_base", 6)).as("drift"))
+    },
+
     "v18_cluster_sample" -> { (s, dir) =>
       import s.implicits._
       import graft.operators.{Scored, TopKAggregator}
@@ -1332,6 +1387,38 @@ object Similarity extends QueryModule {
     "v16_hard_negatives" -> v16Sql,
 
     "v17_pq_train" -> v17Sql,
+
+    "v20_cell_drift" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 10),
+         |a AS (
+         |  SELECT vec_id, cid, csim,
+         |    (${OracleFragments.knuthU32("vec_id")}) < 2147483648 AS is_base
+         |  FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ${cosineSql("e.embedding", "c.c_emb")} AS csim,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cid) AS r
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |g AS (
+         |  SELECT cid,
+         |    sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         |    sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_new,
+         |    CAST(sum(CASE WHEN is_base THEN CAST(round(csim, 9)
+         |      AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE) AS sb9,
+         |    CAST(sum(CASE WHEN is_base THEN 0 ELSE CAST(round(csim, 9)
+         |      AS DECIMAL(28,12)) END) AS DOUBLE) AS sn9
+         |  FROM a GROUP BY 1)
+         |SELECT cid, n_base, n_new,
+         |  CASE WHEN n_base = 0 THEN NULL
+         |    ELSE round(sb9 / n_base, 6) END AS mean_csim_base,
+         |  CASE WHEN n_new = 0 THEN NULL
+         |    ELSE round(sn9 / n_new, 6) END AS mean_csim_new,
+         |  CASE WHEN n_base = 0 OR n_new = 0 THEN NULL
+         |    ELSE round(sn9 / n_new - sb9 / n_base, 6) END AS drift
+         |FROM g""".stripMargin,
 
     "v19_ivf_increment" ->
       s"""WITH cents AS (
