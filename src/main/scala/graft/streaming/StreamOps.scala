@@ -437,7 +437,36 @@ object StreamOps {
   def streamingImageDedup(media: DataFrame, tsCol: String, idCol: String,
                           payloadCol: String, horizonMs: Long)
                          (implicit spark: org.apache.spark.sql.SparkSession)
-      : DataFrame = {
+      : DataFrame =
+    streamingPerceptualDedup(media, tsCol, idCol, payloadCol, horizonMs,
+      payload => graft.multimodal.Multimodal.ImageCodec.decode(payload)
+        .map(graft.multimodal.Multimodal.ImageCodec.dHashOf))
+
+  /** STREAMING AUDIO near-dedup — same machine, hash = the
+    * amplitude-invariant envelope dHash (`Multimodal.AudioCodec.dHash`,
+    * the batch `audioNearDupPairs` blocking key bit-identical), so a
+    * volume-scaled re-upload hits all 4 owned bands at ingest time.
+    */
+  def streamingAudioDedup(media: DataFrame, tsCol: String, idCol: String,
+                          payloadCol: String, horizonMs: Long)
+                         (implicit spark: org.apache.spark.sql.SparkSession)
+      : DataFrame =
+    streamingPerceptualDedup(media, tsCol, idCol, payloadCol, horizonMs,
+      payload => graft.multimodal.Multimodal.AudioCodec.decode(payload)
+        .map(_ => graft.multimodal.Multimodal.AudioCodec.dHash(payload)))
+
+  /** The shared perceptual-hash streaming dedup front: decode+hash in a
+    * typed flatMap (one decode per frame; undecodable payloads drop —
+    * the P13 tolerant shape, a corrupt upload can never wedge the
+    * stream), band the 64-bit hash 4×16 bit-identically to the batch
+    * blocking keys, and feed the SAME band-owner state machine as the
+    * text path. Payloads never enter the state store — only the
+    * ~20-byte band rows do.
+    */
+  private def streamingPerceptualDedup(media: DataFrame, tsCol: String,
+      idCol: String, payloadCol: String, horizonMs: Long,
+      hashOf: Array[Byte] => Option[Long])
+      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     spark.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
@@ -447,12 +476,10 @@ object StreamOps {
         col(payloadCol).as("payload"))
       .as[(Long, Timestamp, Array[Byte])]
       .flatMap { case (id, ts, payload) =>
-        graft.multimodal.Multimodal.ImageCodec.decode(payload).toSeq
-          .flatMap { img =>
-            val h = graft.multimodal.Multimodal.ImageCodec.dHashOf(img)
-            (0 until 4).map(b =>
-              BandRow(s"$b|${(h >>> (b * 16)) & 0xffffL}", id, ts))
-          }
+        hashOf(payload).toSeq.flatMap { h =>
+          (0 until 4).map(b =>
+            BandRow(s"$b|${(h >>> (b * 16)) & 0xffffL}", id, ts))
+        }
       }
       .withWatermark("ts", s"$horizonMs milliseconds")
     bandOwnerVerdicts(bands, horizonMs)

@@ -701,4 +701,58 @@ class StreamOpsSpec extends SparkSpec {
       assert(!got.contains(3L), s"corrupt payload must produce no row: $got")
     } finally q.stop()
   }
+
+  test("streaming audio dedup: VOLUME-SCALED re-upload hits all 4 envelope " +
+      "bands (amplitude invariance at ingest), corrupt payloads drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wav(seed: Long, scale: Double): Array[Byte] = {
+      val rate = 8000f
+      val nSeg = 65; val perSeg = 40
+      val rng = new scala.util.Random(seed)
+      val amps = Array.fill(nSeg)(2000 + rng.nextInt(10000))
+      val pcm = new Array[Byte](nSeg * perSeg * 2)
+      for (s <- 0 until nSeg; j <- 0 until perSeg) {
+        val t = s * perSeg + j
+        val v = (math.sin(2 * math.Pi * 440.0 * t / rate) *
+          amps(s) * scale).toInt
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      }
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+        AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (nSeg * perSeg).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val out = graft.streaming.StreamOps.streamingAudioDedup(
+      in.toDF().toDF("ts", "media_id", "payload"),
+      "ts", "media_id", "payload", horizonMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("saud_test")
+      .outputMode("append").start()
+    try {
+      // A, a half-volume re-upload of A, a distinct clip, garbage
+      in.addData((ts(0), 0L, wav(11L, 1.0)), (ts(0, 20), 1L, wav(11L, 0.5)),
+        (ts(0, 40), 2L, wav(22L, 1.0)), (ts(0, 50), 3L, Array[Byte](9, 9)))
+      q.processAllAvailable()
+      in.addData((ts(5), 9L, wav(33L, 1.0)))
+      q.processAllAvailable()
+      in.addData((ts(10), 10L, wav(44L, 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("saud_test")
+        .select($"doc_id", $"n_band_hits",
+          coalesce($"dup_of", lit(-1L)).as("dup_of"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got(0L) == ((0L, -1L)), s"first upload is novel: $got")
+      assert(got(1L) == ((4L, 0L)),
+        s"half-volume re-upload must hit all 4 bands with dup_of=0: $got")
+      assert(got(2L) == ((0L, -1L)), s"distinct clip is novel: $got")
+      assert(!got.contains(3L), s"corrupt payload must produce no row: $got")
+    } finally q.stop()
+  }
 }
