@@ -543,6 +543,51 @@ object CuratePipelineMain {
   * driver-safe at any corpus size. One JSON file per diagnostic under
   * `--output`, plus a one-line summary with the headline numbers.
   */
+/** The vector-side sibling of CuratePipeline: build the serving IVF
+  * index layout from an embeddings table and bundle the maintenance
+  * reports the v19/v20 loop runs on it. Outputs under `--output`:
+  *   postings/        — (vec_id, embedding) parquet PARTITIONED BY cid:
+  *                      the posting-list layout, so an nprobe searcher
+  *                      reads only the probed cells' files (partition
+  *                      pruning does the cell selection at scan time)
+  *   increment/       — v19's incremental-add assignment (cost ∝ the
+  *                      ingest batch)
+  *   _manifest.json   — per-cell occupancy + v20's per-cell drift rows:
+  *                      the re-train trigger inputs, computed from the
+  *                      SAME assignment scan the build already ran
+  * Cell count and the frozen first-K centroid convention match
+  * v4/v14/v19/v20, so every report row is oracle-checked query output.
+  */
+object IndexPipelineMain {
+  def main(args: Array[String]): Unit = {
+    val o = Opts.parse("IndexPipelineMain", args,
+      Map("cells" -> "10"), required = Seq("input", "output"))
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      Opts.session("graft-index")
+    import spark.implicits._
+    val out = o("output")
+    val (assign, _) = graft.queries.Similarity
+      .ivfCoarse(spark, o("input"), o("cells").toInt, 1)
+    assign.select($"cid", $"vec_id", $"embedding")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$out/postings")
+    graft.SparkEntry.queries("v19_ivf_increment")(spark, o("input"))
+      .write.mode("overwrite").parquet(s"$out/increment")
+    val cells = assign.groupBy($"cid").agg(count(lit(1)).as("n"))
+      .orderBy($"cid").as[(Long, Long)].collect()
+    val drift = graft.SparkEntry.queries("v20_cell_drift")(spark, o("input"))
+      .toJSON.collect()
+    val manifest =
+      s"""{"n_vectors":${cells.map(_._2).sum},"n_cells":${cells.length},
+         |"cells":{${cells.map { case (c, n) => s""""$c":$n""" }.mkString(",")}},
+         |"drift":[${drift.mkString(",\n")}]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_manifest.json"), manifest)
+    println(s"index-pipeline: ${cells.map(_._2).sum} vectors, " +
+      s"${cells.length} cells -> $out")
+  }
+}
+
 object CorpusReportMain {
   /** name → bounded-output query, with the headline scalar to surface. */
   private val battery = Seq(

@@ -153,7 +153,7 @@ object Similarity extends QueryModule {
     * comparator is the same ordering), and cosineJvm is the Catalyst
     * cosine fold bit-for-bit.
     */
-  private def ivfCoarse(s: SparkSession, dir: String, nCents: Int,
+  private[graft] def ivfCoarse(s: SparkSession, dir: String, nCents: Int,
       nprobe: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val corpus = emb(s, dir).select(col("vec_id"), col("embedding"))

@@ -404,6 +404,38 @@ class MainsSpec extends SparkSpec {
     }
   }
 
+  test("IndexPipelineMain: cid-partitioned postings, increment assignment, " +
+      "manifest occupancy sums to the corpus") {
+    import spark.implicits._
+    val out = tmp("index-out")
+    IndexPipelineMain.main(Array(
+      "--input=/root/testdata/sf0.001", s"--output=$out"))
+    // posting-list layout: one partition dir per cell
+    val cidDirs = new java.io.File(s"$out/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cidDirs.nonEmpty, "partitioned posting layout missing")
+    // occupancy: partitioned parquet re-read covers every vector once
+    val postings = spark.read.parquet(s"$out/postings")
+    val nVec = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(postings.count() == nVec, "postings must cover the corpus")
+    assert(postings.select($"vec_id").distinct().count() == nVec)
+    // manifest: n_vectors and per-cell counts agree with the postings
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(out, "_manifest.json"))
+    val nFromManifest = """"n_vectors":(\d+)""".r
+      .findFirstMatchIn(manifest).get.group(1).toLong
+    assert(nFromManifest == nVec, s"manifest n_vectors: $manifest")
+    assert(manifest.contains("\"drift\""), "drift rows missing")
+    // increment: matches the oracle-checked v19 frame exactly
+    val incGot = spark.read.parquet(s"$out/increment")
+      .as[(Long, Long, Long)].collect().toSet
+    val incWant = graft.SparkEntry
+      .queries("v19_ivf_increment")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incGot == incWant, "increment assignment drifted from v19")
+  }
+
   test("Opts validation: missing required and unknown options fail with usage") {
     val e1 = intercept[IllegalArgumentException](
       Opts.parse("X", Array("--output=/tmp/x"), Map.empty, Seq("inputFile", "output")))
