@@ -455,6 +455,49 @@ object StreamOps {
       payload => graft.multimodal.Multimodal.AudioCodec.decode(payload)
         .map(_ => graft.multimodal.Multimodal.AudioCodec.dHash(payload)))
 
+  /** STREAMING IVF INGEST — the streaming side of the v19/v20 index
+    * maintenance loop: arriving vectors are assigned to the FROZEN
+    * centroids in a stateless typed map (the kmeansAssign JIT argmax —
+    * strict > keeps the smallest cid on ties, bit-identical to the
+    * batch v19 assignment), then a watermark-bounded tumbling window
+    * aggregates per-cell arrivals and mean cosine-to-centroid — the
+    * live drift signal v20 computes in batch. State is the windowed agg
+    * only (≤ cells × open windows rows); embeddings never enter the
+    * state store. A monitor alerts when a cell's windowed mean_csim
+    * falls below its v20 base mean.
+    */
+  def streamingIvfIngest(vectors: DataFrame, tsCol: String, idCol: String,
+                         embCol: String, cents: Array[(Long, Array[Float])],
+                         windowDur: String, lateness: String)
+                        (implicit spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val sorted = cents.sortBy(_._1)
+    val assigned = vectors
+      .select(col(tsCol).as("ts"), col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("embedding"))
+      .as[(Timestamp, Long, Array[Float])]
+      .map { case (ts, id, e) =>
+        var best = Double.NegativeInfinity
+        var bestC = sorted.head._1
+        var i = 0
+        while (i < sorted.length) {
+          val c = graft.functions.VectorFunctions.cosineJvm(e, sorted(i)._2)
+          if (c > best) { best = c; bestC = sorted(i)._1 }
+          i += 1
+        }
+        (ts, id, bestC, best)
+      }
+      .toDF("ts", "vec_id", "cid", "csim")
+    assigned
+      .withWatermark("ts", lateness)
+      .groupBy(window($"ts", windowDur).as("w"), $"cid")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"csim", 9).cast("decimal(28,12)")).as("s9"))
+      .select($"w.start".as("w_start"), $"cid", $"n",
+        round($"s9".cast("double") / $"n", 6).as("mean_csim"))
+  }
+
   /** The shared perceptual-hash streaming dedup front: decode+hash in a
     * typed flatMap (one decode per frame; undecodable payloads drop —
     * the P13 tolerant shape, a corrupt upload can never wedge the

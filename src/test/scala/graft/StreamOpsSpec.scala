@@ -702,6 +702,58 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF ingest: frozen-centroid assignment matches the JVM " +
+      "argmax, windowed per-cell stats replay exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    // two orthogonal-ish centroids
+    val c0 = Array.tabulate(dim)(i => if (i < 4) 1.0f else 0.0f)
+    val c1 = Array.tabulate(dim)(i => if (i >= 4) 1.0f else 0.0f)
+    val cents = Array((0L, c0), (1L, c1))
+    def near(c: Array[Float], eps: Float): Array[Float] =
+      c.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) eps else -eps) }
+    val rows = Seq( // 3 near c0, 2 near c1, all in one 10-min window
+      (ts(0), 10L, near(c0, 0.01f)), (ts(0, 10), 11L, near(c0, 0.05f)),
+      (ts(0, 20), 12L, near(c0, 0.1f)), (ts(0, 30), 20L, near(c1, 0.02f)),
+      (ts(0, 40), 21L, near(c1, 0.2f)))
+    val in = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = graft.streaming.StreamOps.streamingIvfIngest(
+      in.toDF().toDF("ts", "vec_id", "embedding"),
+      "ts", "vec_id", "embedding", cents, "10 minutes", "1 minute")
+    val q = out.writeStream.format("memory").queryName("sivf_test")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((ts(30), 99L, near(c0, 0.3f))) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.table("sivf_test")
+        .select($"cid", $"n", $"mean_csim")
+        .as[(Long, Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // JVM replay with the SAME round-9 → decimal → round-6 math
+      def csim(e: Array[Float], c: Array[Float]) =
+        graft.functions.VectorFunctions.cosineJvm(e, c)
+      val want = rows.groupBy { case (_, _, e) =>
+        if (csim(e, c0) >= csim(e, c1)) 0L else 1L
+      }.map { case (cid, rs) =>
+        val cc = if (cid == 0L) c0 else c1
+        val s9 = rs.foldLeft(BigDecimal(0)) { case (acc, (_, _, e)) =>
+          acc + BigDecimal(csim(e, cc))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        cid -> ((rs.size.toLong,
+          BigDecimal(s9.toDouble / rs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got(0L)._1 == want(0L)._1 && got(1L)._1 == want(1L)._1,
+        s"per-cell counts: $got vs $want")
+      assert(got(0L)._2 == want(0L)._2 && got(1L)._2 == want(1L)._2,
+        s"per-cell means: $got vs $want")
+    } finally q.stop()
+  }
+
   test("streaming audio dedup: VOLUME-SCALED re-upload hits all 4 envelope " +
       "bands (amplitude invariance at ingest), corrupt payloads drop") {
     import spark.implicits._
