@@ -887,6 +887,35 @@ object Dedup extends QueryModule {
           $"m.quality".as("keeper_quality"))
     },
 
+    // D35: DEDUP AUDIT — the per-doc explainability frame a curation
+    // run ships alongside its drops ("why is doc X gone?"): every doc
+    // with its LSH component, cluster size, the cluster's
+    // quality-elected keeper (d27's election, extended to singletons —
+    // a unique doc keeps itself), and the kept verdict. One frame
+    // answers takedown/audit queries without re-running the dedup.
+    // Rides the session's pinned component assignment + ONE quality
+    // scan; sizes/keepers are component-keyed aggs (bounded by the
+    // cluster cap), the audit join-back is linear. Flags integer,
+    // election ties (quality desc, doc_id asc) — deterministic both
+    // engines.
+    "d35_dedup_audit" -> { (s, dir) =>
+      import s.implicits._
+      val comp = lshDupComponents(s, dir)
+      val quality = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalytics.qualityCol($"text").as("quality"))
+      val scored = comp.join(quality, comp("id") === quality("doc_id"))
+      val sz = scored.groupBy($"component")
+        .agg(count(lit(1)).as("n_copies"))
+      val keeper = scored.groupBy($"component")
+        .agg(max(struct($"quality", (-$"doc_id").as("negid"))).as("m"))
+        .select($"component", (-$"m.negid").as("keeper"))
+      comp.select($"id".as("doc_id"), $"component")
+        .join(sz, Seq("component"))
+        .join(keeper, Seq("component"))
+        .select($"doc_id", $"component", $"n_copies", $"keeper",
+          when($"doc_id" === $"keeper", 1L).otherwise(0L).as("kept"))
+    },
+
     // D12: per-doc n-gram NOVELTY score — the fraction of a document's
     // distinct hashed 8-gram shingles that occur in at least one OTHER
     // document. This is the doc-level duplication-contamination signal
@@ -2125,6 +2154,26 @@ object Dedup extends QueryModule {
          |  count(*) OVER (PARTITION BY component)::BIGINT AS n_copies,
          |  1.0 / count(*) OVER (PARTITION BY component) AS weight
          |FROM comp""".stripMargin,
+
+    "d35_dedup_audit" ->
+      s"""$lshComponentsCteSql,
+         |q AS (${TextAnalytics.qualitySubSql}),
+         |sz AS (
+         |  SELECT component, count(*)::BIGINT AS n_copies
+         |  FROM comp GROUP BY 1),
+         |k AS (
+         |  SELECT component, doc_id AS keeper FROM (
+         |    SELECT c.component, q.doc_id,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY q.quality DESC, q.doc_id) AS r
+         |    FROM comp c JOIN q ON c.id = q.doc_id)
+         |  WHERE r = 1)
+         |SELECT c.id AS doc_id, c.component, sz.n_copies, k.keeper,
+         |  CASE WHEN c.id = k.keeper THEN 1::BIGINT ELSE 0::BIGINT END
+         |    AS kept
+         |FROM comp c
+         |JOIN sz USING (component)
+         |JOIN k USING (component)""".stripMargin,
 
     // incremental == full rebuild, per-row: the oracle IS the d26
     // full-graph component query
