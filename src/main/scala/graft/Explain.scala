@@ -19,7 +19,12 @@ object Explain {
         "x14_unigram_logprob", "j10_funnel", "d15_source_cap",
         "d22_snapshot_diff", "d23_source_overlap", "d24_normalized_dedup",
         "x24_pii_scrub", "x25_shard_manifest", "x26_gopher_rules",
-        "j11_bm25", "x22_zipf_slope")
+        "j11_bm25", "x22_zipf_slope",
+        // session-2 additions worth a plan read: the pin consumers and
+        // the maintenance-loop queries
+        "v18_cluster_sample", "v19_ivf_increment", "v20_cell_drift",
+        "d33_effective_tokens", "d34_incremental_components",
+        "d35_dedup_audit", "p23_retention_cohorts", "x33_oov_rate")
     val spark = graft.core.GraftSession.local(8, "graft-explain")
     names.foreach { q =>
       println(s"===== $q =====")
