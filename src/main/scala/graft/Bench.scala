@@ -183,6 +183,32 @@ object Bench {
       } finally q.stop()
     }
 
+    // streaming IVF ingest (the v19/v20 loop's live side): stateless
+    // JIT assignment + one windowed per-cell agg — the embedding rows
+    // are the heaviest per-row payload in the probe set (64 floats)
+    def ivfIngestRps(): Double = {
+      val cents = Array.tabulate(8)(k =>
+        (k.toLong, Array.tabulate(64)(j =>
+          if (j % 8 == k) 1.0f else 0.01f * ((j + k) % 5))))
+      val in = MemoryStream[(Timestamp, Long, Array[Float])]
+      val out = StreamOps.streamingIvfIngest(
+        in.toDF().toDF("ts", "vec_id", "embedding"),
+        "ts", "vec_id", "embedding", cents, "10 minutes", "1 minute")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val nv = n / 4 // embedding rows are ~64x heavier than words
+        val sec = timed((0 until chunks).foreach { c =>
+          in.addData((0 until nv / chunks).map { i =>
+            val j = c * (nv / chunks) + i
+            (new Timestamp(base + j * 10L), j.toLong,
+              Array.tabulate(64)(d => ((j * 31 + d) % 97) / 97.0f))
+          })
+          q.processAllAvailable()
+        })
+        nv / sec
+      } finally q.stop()
+    }
+
     val ops: Seq[(String, () => Double)] = Seq(
       "windowed" -> (() => windowedRps()),
       "session" -> (() => sessionRps()),
@@ -191,7 +217,8 @@ object Bench {
       "curate" -> (() => dedupRps(curate = true)),
       "neardup" -> (() => nearDedupRps()),
       "panes" -> (() => panesRps()),
-      "attribution" -> (() => attributionRps()))
+      "attribution" -> (() => attributionRps()),
+      "ivfingest" -> (() => ivfIngestRps()))
 
     for ((bName, cls) <- backends; (oName, run) <- ops) yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
