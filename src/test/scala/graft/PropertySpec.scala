@@ -761,6 +761,28 @@ class PropertySpec extends SparkSpec {
       "accuracy must move once weights are nonzero")
   }
 
+  test("incremental components (d34): == full CC on random graphs and " +
+      "random base splits (property)") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20L + rnd.nextInt(20)
+      val nodes = (1L to n).toDF("id")
+      val edges = Seq.fill(25 + rnd.nextInt(25))(
+        (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter { case (a, b) => a != b }.toDF("src", "dst")
+      val m = 2 + rnd.nextInt(3) // random split: base = ids % m != 0
+      val isBase = (c: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.pmod(c, lit(m.toLong)) =!= 0L
+      val inc = graft.queries.Dedup
+        .incrementalComponents(nodes, edges, isBase)
+        .as[(Long, Long)].collect().toMap
+      val full = graft.operators.ConnectedComponents.runStar(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"seed=$seed m=$m: incremental != full rebuild")
+    }
+  }
+
   test("incremental components (d34): planted delta merges two base " +
       "components through a new node; equals full-graph rebuild") {
     import spark.implicits._
