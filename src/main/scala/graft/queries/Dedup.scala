@@ -916,6 +916,45 @@ object Dedup extends QueryModule {
           when($"doc_id" === $"keeper", 1L).otherwise(0L).as("kept"))
     },
 
+    // X34: SKEW REPORT — the pre-flight diagnostic an operator runs
+    // BEFORE launching a 100 TB job: for each shuffle-key family the
+    // engine's heavy plans cluster on (8-gram shingles — the d2/d25
+    // blocking keys; bigram left-contexts — the x16/x29 w1 keys), the
+    // top-3 hottest keys and each one's share of all instances. A key
+    // holding ≥ a few percent means the default clustered plan will
+    // straggle and the salted fallback (spark.graft.saltedSkew / the
+    // d2 stop-shingle cap) should be switched on — this query is how
+    // you KNOW, instead of finding out from a 4-hour task. Plan: one
+    // corpus pass + one vocab-sized hash agg per family, top-3 via
+    // distributed TakeOrderedAndProject, totals fold from the SAME
+    // grouped frame (no second corpus pass); output 6 rows. Shares are
+    // one IEEE division of exact integers, round-6; ties (n desc, key
+    // asc) — deterministic both engines.
+    "x34_skew_report" -> { (s, dir) =>
+      import s.implicits._
+      def family(name: String, keyed: DataFrame): DataFrame = {
+        val counts = keyed.groupBy($"k").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum($"n").as("tot"))
+        counts.orderBy($"n".desc, $"k").limit(3)
+          .crossJoin(broadcast(total))
+          .select(lit(name).as("family"), $"k", $"n",
+            round($"n".cast("double") / $"tot".cast("double"), 6)
+              .as("share"))
+      }
+      val docs = Tables.documents(s, dir)
+      val shingles = docs
+        .select(explode(HashedShinglesExpr.hashedShingles($"text", 8))
+          .as("sh"))
+        .select($"sh".cast("string").as("k"))
+      val toks = docs
+        .select(TextFunctions.wsTokens($"text").as("ts"))
+        .filter(size($"ts") >= 2)
+      val contexts = toks.select(
+        explode(slice($"ts", lit(1), size($"ts") - 1)).as("k"))
+      family("shingle8", shingles)
+        .unionAll(family("bigram_w1", contexts))
+    },
+
     // D12: per-doc n-gram NOVELTY score — the fraction of a document's
     // distinct hashed 8-gram shingles that occur in at least one OTHER
     // document. This is the doc-level duplication-contamination signal
@@ -2154,6 +2193,29 @@ object Dedup extends QueryModule {
          |  count(*) OVER (PARTITION BY component)::BIGINT AS n_copies,
          |  1.0 / count(*) OVER (PARTITION BY component) AS weight
          |FROM comp""".stripMargin,
+
+    "x34_skew_report" ->
+      s"""WITH sh AS (
+         |  SELECT (unnest(${shingleListSqlN("hs", 8)}))::VARCHAR AS k
+         |  FROM (SELECT list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents)),
+         |shc AS (SELECT k, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+         |sht AS (SELECT sum(n) AS tot FROM shc),
+         |shtop AS (
+         |  SELECT k, n FROM shc ORDER BY n DESC, k LIMIT 3),
+         |bg AS (
+         |  SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS k
+         |  FROM (SELECT ${ws("text")} AS tk FROM documents)
+         |  WHERE len(tk) >= 2),
+         |bgc AS (SELECT k, count(*)::BIGINT AS n FROM bg GROUP BY 1),
+         |bgt AS (SELECT sum(n) AS tot FROM bgc),
+         |bgtop AS (
+         |  SELECT k, n FROM bgc ORDER BY n DESC, k LIMIT 3)
+         |SELECT 'shingle8' AS family, k, n,
+         |  round(n::DOUBLE / tot::DOUBLE, 6) AS share FROM shtop, sht
+         |UNION ALL
+         |SELECT 'bigram_w1', k, n, round(n::DOUBLE / tot::DOUBLE, 6)
+         |FROM bgtop, bgt""".stripMargin,
 
     "d35_dedup_audit" ->
       s"""$lshComponentsCteSql,

@@ -332,7 +332,7 @@ object ScaleFixture {
       // dedup-aware token budget
       "v18_cluster_sample", "x32_bpe_encode", "v19_ivf_increment",
       "d33_effective_tokens", "x33_oov_rate", "d34_incremental_components",
-      "v20_cell_drift", "d35_dedup_audit")
+      "v20_cell_drift", "d35_dedup_audit", "x34_skew_report")
     // warmup (JIT + codegen) on the small scale, untimed
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
