@@ -303,7 +303,8 @@ class PlanSpec extends SparkSpec {
       "x21_temperature_mix", // 1-row weight-sum broadcast
       "x25_shard_manifest", // 1-row octile-boundary broadcast
       "d22_snapshot_diff", // 1-row max(doc_id) twin-shift broadcast
-      "d24_normalized_dedup") // 1-row max(doc_id) twin-shift broadcast
+      "d24_normalized_dedup", // 1-row max(doc_id) twin-shift broadcast
+      "x34_skew_report") // 1-row per-family totals broadcast (share calc)
     // Collect per-query failures rather than dying on the first: a single
     // analysis-broken query must not blind the sweep to the other plans
     // (round-9 lesson — the NTZ fixture change hid 128 plans behind one
