@@ -182,6 +182,7 @@ object ScaleFixture {
     if (mode == "all" || mode == "skew") runSkew(spark, root, time)
     if (mode == "all" || mode == "x25") runX25(spark, root, time)
     if (mode == "decade2") runDecade2(spark, root, time)
+    if (mode == "edecade2") runEventsDecade2(spark, root, time)
     // "q:<name>,<name>…" — slope just the named document-family queries
     // (targeted reruns for newly-added ops without the full core sweep)
     if (mode.startsWith("q:")) runNamed(spark, root, time,
@@ -206,8 +207,17 @@ object ScaleFixture {
       "d18_incremental_dedup", "x29_interp_lm",
       // session 2: x31 is the steepest first-decade slope (5.9× — four
       // corpus passes by construction); x32 rides the same loop
-      "x31_bpe_merges", "x32_bpe_encode")
+      "x31_bpe_merges", "x32_bpe_encode",
+      // session-2 ops with non-trivial machinery behind them: the CC
+      // pin consumers and the skew diagnostic
+      "d33_effective_tokens", "d35_dedup_audit", "x34_skew_report")
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, tenX).count())
+    // evict after warmup (the runCore convention): otherwise the 10×
+    // side of a pin consumer (d33/d35 ride the CC pin) measures warm
+    // while the 100× side pays pair-gen + CC cold — a 19.6× phantom
+    // slope that is measurement asymmetry, not scaling
+    graft.queries.Dedup.evictCaches(spark)
+    graft.queries.Similarity.evictCaches(spark)
     val t10 = queries.map(q => q -> time(q, tenX)).toMap
     val t100 = queries.map(q => q -> time(q, hundredX)).toMap
     queries.foreach { q =>
@@ -240,6 +250,27 @@ object ScaleFixture {
     * sessionization, as-of/range joins, and the j6w windowed anti-join —
     * the queries the docs/embeddings fixture could not see.
     */
+  /** Events-family second decade (session 2): 10× vs 100× = 1M → 10M
+    * events, 15k → 150k users — the events queries' 12×-linear bar had
+    * only ever been tested one decade out (the documents family got its
+    * second decade in `runDecade2`).
+    */
+  private def runEventsDecade2(spark: SparkSession, root: String,
+      time: (String, String) => Double): Unit = {
+    val e10 = s"$root/e10"
+    val e100 = s"$root/e100"
+    genEvents(spark, e10, 10); genEvents(spark, e100, 100)
+    val queries = Seq("w1_tumbling", "a9_session_marker", "j8_range_outage",
+      "j6w_windowed_anti", "p22_sessionize", "p23_retention_cohorts")
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, e10).count())
+    val t10 = queries.map(q => q -> time(q, e10)).toMap
+    val t100 = queries.map(q => q -> time(q, e100)).toMap
+    queries.foreach { q =>
+      println(
+        f"edecade2,$q,${t10(q)}%.2f,${t100(q)}%.2f,${t100(q) / t10(q)}%.1f")
+    }
+  }
+
   private def runEvents(spark: SparkSession, root: String,
       time: (String, String) => Double): Unit = {
     val e1 = s"$root/e1"
