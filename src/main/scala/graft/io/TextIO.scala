@@ -30,9 +30,17 @@ object TextIO {
 
   /** S2: write lines as sharded text files (`shards` = output file count;
     * the reference's `withNumShards`, `WriteToText.scala:91`).
+    * `compression` (gzip | none — any Hadoop codec name works) matters
+    * at corpus scale: 100 TB text ships compressed, and Spark's text
+    * source decompresses transparently on read, so the READ path is the
+    * same `readLines` either way. gzip is non-splittable (one task per
+    * file on read) — size shards so a single compressed file stays a
+    * sane task, the standard sharded-corpus layout.
     */
-  def writeLines(ds: Dataset[String], dir: String, shards: Int = 1): Unit =
-    ds.repartition(shards).write.mode("overwrite").text(dir)
+  def writeLines(ds: Dataset[String], dir: String, shards: Int = 1,
+                 compression: String = "none"): Unit =
+    ds.repartition(shards).write.mode("overwrite")
+      .option("compression", compression).text(dir)
 
   /** S3: CSV-formatted write / read with explicit schema (reference
     * `TfIdf.scala:386-393` writes CSV text; schema-on-read is explicit —

@@ -17,6 +17,41 @@ class TextIOSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".txt")) == 3)
   }
 
+  test("S2 compressed: gzip-sharded write reads back transparently; " +
+      "files actually compressed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gz").toString + "/out"
+    val lines = (1 to 500).map(i => s"compressible line $i " + ("pad " * 20))
+    TextIO.writeLines(lines.toDS(), dir, shards = 2, compression = "gzip")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".txt.gz"))
+    assert(files.length == 2, "expected 2 gzip shards")
+    // genuinely compressed: far smaller than the raw bytes
+    val raw = lines.map(_.length + 1L).sum
+    assert(files.map(_.length).sum < raw / 4,
+      s"gzip shards not compressed: ${files.map(_.length).sum} vs $raw")
+    // the READ path is the same readLines — decompression is transparent
+    val back = TextIO.readLines(spark, dir).collect().toSet
+    assert(back == lines.toSet)
+  }
+
+  test("S5 format breadth: ORC write-read roundtrip preserves the " +
+      "documents schema and rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs_orc"
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema, "ORC roundtrip must preserve schema")
+    assert(back.count() == docs.count())
+    // spot content: same doc_id -> text mapping
+    val a = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    val b = back.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(a == b, "ORC roundtrip must preserve rows")
+  }
+
   test("S10: keyed-by-file read tags each line with its source uri") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_multi")
