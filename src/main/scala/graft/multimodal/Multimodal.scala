@@ -278,8 +278,15 @@ object Multimodal {
       * factor, preserving all 64 comparisons, so the classic audio
       * near-dup transformation lands at Hamming distance 0.
       */
-    private[graft] def dHash(payload: Array[Byte]): Long = {
-      val (_, samples) = decodeOrThrow(payload)
+    private[graft] def dHash(payload: Array[Byte]): Long =
+      dHashOf(decodeOrThrow(payload)._2)
+
+    /** dHash over already-decoded samples (the `ImageCodec.dHashOf`
+      * convention) — callers that decode() to gate decodability hash
+      * the SAME decoded frame instead of paying a second decode on the
+      * ingest hot path.
+      */
+    private[graft] def dHashOf(samples: Array[Short]): Long = {
       val n = samples.length
       val seg = Array.tabulate(65) { s =>
         val from = (s.toLong * n / 65).toInt
@@ -652,8 +659,8 @@ object Multimodal {
     val hashes = media.mapPartitions { it =>
       it.flatMap(m =>
         if (m.kind != "audio") None
-        else AudioCodec.decode(m.payload).map(_ =>
-          (m.media_id, AudioCodec.dHash(m.payload))))
+        else AudioCodec.decode(m.payload).map { case (_, samples) =>
+          (m.media_id, AudioCodec.dHashOf(samples)) })
     }.toDF("media_id", "dhash")
     bandedHammingPairs(hashes, maxBits)
   }

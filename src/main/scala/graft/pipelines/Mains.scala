@@ -566,8 +566,12 @@ object IndexPipelineMain {
       Opts.session("graft-index")
     import spark.implicits._
     val out = o("output")
-    val (assign, _) = graft.queries.Similarity
+    // the assignment scan is the pipeline's one corpus-sized frame and
+    // it has TWO consumers (postings write + occupancy collect) — pin
+    // it once so the Lloyd assignment doesn't replay per consumer
+    val (assign0, _) = graft.queries.Similarity
       .ivfCoarse(spark, o("input"), o("cells").toInt, 1)
+    val assign = assign0.localCheckpoint()
     assign.select($"cid", $"vec_id", $"embedding")
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$out/postings")
@@ -581,8 +585,15 @@ object IndexPipelineMain {
       s"""{"n_vectors":${cells.map(_._2).sum},"n_cells":${cells.length},
          |"cells":{${cells.map { case (c, n) => s""""$c":$n""" }.mkString(",")}},
          |"drift":[${drift.mkString(",\n")}]}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(out, "_manifest.json"), manifest)
+    // the Hadoop filesystem API resolves the SAME URI scheme the
+    // postings/increment writers used, so --output may be any
+    // supported filesystem, not just local paths (java.nio would
+    // silently treat "hdfs://…" as a relative local path)
+    val manifestPath = new org.apache.hadoop.fs.Path(out, "_manifest.json")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(manifestPath, true)
+    try os.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     println(s"index-pipeline: ${cells.map(_._2).sum} vectors, " +
       s"${cells.length} cells -> $out")
   }

@@ -1040,14 +1040,20 @@ object Similarity extends QueryModule {
         .as[(Long, Long)]
         .groupByKey(_._2)
         .mapValues { case (vid, _) =>
-          // score desc ≡ hash asc; the hash is injective on vec_id
-          // (odd multiplier mod 2^32), so ties cannot occur
-          Scored(-((vid * 2654435761L) % 4294967296L).toDouble, vid)
+          // score desc ≡ hash asc. knuthHashJvm is the overflow-safe
+          // split multiply (the raw vid·K product wraps signed 64-bit
+          // once vid ≥ ~3.47e9, silently flipping the order while the
+          // oracle's HUGEINT does not). The hash is injective only
+          // within a 2^32 id block, so ties CAN occur across blocks:
+          // carrying -vid makes Scored's (score desc, id desc)
+          // tiebreak ≡ the oracle's (hash, vec_id ASC) at any
+          // magnitude.
+          Scored(-HashFunctions.knuthHashJvm(vid).toDouble, -vid)
         }
         .agg(new TopKAggregator(Q).toColumn.name("top"))
         .flatMap { case (cid, top) =>
           top.zipWithIndex.map { case (sc, i) =>
-            (sc.id, cid, (i + 1).toLong)
+            (-sc.id, cid, (i + 1).toLong)
           }
         }
         .toDF("vec_id", "cid", "srank")
@@ -1445,7 +1451,7 @@ object Similarity extends QueryModule {
          |  CAST(srank AS BIGINT) AS srank
          |FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
-         |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS srank
+         |    ORDER BY ${OracleFragments.knuthU32("vec_id")}, vec_id) AS srank
          |  FROM assign1)
          |WHERE srank <= 12""".stripMargin,
 

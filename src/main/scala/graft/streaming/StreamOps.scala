@@ -453,7 +453,7 @@ object StreamOps {
       : DataFrame =
     streamingPerceptualDedup(media, tsCol, idCol, payloadCol, horizonMs,
       payload => graft.multimodal.Multimodal.AudioCodec.decode(payload)
-        .map(_ => graft.multimodal.Multimodal.AudioCodec.dHash(payload)))
+        .map(d => graft.multimodal.Multimodal.AudioCodec.dHashOf(d._2)))
 
   /** STREAMING IVF INGEST — the streaming side of the v19/v20 index
     * maintenance loop: arriving vectors are assigned to the FROZEN
