@@ -231,6 +231,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional arg filter: `runMain graft.Bench x16_bigram_logprob …` times
+    // only the named queries (and skips the streaming probes) — the
+    // per-query iteration loop; no args = the full driver-run suite
+    val only = args.toSet
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -241,6 +246,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob: SPARK_GRAFT_CONF="k=v;k=v" sets session confs before any
+    // query builds — times alternative plan shapes (saltedSkew,
+    // bm25.termParallel, …) without a code edit
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     // untimed warmup: JVM/codegen + parquet footers for every table family
     Seq("q1_agg", "p1_wordcount", "w1_tumbling", "a5_max_per_key",
         "j1_left_outer", "v2_lsh_buckets").foreach { q =>
@@ -249,7 +261,8 @@ object Bench {
     }
     // (name, seconds, succeeded). A failing query is reported as -1 and
     // listed in "failed" — never silently folded into the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
@@ -264,7 +277,8 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     // streaming rows/s probe rides the SAME single JSON line (the driver
     // parses one line; a second line would break it)
-    val streaming = probeStreaming(spark).map { case (k, v) =>
+    val streaming = (if (only.isEmpty) probeStreaming(spark)
+                     else Seq.empty).map { case (k, v) =>
       "\"" + k + "\":" + "%.0f".formatLocal(Locale.ROOT, v)
     }.mkString("{", ",", "}")
     // ONE short JSON line. stdout gets sbt's "[info] " prefix, which

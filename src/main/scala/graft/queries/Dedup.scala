@@ -922,9 +922,11 @@ object Dedup extends QueryModule {
     // blocking keys; bigram left-contexts — the x16/x29 w1 keys), the
     // top-3 hottest keys and each one's share of all instances. A key
     // holding ≥ a few percent means the default clustered plan will
-    // straggle and the salted fallback (spark.graft.saltedSkew / the
-    // d2 stop-shingle cap) should be switched on — this query is how
-    // you KNOW, instead of finding out from a 4-hour task. Plan: one
+    // straggle; as of round 13 the SAME statistic drives automatic
+    // shape selection in-plan (TextAnalytics.saltedFor — the x14/x16/
+    // x29/d12 paths probe their own key family and salt themselves),
+    // and this query remains the human-readable pre-flight report (plus
+    // the d2 stop-shingle cap's sizing input). Plan: one
     // corpus pass + one vocab-sized hash agg per family, top-3 via
     // distributed TakeOrderedAndProject, totals fold from the SAME
     // grouped frame (no second corpus pass); output 6 rows. Shares are
@@ -1417,7 +1419,9 @@ object Dedup extends QueryModule {
     */
   private[graft] def ngramNovelty(docs: DataFrame, n: Int): DataFrame =
     ngramNovelty(docs, n,
-      TextAnalytics.skewSalted(docs.sparkSession))
+      TextAnalytics.saltedFor(docs, s"shingle$n")(
+        _.select(explode(HashedShinglesExpr.hashedShingles(col("text"), n))
+          .as("k"))))
 
   private[graft] def ngramNovelty(docs: DataFrame, n: Int,
       salted: Boolean): DataFrame = {

@@ -165,9 +165,11 @@ object TextAnalytics extends QueryModule {
 
   // ------------------- x14/x16 LM-score plan shapes -------------------
   //
-  // Two result-identical physical shapes per query, selected by
-  // `spark.graft.saltedSkew` (SkewFallbackSpec proves identity on a
-  // planted hot-context corpus AND the driver fixtures):
+  // Two result-identical physical shapes per query, selected by the
+  // tri-state `spark.graft.saltedSkew` — "true"/"false" force a shape,
+  // and the DEFAULT "auto" probes the corpus itself (see [[saltedFor]]
+  // below). SkewFallbackSpec proves identity on a planted hot-context
+  // corpus AND the driver fixtures, and pins the auto dispatch on both:
   //
   // DEFAULT (window-count, round-10): cluster the token/bigram instance
   // stream by its term key (w / w1) once and attach the global counts as
@@ -196,18 +198,90 @@ object TextAnalytics extends QueryModule {
   // Cost trade vs default: the stats branch re-derives the per-doc
   // counts (a second tokenize+agg corpus pass — the salt filter pushed
   // into the big side's scan defeats ReuseExchange), plus an S×
-  // stats-side replication — which is why it is the flagged fallback,
-  // not the default, at fixture SFs (ScaleFixture measures both shapes
-  // on a corpus where one context holds ≥20% of bigrams). The join
+  // stats-side replication — which is why the auto probe only selects
+  // it when a genuinely hot key would otherwise dominate the stage
+  // (ScaleFixture measures both shapes on a corpus where one context
+  // holds ≥20% of bigrams). The join
   // strategy stays size-selected: broadcast while the stats side fits,
   // shuffle on the salted keys past that (PlanSpec pins the keys).
   private[graft] val SaltedSkewKey = "spark.graft.saltedSkew"
   private[graft] val SaltBucketsKey = "spark.graft.saltBuckets"
+  private[graft] val SkewThresholdKey = "spark.graft.skewProbe.threshold"
+  private[graft] val SkewProbeFractionKey = "spark.graft.skewProbe.fraction"
 
-  private[graft] def skewSalted(s: SparkSession): Boolean =
-    s.conf.get(SaltedSkewKey, "false").toBoolean
   private[graft] def saltBuckets(s: SparkSession): Int =
     s.conf.get(SaltBucketsKey, "16").toInt
+
+  // ---------------- automatic skew-path selection (round 13) ----------
+  //
+  // x34_skew_report MEASURES the straggler trigger; this wires the
+  // measurement to plan selection, the way the reference fans out hot
+  // keys in-pipeline (`withHotKeyFanout`, AutoComplete.scala:249-254):
+  // `spark.graft.saltedSkew` is now tri-state — "true"/"false" force a
+  // shape (the old manual switch, unchanged semantics), and the new
+  // DEFAULT "auto" probes the query's own clustering-key family on a
+  // deterministic hash sample and picks the salted shape iff the top
+  // key holds ≥ `spark.graft.skewProbe.threshold` (default 0.10) of all
+  // instances. Rationale for 10%: on a 1000-executor cluster the fair
+  // per-partition share is 0.1%, so a 10% key is a 100× straggler under
+  // the window-count shape — while the measured fixture corpora (top
+  // token ≈ 3.4%) stay on the default shape, which A/B-benches 1.5-2×
+  // faster than salted at flat-key SFs (the salted shape's second
+  // corpus pass + S× stats replication only pays for itself when the
+  // hot partition would otherwise dominate the stage). The probe is ONE
+  // tiny job — a two-phase (map-side partial) count over a
+  // `hashSample(doc_id, fraction)` slice (default 5%), so no hot key
+  // ever concentrates in the probe itself — cached per (session,
+  // dataset plan, key family), i.e. it runs once per corpus per JVM,
+  // the "cached per-dataset statistic" a 100 TB pipeline would persist
+  // alongside the data.
+  private val skewProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Double]()
+
+  /** Top-1 key share of `keyed` (one column `k`), cached under
+    * (session, tag). Package-visible for the wiring spec.
+    */
+  private[graft] def hotKeyShare(sess: SparkSession, tag: String,
+      keyed: => DataFrame): Double =
+    skewProbeCache.computeIfAbsent((sess, tag), { _ =>
+      val r = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("maxn"), sum(col("n")).as("tot")).head()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) Double.box(0.0)
+      else Double.box(r.getLong(0).toDouble / r.getLong(1))
+    })
+
+  /** The tri-state dispatch: force via "true"/"false", else probe
+    * `keyOf(sampled docs)`'s hot-key share against the threshold.
+    * `family` names the clustering-key family (probe cache key — the
+    * token probe is shared by x14/x16/x29; each shingle width gets its
+    * own). Package-visible for Dedup's shingle-keyed consumers.
+    */
+  private[graft] def saltedFor(docs: DataFrame, family: String)(
+      keyOf: DataFrame => DataFrame): Boolean = {
+    val sess = docs.sparkSession
+    sess.conf.get(SaltedSkewKey, "auto").toLowerCase(java.util.Locale.ROOT) match {
+      case "true"  => true
+      case "false" => false
+      case _ =>
+        val frac = sess.conf.get(SkewProbeFractionKey, "0.05").toDouble
+        val thresh = sess.conf.get(SkewThresholdKey, "0.10").toDouble
+        val sampled =
+          if (frac >= 1.0) docs
+          else docs.filter(HashFunctions.hashSample(col("doc_id"), frac))
+        val tag = family + ":" + java.util.UUID.nameUUIDFromBytes(
+          docs.queryExecution.analyzed.canonicalized.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+        hotKeyShare(sess, tag, keyOf(sampled)) >= thresh
+    }
+  }
+
+  /** The token-family probe dispatch shared by x14/x16/x29 (their
+    * clustering keys — w, w1 — are all draws from the token unigram
+    * distribution, so one probe serves the family).
+    */
+  private[graft] def tokenSkewSalted(docs: DataFrame): Boolean =
+    saltedFor(docs, "token")(
+      _.select(explode(TextFunctions.wsTokens(col("text"))).as("k")))
 
   /** x14 core — per-doc unigram-LM mean log-probability
     * logp(w) = ln((n_w + 1)/(n_c + V)) weighted by the doc's own term
@@ -217,6 +291,14 @@ object TextAnalytics extends QueryModule {
     * (the x13 convention) — identical in both shapes because the counts
     * are identical and the decimal sum is order-insensitive.
     */
+  /** Auto-dispatching form (the query-map entry point): probes the
+    * token family's hot-key share and picks the shape — see
+    * [[saltedFor]]. The 2-arg overload remains the forced-shape core
+    * the differential specs exercise.
+    */
+  private[graft] def unigramLogprob(docs: DataFrame): DataFrame =
+    unigramLogprob(docs, tokenSkewSalted(docs))
+
   private[graft] def unigramLogprob(docs: DataFrame,
       salted: Boolean): DataFrame = {
     val sess = docs.sparkSession
@@ -263,6 +345,10 @@ object TextAnalytics extends QueryModule {
     * bigram, so V cannot fold from the bigram stream). Docs with
     * < 2 tokens have no bigrams and no row.
     */
+  /** Auto-dispatching form — see [[unigramLogprob]]. */
+  private[graft] def bigramLogprob(docs: DataFrame): DataFrame =
+    bigramLogprob(docs, tokenSkewSalted(docs))
+
   private[graft] def bigramLogprob(docs: DataFrame,
       salted: Boolean): DataFrame = {
     val sess = docs.sparkSession
@@ -1161,7 +1247,7 @@ object TextAnalytics extends QueryModule {
     // `spark.graft.saltedSkew` dispatch: see [[unigramLogprob]] and
     // the LM-score block comment above it.
     "x14_unigram_logprob" -> ((s, dir) =>
-      unigramLogprob(Tables.documents(s, dir), skewSalted(s))),
+      unigramLogprob(Tables.documents(s, dir))),
 
     // X15: corpus-wide QUALITY DECILE assignment — the bucketing step of
     // quality-stratified mixing / curriculum ordering (keep the top
@@ -1198,7 +1284,7 @@ object TextAnalytics extends QueryModule {
     // `spark.graft.saltedSkew` dispatch: see [[bigramLogprob]] and
     // the LM-score block comment above it.
     "x16_bigram_logprob" -> ((s, dir) =>
-      bigramLogprob(Tables.documents(s, dir), skewSalted(s))),
+      bigramLogprob(Tables.documents(s, dir))),
 
     // X17: FEATURE-HASHED document embeddings — the text→vector bridge:
     // each doc becomes an L2-normalized 16-dim signed bag-of-words
@@ -1565,7 +1651,7 @@ object TextAnalytics extends QueryModule {
     // operand order, ln is round-9 anchored, per-term products round-9,
     // decimal accumulation, final round-6 (x13/x16 convention).
     "x29_interp_lm" -> ((s, dir) =>
-      interpLm(Tables.documents(s, dir), skewSalted(s))),
+      interpLm(Tables.documents(s, dir))),
 
     // X30: DATASET CARD — the per-source datasheet a corpus release
     // ships (Gebru et al.'s "Datasheets for Datasets", the model-card
@@ -1739,6 +1825,10 @@ object TextAnalytics extends QueryModule {
     * SkewFallbackSpec's identity proof on the planted hot-context
     * corpus.
     */
+  /** Auto-dispatching form — see [[unigramLogprob]]. */
+  private[graft] def interpLm(docs: DataFrame): DataFrame =
+    interpLm(docs, tokenSkewSalted(docs))
+
   private[graft] def interpLm(docs: DataFrame, salted: Boolean): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._

@@ -114,6 +114,66 @@ class SkewFallbackSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bm25.termParallel")
   }
 
+  /** Degenerate-repetition corpus for the d12 AUTO trigger: 300 docs of
+    * one repeated token — every 8-gram shingle of such a doc is the SAME
+    * hashed shingle, so that one key holds ~75% of all shingle
+    * instances (the boilerplate-straggler shape at its worst), plus 100
+    * normal docs so the novelty math is non-trivial.
+    */
+  private def repeatedTokenCorpus(): DataFrame = {
+    import spark.implicits._
+    spark.range(400).map { id =>
+      if (id < 300) (id, Seq.fill(30)("the").mkString(" "))
+      else {
+        val rng = new scala.util.Random(id * 7919L + 11)
+        (id, (0 until 30).map(_ => s"w${rng.nextInt(400)}").mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  // ---- round-13: x34's measured trigger wired to plan selection ----
+  // No conf flag is set in any of these tests: the tri-state default
+  // ("auto") probes the corpus and must pick the right shape by itself.
+
+  test("AUTO: skewed corpus plans the salted x14/x16 shape WITHOUT the flag") {
+    assert(spark.conf.getOption(TextAnalytics.SaltedSkewKey).isEmpty)
+    for (df <- Seq(TextAnalytics.unigramLogprob(skewCorpus()),
+                   TextAnalytics.bigramLogprob(skewCorpus()),
+                   TextAnalytics.interpLm(skewCorpus()))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"auto must salt on the skew corpus:\n$p")
+      assert(p.contains("xxhash64"), s"auto must salt on the skew corpus:\n$p")
+    }
+  }
+
+  test("AUTO: repeated-token corpus plans the salted d12 shape WITHOUT the flag") {
+    assert(spark.conf.getOption(TextAnalytics.SaltedSkewKey).isEmpty)
+    val p = graft.queries.Dedup.ngramNovelty(repeatedTokenCorpus(), 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"auto must salt on the repeated corpus:\n$p")
+    assert(p.contains("xxhash64"), s"auto must salt on the repeated corpus:\n$p")
+  }
+
+  test("AUTO: the flat driver fixture keeps the default window-count shape") {
+    assert(spark.conf.getOption(TextAnalytics.SaltedSkewKey).isEmpty)
+    val docs = graft.core.Tables.documents(spark, dir)
+    for (df <- Seq(TextAnalytics.unigramLogprob(docs),
+                   TextAnalytics.bigramLogprob(docs),
+                   graft.queries.Dedup.ngramNovelty(docs, 8))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Window"),
+        s"auto must NOT salt a flat corpus (top share ~3.4%):\n$p")
+    }
+  }
+
+  test("AUTO: result identity on the skew corpus via the auto path") {
+    // the auto plan's values must equal the forced-default plan's
+    val auto = sortedRows(TextAnalytics.unigramLogprob(skewCorpus()))
+    val dflt = sortedRows(TextAnalytics.unigramLogprob(skewCorpus(),
+      salted = false))
+    assert(auto == dflt)
+  }
+
   test("queries-map dispatch: the conf flag selects the salted plan") {
     try {
       spark.conf.set(TextAnalytics.SaltedSkewKey, "true")
