@@ -283,6 +283,113 @@ object TextAnalytics extends QueryModule {
     saltedFor(docs, "token")(
       _.select(explode(TextFunctions.wsTokens(col("text"))).as("k")))
 
+  // ------------------- j11/j12 pinned retrieval family ----------------
+
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The ONE pinned BM25 rank frame per (session, dir) — j11's result
+    * and j12's sparse input (the `Dedup.sharedJaccardPairs` /
+    * `Similarity.sharedKmeansAssign` session-pin doctrine applied to
+    * retrieval). The pinned frame is ≤ n_queries×10 rows — pinning it
+    * is free at any corpus scale; what it saves is re-running the whole
+    * retrieval plan (two corpus scans + the posting shuffle) once per
+    * consumer. [[evictCaches]] releases the blocks.
+    */
+  private[graft] def bm25Ranks(s: SparkSession, dir: String): DataFrame =
+    bm25Cache.computeIfAbsent((s, dir), { key =>
+      bm25Plan(key._1, key._2).localCheckpoint(eager = false)
+    })
+
+  /** Release the pinned rank frames held for `session` (optionally
+    * scoped to one data dir) — the `Dedup.evictCaches` contract.
+    */
+  def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
+    val it = bm25Cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq session) && dir.forall(_ == e.getKey._2)) {
+        try e.getValue.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** The j11 retrieval plan (see the scale notes on the `j11_bm25`
+    * queries-map entry — this is that plan verbatim, factored out so
+    * [[bm25Ranks]] can pin its result once per (session, dir)).
+    */
+  private[graft] def bm25Plan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // explode(array(…)) is the x8 Generate BARRIER: without it the
+    // explode's inferred generator filter (size(ts)>0 AND isnotnull)
+    // re-evaluates the whole tokenize expression up to 3× per row in
+    // the hits scan — measured ~0.3 s of the query's ~1.1 s at sf0.1,
+    // where the pre-shuffle scan is one task
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+    // totals over docs with ≥1 token ONLY — the oracle derives
+    // n_docs/avglen from the (doc, w) counts, which a zero-token doc
+    // never reaches; filter here so both engines agree by
+    // construction on any fixture (round-10 ADVICE), not just on
+    // generators that always emit tokens
+    val tot = toks.filter(size($"ts") > 0)
+      .agg(count(lit(1)).as("n_docs"),
+      (sum(size($"ts")).cast("double") / count(lit(1))).as("avglen"))
+    // DISTINCT (qid, w) ≡ per-row array_distinct of the 3-token slice
+    // (qid IS doc_id) — rowwise, so the query branch is a pushed-
+    // filter scan + project with NO exchange, directly broadcastable
+    // (an A/B probe of collecting the ≤15 rows to a LocalRelation
+    // measured no gain — the collect job costs the stage it saves)
+    val q = Tables.documents(s, dir).filter($"doc_id" < 5)
+      .select($"doc_id".as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.wsTokens($"text"), 1, 3))).as("w"))
+    // spark.graft.bm25.termParallel (round-10 ADVICE, real code):
+    // default clusters on qid alone — post-scan parallelism is then
+    // bounded by the distinct query count (≤5 here), which is the
+    // right trade while queries are few (every downstream operator
+    // shares the one exchange). When query fan-out grows, the flag
+    // widens the clustering to (qid, w) — parallelism ∝ query TERMS —
+    // at the cost of two more posting-sized exchanges (the (qid,doc)
+    // score agg and the per-qid rank no longer ride the first
+    // shuffle). Result-identical (SkewFallbackSpec).
+    val hitKeys =
+      if (s.conf.get("spark.graft.bm25.termParallel", "false").toBoolean)
+        Seq($"qid", $"w")
+      else Seq($"qid")
+    val hits = toks
+      .select($"doc_id", size($"ts").cast("long").as("len_d"),
+        explode($"ts").as("w"))
+      .join(broadcast(q), "w")
+      .repartition(hitKeys: _*) // the ONE shuffle — see plan note above
+      .groupBy($"qid", $"w", $"doc_id", $"len_d")
+      .agg(count(lit(1)).as("n_dw"))
+      // one row per (qid, w, posting) ⇒ count over (qid, w) = df(w)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"qid", $"w")))
+    val scored = hits
+      .crossJoin(broadcast(tot)) // 1-row (n_docs, avglen)
+      .select($"qid", $"doc_id",
+        round(
+          round(log(lit(1.0) +
+              ($"n_docs".cast("double") - $"df" + lit(0.5)) /
+              ($"df" + lit(0.5))), 9) *
+            (($"n_dw" * lit(1.2 + 1)) /
+             ($"n_dw".cast("double") + lit(1.2) *
+               (lit(1 - 0.75) + lit(0.75) *
+                 $"len_d".cast("double") / $"avglen"))), 9)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy($"qid", $"doc_id")
+      .agg(round(sum($"term").cast("double"), 6).as("score"))
+    graft.operators.KeyedOps.topKPerKey(scored, Seq($"qid"),
+        Seq($"score".desc, $"doc_id"), 10)
+      .select($"qid", $"doc_id", $"score", $"rank")
+  }
+
   /** x14 core — per-doc unigram-LM mean log-probability
     * logp(w) = ln((n_w + 1)/(n_c + V)) weighted by the doc's own term
     * counts, over an arbitrary (doc_id, text) frame. `salted` selects
@@ -599,75 +706,13 @@ object TextAnalytics extends QueryModule {
     // IDF ln round-9 (x13 convention), the TF fraction is pure IEEE
     // double arithmetic written in the same operation order in both
     // engines, per-term product round-9, decimal sum, final round-6.
-    "j11_bm25" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      // explode(array(…)) is the x8 Generate BARRIER: without it the
-      // explode's inferred generator filter (size(ts)>0 AND isnotnull)
-      // re-evaluates the whole tokenize expression up to 3× per row in
-      // the hits scan — measured ~0.3 s of the query's ~1.1 s at sf0.1,
-      // where the pre-shuffle scan is one task
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id",
-          explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
-      // totals over docs with ≥1 token ONLY — the oracle derives
-      // n_docs/avglen from the (doc, w) counts, which a zero-token doc
-      // never reaches; filter here so both engines agree by
-      // construction on any fixture (round-10 ADVICE), not just on
-      // generators that always emit tokens
-      val tot = toks.filter(size($"ts") > 0)
-        .agg(count(lit(1)).as("n_docs"),
-        (sum(size($"ts")).cast("double") / count(lit(1))).as("avglen"))
-      // DISTINCT (qid, w) ≡ per-row array_distinct of the 3-token slice
-      // (qid IS doc_id) — rowwise, so the query branch is a pushed-
-      // filter scan + project with NO exchange, directly broadcastable
-      // (an A/B probe of collecting the ≤15 rows to a LocalRelation
-      // measured no gain — the collect job costs the stage it saves)
-      val q = Tables.documents(s, dir).filter($"doc_id" < 5)
-        .select($"doc_id".as("qid"),
-          explode(array_distinct(
-            slice(TextFunctions.wsTokens($"text"), 1, 3))).as("w"))
-      // spark.graft.bm25.termParallel (round-10 ADVICE, real code):
-      // default clusters on qid alone — post-scan parallelism is then
-      // bounded by the distinct query count (≤5 here), which is the
-      // right trade while queries are few (every downstream operator
-      // shares the one exchange). When query fan-out grows, the flag
-      // widens the clustering to (qid, w) — parallelism ∝ query TERMS —
-      // at the cost of two more posting-sized exchanges (the (qid,doc)
-      // score agg and the per-qid rank no longer ride the first
-      // shuffle). Result-identical (SkewFallbackSpec).
-      val hitKeys =
-        if (s.conf.get("spark.graft.bm25.termParallel", "false").toBoolean)
-          Seq($"qid", $"w")
-        else Seq($"qid")
-      val hits = toks
-        .select($"doc_id", size($"ts").cast("long").as("len_d"),
-          explode($"ts").as("w"))
-        .join(broadcast(q), "w")
-        .repartition(hitKeys: _*) // the ONE shuffle — see plan note above
-        .groupBy($"qid", $"w", $"doc_id", $"len_d")
-        .agg(count(lit(1)).as("n_dw"))
-        // one row per (qid, w, posting) ⇒ count over (qid, w) = df(w)
-        .withColumn("df",
-          count(lit(1)).over(Window.partitionBy($"qid", $"w")))
-      val scored = hits
-        .crossJoin(broadcast(tot)) // 1-row (n_docs, avglen)
-        .select($"qid", $"doc_id",
-          round(
-            round(log(lit(1.0) +
-                ($"n_docs".cast("double") - $"df" + lit(0.5)) /
-                ($"df" + lit(0.5))), 9) *
-              (($"n_dw" * lit(1.2 + 1)) /
-               ($"n_dw".cast("double") + lit(1.2) *
-                 (lit(1 - 0.75) + lit(0.75) *
-                   $"len_d".cast("double") / $"avglen"))), 9)
-            .cast("decimal(28,12)").as("term"))
-        .groupBy($"qid", $"doc_id")
-        .agg(round(sum($"term").cast("double"), 6).as("score"))
-      graft.operators.KeyedOps.topKPerKey(scored, Seq($"qid"),
-          Seq($"score".desc, $"doc_id"), 10)
-        .select($"qid", $"doc_id", $"score", $"rank")
-    },
+    // Round 13: the rank frame is session-PINNED (the Dedup.sharedJaccard-
+    // Pairs / Similarity.sharedKmeansAssign doctrine applied to
+    // retrieval): j11 fronts ONE bm25Plan evaluation per (session, dir)
+    // and j12's sparse side consumes the same ≤(n_queries×10)-row pinned
+    // frame instead of re-running the whole retrieval plan inline
+    // (round-12 verdict: j12 paid j11's full 1.1 s again).
+    "j11_bm25" -> ((s, dir) => bm25Ranks(s, dir)),
 
     // J12: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
     // 2009) — the production recipe for combining a lexical (BM25) and
@@ -677,8 +722,9 @@ object TextAnalytics extends QueryModule {
     // leading tokens (the j11 sparse side, self included) and by their
     // own embedding (doc_id ≡ vec_id in the fixture corpus, self
     // included) — "more like this document" over both signals.
-    // Scale shape: the sparse side is j11's plan UNCHANGED (query terms
-    // broadcast into the token stream, one clustering exchange); the
+    // Scale shape: the sparse side is j11's session-PINNED rank frame
+    // (≤ n_queries×10 rows — bm25Ranks runs the retrieval plan once per
+    // (session, dir) for the whole family); the
     // dense side is v1's broadcast-queries codegen scan (no corpus
     // shuffle); the fusion itself is a full-outer join of two
     // ≤(n_queries×10)-row rank frames — bounded at any corpus size.
@@ -687,7 +733,7 @@ object TextAnalytics extends QueryModule {
     // — no decimal laundering needed, unlike the BM25 scores.
     "j12_rrf_fusion" -> { (s, dir) =>
       import s.implicits._
-      val sparse = queries("j11_bm25")(s, dir)
+      val sparse = bm25Ranks(s, dir) // the session-pinned j11 frame
         .select($"qid", $"doc_id", $"rank".as("r_s"))
       val corpus = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]

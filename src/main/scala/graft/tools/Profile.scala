@@ -43,6 +43,7 @@ object Profile {
         if (evict && rep == 1) {
           graft.queries.Dedup.evictCaches(spark)
           graft.queries.Similarity.evictCaches(spark)
+          graft.queries.TextAnalytics.evictCaches(spark)
         }
         val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
         val listener =

@@ -218,6 +218,7 @@ object ScaleFixture {
     // slope that is measurement asymmetry, not scaling
     graft.queries.Dedup.evictCaches(spark)
     graft.queries.Similarity.evictCaches(spark)
+    graft.queries.TextAnalytics.evictCaches(spark)
     val t10 = queries.map(q => q -> time(q, tenX)).toMap
     val t100 = queries.map(q => q -> time(q, hundredX)).toMap
     queries.foreach { q =>
@@ -317,6 +318,7 @@ object ScaleFixture {
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark)
     graft.queries.Similarity.evictCaches(spark)
+    graft.queries.TextAnalytics.evictCaches(spark)
     val t1 = queries.map(q => q -> time(q, oneX)).toMap
     val t10 = queries.map(q => q -> time(q, tenX)).toMap
     queries.foreach { q =>
@@ -368,6 +370,7 @@ object ScaleFixture {
     queries.foreach(q => graft.SparkEntry.queries(q)(spark, oneX).count())
     graft.queries.Dedup.evictCaches(spark) // warmup must not pre-pay 1x pair-gen
     graft.queries.Similarity.evictCaches(spark) // nor the k-means assignment
+    graft.queries.TextAnalytics.evictCaches(spark) // nor the bm25 rank pin
 
     // fixed order: d2 then d7 pay pair-gen; d10/d6 reuse the session
     // cache exactly as a curation run would — documented in SCALE.md

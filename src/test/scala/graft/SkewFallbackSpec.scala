@@ -106,12 +106,22 @@ class SkewFallbackSpec extends SparkSpec {
 
   test("j11 term-parallel clustering (bm25.termParallel) is result-identical") {
     // the (qid, w) clustering trades two more posting-sized exchanges
-    // for parallelism ∝ query terms — scores must not move at all
-    val base = sortedRows(SparkEntry.queries("j11_bm25")(spark, dir))
+    // for parallelism ∝ query terms — scores must not move at all.
+    // Exercised on the UNPINNED plan (bm25Plan): the queries-map entry
+    // now returns the session-pinned frame, which would hide the flag.
+    val base = sortedRows(TextAnalytics.bm25Plan(spark, dir))
     try {
       spark.conf.set("spark.graft.bm25.termParallel", "true")
-      assert(sortedRows(SparkEntry.queries("j11_bm25")(spark, dir)) == base)
+      assert(sortedRows(TextAnalytics.bm25Plan(spark, dir)) == base)
     } finally spark.conf.unset("spark.graft.bm25.termParallel")
+  }
+
+  test("j11/j12 share ONE pinned bm25 rank frame per (session, dir)") {
+    val a = SparkEntry.queries("j11_bm25")(spark, dir)
+    val b = SparkEntry.queries("j11_bm25")(spark, dir)
+    assert(a eq b, "second j11 build must return the pinned frame")
+    // and the pinned frame's values equal a fresh unpinned evaluation
+    assert(sortedRows(a) == sortedRows(TextAnalytics.bm25Plan(spark, dir)))
   }
 
   /** Degenerate-repetition corpus for the d12 AUTO trigger: 300 docs of
