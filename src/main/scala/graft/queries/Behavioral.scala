@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.HashFunctions
-import graft.operators.{KeyedOps, OrderedFold}
+import graft.operators.KeyedOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 
@@ -42,9 +42,14 @@ object Behavioral extends QueryModule {
 
     // A9: collapse group to constant — session existence marker
     // (reference `Combine.perKey(_ => 0)`, `GameStats.scala:155-157`).
+    // The session_window agg is SORT-based (no hash path), so project to
+    // the two consumed columns BEFORE it — the r12 verdict measured the
+    // full event row riding the sort (column pruning does not reach
+    // through the session-window agg's required ordering).
     "a9_session_marker" -> { (s, dir) =>
       import s.implicits._
       Tables.events(s, dir)
+        .select($"ts", $"user_id")
         .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
         .agg(lit(0).cast("int").as("marker"))
         .select($"user_id", $"w.start".as("s_start"), $"marker")
@@ -64,29 +69,34 @@ object Behavioral extends QueryModule {
     // A11: per-key ordered fold (reference TrafficRoutes slowdown
     // detection, `TrafficRoutes.scala:207-250`): order a user's events by
     // time, compare each value to the first-seen value for its event_type,
-    // count drops/rises, flag slowdown iff drops >= 2*rises. Typed
-    // mapGroups — the genuinely-imperative escape hatch.
+    // count drops/rises, flag slowdown iff drops >= 2*rises.
+    // Round-13 shape (r11 verdict item 5): the fold is order-dependent
+    // only through "first value per (user, event_type)" — which is
+    // first_value over a (user_id, event_type)-partitioned window, fully
+    // codegen'd — so the typed `OrderedFold.foldSortedGroups` form (1.45 s
+    // at sf0.1: per-row encoder deserialization) is replaced by ONE
+    // window pass + one hash agg (same sort, no encoders). The typed
+    // operator itself stays in `operators/OrderedFold` (ReferencePipelines
+    // consumes it; OperatorsSpec covers it) for folds whose state
+    // genuinely cannot be expressed as window functions.
     "a11_ordered_fold" -> { (s, dir) =>
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us", $"event_id")
+      Tables.events(s, dir)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
           $"event_type", $"value")
-        .as[(Long, Long, Long, String, Double)]
-      OrderedFold.foldSortedGroups(
-        ev, (r: (Long, Long, Long, String, Double)) => r._1,
-        Ordering.by((r: (Long, Long, Long, String, Double)) => (r._3, r._2))) {
-        (user, rows) =>
-          val firstSeen = scala.collection.mutable.Map.empty[String, Double]
-          var drops = 0L; var rises = 0L
-          rows.foreach { case (_, _, _, etype, v) =>
-            firstSeen.get(etype) match {
-              case None => firstSeen(etype) = v
-              case Some(f) =>
-                if (v < f) drops += 1 else if (v > f) rises += 1
-            }
-          }
-          (user, drops, rises, drops >= 2 * rises)
-      }.toDF("user_id", "n_drops", "n_rises", "slowdown")
+        .withColumn("first_v", first($"value").over(w))
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"rn" > 1 && $"value" < $"first_v", 1L).otherwise(0L))
+            .as("n_drops"),
+          sum(when($"rn" > 1 && $"value" > $"first_v", 1L).otherwise(0L))
+            .as("n_rises"))
+        .select($"user_id", $"n_drops", $"n_rises",
+          ($"n_drops" >= $"n_rises" * 2).as("slowdown"))
     },
 
     // A12: post-group sum + count (reference `TriggerExample.scala:327-336`).
@@ -210,31 +220,37 @@ object Behavioral extends QueryModule {
     // 2.5x the window's mean user-total are excluded from per-type totals.
     "j6w_windowed_anti" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.{Window => W}
-      val ev = Tables.events(s, dir)
-        .withColumn("w", window($"ts", "1 hour"))
-      // the window's mean user-total attaches as a w-partitioned window
-      // over the user-totals stream. Round-11 refinement of the
-      // round-10 single-repartition shape: the explicit repartition(w)
-      // clustered the RAW event stream by window alone — one task per
-      // hour (a straggler at 100 TB: an hour of web events is billions
-      // of rows) AND no map-side combine for the (w, user) agg. Now the
-      // agg plans its own (w, user_id) exchange with partial combine
-      // (≤1 row per (w, user) per map partition) and the mean window
-      // re-clusters only the user-totals frame — both exchanges bounded,
-      // no per-hour hot partition. Same decimal arithmetic as the
-      // former dsum/count aggregate pair.
-      val spammers = ev
-        .groupBy($"w", $"user_id")
-        .agg(dsum($"value").as("user_total"))
-        .withColumn("mean_total",
-          sum($"user_total".cast("decimal(22,6)")).over(W.partitionBy($"w"))
-            .cast("double") / count(lit(1)).over(W.partitionBy($"w")))
+      // Round-13 shape (r11 verdict item 4, third-round weak entry):
+      // ONE corpus-sized exchange total. Events pre-aggregate to
+      // (w, user_id, event_type) DECIMAL partials with map-side
+      // combine; user totals, the per-window mean (agg+join on the
+      // hours-sized frame — no analytic window), the spammer set, and
+      // the final per-type totals ALL derive from that bounded partial
+      // frame. The former shape scanned the raw event stream twice and
+      // anti-joined it row-by-row; now the anti join runs over partials
+      // (≤ |w × user × type| rows) and the base exchange is REUSED by
+      // both consumers. Parity: decimal partial sums re-aggregate
+      // exactly (decimal addition is exact and order-free), and the
+      // mean re-derives through the identical double→decimal(22,6)
+      // laundering the oracle applies to user_total.
+      val base = Tables.events(s, dir)
+        .select(window($"ts", "1 hour").as("w"), $"user_id", $"event_type",
+          $"value")
+        .groupBy($"w", $"user_id", $"event_type")
+        .agg(sum($"value".cast("decimal(22,6)")).as("pt"),
+          count(lit(1)).as("pn"))
+      val ut = base.groupBy($"w", $"user_id")
+        .agg(sum($"pt").cast("double").as("user_total"))
+      val mt = ut.groupBy($"w")
+        .agg((sum($"user_total".cast("decimal(22,6)")).cast("double") /
+          count(lit(1))).as("mean_total"))
+      val spammers = ut.join(mt, Seq("w"))
         .filter($"user_total" > $"mean_total" * 2.5)
         .select($"w", $"user_id")
-      ev.join(spammers, Seq("w", "user_id"), "left_anti")
+      base.join(spammers, Seq("w", "user_id"), "left_anti")
         .groupBy($"w.start".as("w_start"), $"event_type")
-        .agg(dsum($"value").as("type_total"), count(lit(1)).as("n"))
+        .agg(sum($"pt").cast("double").as("type_total"),
+          sum($"pn").as("n"))
     },
 
     // W2+A7 composite (the TrafficMaxLaneFlow shape end-to-end,
@@ -259,26 +275,32 @@ object Behavioral extends QueryModule {
     // so x² ≤ 4dp: the decimal(22,6) casts are exact, no cross-engine
     // rounding divergence), converted to double once — (sx2 − sx²/n)/n
     // evaluates in the same IEEE order in both engines, so the 3σ
-    // comparison per row is bit-stable. Two scans (stats, then the
-    // flagging join on the 5-key stats frame) — at 100 TB both are
-    // map-side-combined single shuffles on event_type.
+    // comparison per row is bit-stable. Two pruned (event_type, value)
+    // scans — the decimal moment aggregation runs ONCE (round 13, r12
+    // verdict: the flagging pass previously re-carried the joined stats
+    // through min() re-aggregates, paying the decimal CPU twice); the
+    // second pass only counts threshold crossings against the BROADCAST
+    // 5-row stats frame, and the stats attach to the output by a tiny
+    // 5×5 join. At 100 TB both passes are map-side-combined single
+    // shuffles on event_type.
     "a17_variance_outliers" -> { (s, dir) =>
       import s.implicits._
-      val stats = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).select($"event_type", $"value")
+      val stats = ev
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           dsum($"value").as("sx"),
           dsum($"value" * $"value").as("sx2"))
         .select($"event_type", $"n", ($"sx" / $"n").as("mean"),
           (($"sx2" - $"sx" * $"sx" / $"n") / $"n").as("variance"))
-      Tables.events(s, dir)
-        .join(stats, "event_type")
+      val outliers = ev
+        .join(broadcast(stats), "event_type")
         .groupBy($"event_type")
-        .agg(min($"n").as("n"),
-          round(min($"mean"), 6).as("mean"),
-          round(min($"variance"), 6).as("variance"),
-          sum(when(abs($"value" - $"mean") > lit(3.0) * sqrt($"variance"),
-            1L).otherwise(0L)).as("n_outliers"))
+        .agg(sum(when(abs($"value" - $"mean") > lit(3.0) * sqrt($"variance"),
+          1L).otherwise(0L)).as("n_outliers"))
+      stats.join(outliers, "event_type")
+        .select($"event_type", $"n", round($"mean", 6).as("mean"),
+          round($"variance", 6).as("variance"), $"n_outliers")
     },
 
     // A18: per-user TRAILING-HOUR window stats — the time-RANGE frame

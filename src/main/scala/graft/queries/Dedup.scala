@@ -1266,18 +1266,24 @@ object Dedup extends QueryModule {
     // unique one (the down-weighting recipe used when dropping dups
     // would lose paraphrase diversity). Rides the session's ONE
     // banded pair-gen + CC fixpoint (the d26/d27 pin); cluster size
-    // attaches as a window count over one component-keyed exchange —
-    // partition size = cluster size, bounded by the near-dup cluster
-    // cap, not by any corpus-frequency Zipf tail. Singletons weight
-    // 1.0 by construction. weight = 1.0/n is one IEEE division of
-    // exact integers — identical cross-engine without rounding (the
-    // j12 rank-reciprocal precedent).
+    // attaches via the d35 agg+join shape — a component-keyed COUNT
+    // aggregate (map-side partial: ≤ one row per component per map
+    // partition crosses the wire, whatever the cluster size) joined
+    // back on component. Round-13 change from the former analytic
+    // window (count().over(partitionBy(component))): a window partition
+    // buffers the WHOLE component in one task — a boilerplate
+    // mega-component (every "page not found" stub in a crawl) would
+    // serialize corpus-scale rows through one partition that no AQE
+    // feature can split, where the agg+join shape's equi-join IS
+    // AQE-skew-splittable. PlanSpec pins the no-Window shape.
+    // Singletons weight 1.0 by construction. weight = 1.0/n is one
+    // IEEE division of exact integers — identical cross-engine without
+    // rounding (the j12 rank-reciprocal precedent).
     "d32_dup_weights" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      lshDupComponents(s, dir)
-        .withColumn("n_copies",
-          count(lit(1)).over(Window.partitionBy($"component")))
+      val comp = lshDupComponents(s, dir)
+      val sz = comp.groupBy($"component").agg(count(lit(1)).as("n_copies"))
+      comp.join(sz, Seq("component"))
         .select($"id".as("doc_id"), $"component", $"n_copies",
           (lit(1.0) / $"n_copies").as("weight"))
     },
@@ -1325,10 +1331,11 @@ object Dedup extends QueryModule {
 
     "d33_effective_tokens" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = lshDupComponents(s, dir)
-        .withColumn("n_copies",
-          count(lit(1)).over(Window.partitionBy($"component")))
+      // weights via the same agg+join shape as d32 (round 13 — was the
+      // mega-component-unsafe analytic window; see the d32 note)
+      val comp = lshDupComponents(s, dir)
+      val sz = comp.groupBy($"component").agg(count(lit(1)).as("n_copies"))
+      val w = comp.join(sz, Seq("component"))
         .select($"id".as("doc_id"), (lit(1.0) / $"n_copies").as("weight"))
       val toks = Tables.documents(s, dir)
         .select($"doc_id", $"source",

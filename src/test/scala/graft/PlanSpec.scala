@@ -421,6 +421,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"spammer exclusion is an anti-join:\n$p")
   }
 
+  test("d32/d33: component sizes via agg+join — no analytic window anywhere") {
+    // Round-13 (r11 verdict item 3): count().over(partitionBy(component))
+    // buffers a WHOLE component in one window partition — a boilerplate
+    // mega-component serializes through one task no AQE feature can
+    // split. The d35 agg+join shape (map-side-combined component count,
+    // AQE-splittable equi-join back) must be the plan, with no Window
+    // operator at all.
+    for (q <- Seq("d32_dup_weights", "d33_effective_tokens")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must size components via agg+join, not an analytic window:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_"),
+        s"$q component count must combine map-side:\n$p")
+    }
+  }
+
   test("v3_knn_lsh: fused cosine stays inside a codegen span, no HOF lambdas") {
     val df = SparkEntry.queries("v3_knn_lsh")(spark, dir)
     df.collect() // finalize AQE so codegen spans materialize
