@@ -24,6 +24,10 @@ object Bench {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val chunks = 8
     val per = n / chunks
+    // rate over rows ACTUALLY fed (round-12 ADVICE): chunks·⌊n/chunks⌋ —
+    // dividing the nominal n by elapsed time overstates whenever
+    // chunks ∤ n (exact only at the default n = 200000)
+    val fed = chunks * per
     val base = 1700000000000L // fixed epoch — deterministic windows
 
     def timed(body: => Unit): Double = {
@@ -44,7 +48,7 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        n / sec
+        fed / sec
       } finally q.stop()
     }
 
@@ -61,7 +65,7 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        n / sec
+        fed / sec
       } finally q.stop()
     }
 
@@ -77,7 +81,7 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        n / sec
+        fed / sec
       } finally q.stop()
     }
 
@@ -108,7 +112,7 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        n / sec
+        fed / sec
       } finally q.stop()
     }
 
@@ -130,7 +134,7 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        n / sec
+        fed / sec
       } finally q.stop()
     }
 
@@ -152,7 +156,7 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        n / sec
+        fed / sec
       } finally q.stop()
     }
 
@@ -179,7 +183,8 @@ object Bench {
           })
           q.processAllAvailable()
         })
-        (n + n / 4) / sec // total rows pumped through both sides
+        // total rows pumped through both sides, as actually fed
+        (fed + chunks * (per / 4)) / sec
       } finally q.stop()
     }
 
@@ -261,12 +266,23 @@ object Bench {
     }
     // (name, seconds, succeeded). A failing query is reported as -1 and
     // listed in "failed" — never silently folded into the total.
+    // SPARK_GRAFT_REPEAT=N (arg-filtered runs only): evaluate each query
+    // N times and report the LAST — the warm steady-state number the
+    // per-query "done" bars reference. The driver's unfiltered suite
+    // keeps the single-evaluation contract.
+    val repeat =
+      if (only.isEmpty) 1
+      else math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      var last = (0.0, false)
+      (1 to repeat).foreach { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        last = ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, last._1, last._2)
     }
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
@@ -295,7 +311,11 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")),
       json + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // surface the failure (round-12 ADVICE): a silent swallow would
+      // reproduce the exact stale-artifact mode this write guards against
+      System.err.println(s"bench-out write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -10,21 +10,26 @@ import org.apache.spark.sql.expressions.Aggregator
   * most K·partitions rows per key regardless of input size — strictly
   * less data than the rank-window formulation shuffles (all rows).
   *
-  * Ordering: (score desc, id desc) — a total order under SQL DESC
-  * semantics (`java.lang.Double.compare`: NaN sorts greatest-first,
-  * -0.0 below 0.0; long compare avoids the -Long.MinValue overflow a
-  * negation-based ordering has), so results are deterministic and equal
+  * Ordering: (score desc, id desc) by default, (score desc, id asc)
+  * with `idAsc = true` — total orders under SQL DESC semantics
+  * (`java.lang.Double.compare`: NaN sorts greatest-first, -0.0 below
+  * 0.0; long compare avoids the -Long.MinValue overflow a
+  * negation-based ordering has — callers needing the ascending
+  * tiebreak should pass `idAsc` rather than negate ids, which breaks
+  * at id == Long.MinValue), so results are deterministic and equal
   * to `KeyedOps.topKPerKey` with the same keys.
   */
 case class Scored(score: Double, id: Long)
 
-class TopKAggregator(k: Int)
+class TopKAggregator(k: Int, idAsc: Boolean = false)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
   private val ord: Ordering[Scored] = new Ordering[Scored] {
     override def compare(x: Scored, y: Scored): Int = {
       val c = java.lang.Double.compare(y.score, x.score) // score desc
-      if (c != 0) c else java.lang.Long.compare(y.id, x.id) // id desc
+      if (c != 0) c
+      else if (idAsc) java.lang.Long.compare(x.id, y.id) // id asc
+      else java.lang.Long.compare(y.id, x.id) // id desc
     }
   }
 

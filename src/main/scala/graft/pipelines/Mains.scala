@@ -568,17 +568,26 @@ object IndexPipelineMain {
     val out = o("output")
     // the assignment scan is the pipeline's one corpus-sized frame and
     // it has TWO consumers (postings write + occupancy collect) — pin
-    // it once so the Lloyd assignment doesn't replay per consumer
+    // it once so the Lloyd assignment doesn't replay per consumer.
+    // persist(MEMORY_AND_DISK), NOT localCheckpoint (round-12 ADVICE):
+    // a checkpoint stores non-replicated executor blocks with lineage
+    // truncated, so on a real cluster one executor loss (or a
+    // dynamic-allocation decommission) makes the pinned data
+    // unrecoverable and fails the job; a persist keeps the lineage and
+    // simply recomputes lost blocks
     val (assign0, _) = graft.queries.Similarity
       .ivfCoarse(spark, o("input"), o("cells").toInt, 1)
-    val assign = assign0.localCheckpoint()
-    assign.select($"cid", $"vec_id", $"embedding")
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$out/postings")
-    graft.SparkEntry.queries("v19_ivf_increment")(spark, o("input"))
-      .write.mode("overwrite").parquet(s"$out/increment")
-    val cells = assign.groupBy($"cid").agg(count(lit(1)).as("n"))
-      .orderBy($"cid").as[(Long, Long)].collect()
+    val assign = assign0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = try {
+      assign.select($"cid", $"vec_id", $"embedding")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$out/postings")
+      graft.SparkEntry.queries("v19_ivf_increment")(spark, o("input"))
+        .write.mode("overwrite").parquet(s"$out/increment")
+      assign.groupBy($"cid").agg(count(lit(1)).as("n"))
+        .orderBy($"cid").as[(Long, Long)].collect()
+    } finally assign.unpersist(blocking = false) // after the 2nd consumer
     val drift = graft.SparkEntry.queries("v20_cell_drift")(spark, o("input"))
       .toJSON.collect()
     val manifest =

@@ -1045,15 +1045,16 @@ object Similarity extends QueryModule {
           // once vid ≥ ~3.47e9, silently flipping the order while the
           // oracle's HUGEINT does not). The hash is injective only
           // within a 2^32 id block, so ties CAN occur across blocks:
-          // carrying -vid makes Scored's (score desc, id desc)
-          // tiebreak ≡ the oracle's (hash, vec_id ASC) at any
-          // magnitude.
-          Scored(-HashFunctions.knuthHashJvm(vid).toDouble, -vid)
+          // vid rides UN-negated with the aggregator's idAsc tiebreak
+          // (round-12 ADVICE: -vid would overflow to itself at
+          // Long.MinValue), making (score desc, id asc) ≡ the oracle's
+          // (hash, vec_id ASC) at any magnitude.
+          Scored(-HashFunctions.knuthHashJvm(vid).toDouble, vid)
         }
-        .agg(new TopKAggregator(Q).toColumn.name("top"))
+        .agg(new TopKAggregator(Q, idAsc = true).toColumn.name("top"))
         .flatMap { case (cid, top) =>
           top.zipWithIndex.map { case (sc, i) =>
-            (-sc.id, cid, (i + 1).toLong)
+            (sc.id, cid, (i + 1).toLong)
           }
         }
         .toDF("vec_id", "cid", "srank")

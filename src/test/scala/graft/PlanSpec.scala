@@ -86,15 +86,25 @@ class PlanSpec extends SparkSpec {
       s"the counts exchange must be reused across the diamond:\n$p")
   }
 
-  test("d23_source_overlap: one corpus-shingle shuffle, grouped frame reused") {
-    // The per-shingle source-set aggregate is consumed twice (pair
-    // fan-out + universe sizes); its exchange must be REUSED, not
-    // recomputed — under AQE reuse lands at runtime, so execute first.
+  test("d23_source_overlap: corpus chain runs once behind the pinned pair frame") {
+    // Round-13 shape: pair fan-out AND size markers ride ONE explode of
+    // the per-shingle source-set aggregate into a single (src_i, src_j)
+    // count whose ≤S²+S-row output is localCheckpoint-pinned; every
+    // consumer (sizes, pairs, the two join probes) reads the pinned
+    // rows, so the result plan contains NO parquet scan and no replay
+    // of the collect_set aggregate (Catalyst's pushed null-filters
+    // would otherwise split the exchange subtrees and defeat reuse —
+    // the r12 "second pair pass").
     val df = SparkEntry.queries("d23_source_overlap")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
-      s"the per-shingle aggregate must be computed once:\n$p")
+      .split("== Initial Plan ==").head
+    assert(!p.contains("FileScan"),
+      s"consumers must read the pinned pair frame, never the corpus:\n$p")
+    assert(!p.contains("collect_set"),
+      s"the per-shingle source-set agg must not replay per consumer:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"the pinned (src_i, src_j) frame must front the plan:\n$p")
   }
 
   test("j11_bm25: zero corpus-sized shuffles — one qid repartition runs it all") {
@@ -109,8 +119,10 @@ class PlanSpec extends SparkSpec {
     // exchanges — the 1-row totals and the qid repartition (the query
     // branch is exchange-free: DISTINCT (qid, w) is a rowwise
     // array_distinct); any 3rd would mean Catalyst re-clustered the
-    // pipeline.
-    val df = SparkEntry.queries("j11_bm25")(spark, dir)
+    // pipeline. Asserted on the UNPINNED bm25Plan — the queries-map
+    // entry returns the session-pinned rank frame (round 13), whose
+    // plan is just the checkpoint scan.
+    val df = graft.queries.TextAnalytics.bm25Plan(spark, dir)
     df.collect() // finalize AQE
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
