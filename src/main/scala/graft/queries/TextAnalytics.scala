@@ -276,11 +276,21 @@ object TextAnalytics extends QueryModule {
   /** Stable cache tag for "this exact input frame": a UUID over the
     * analyzed plan's canonical form (the identity Catalyst's own
     * exchange reuse keys on). Shared by the skew-probe and BPE caches.
+    *
+    * The canonical STRING alone is not an identity: `LocalRelation`'s
+    * simpleString hides its rows and `LogicalRelation`'s hides the file
+    * paths, so two different corpora with the same schema print the
+    * same plan. Mix in `semanticHash()` (the canonicalized tree's
+    * structural hash — it covers local rows via UnsafeRow bytes and
+    * file relations via the index's rootPaths) so distinct inputs get
+    * distinct tags while same-path re-reads still coincide.
     */
-  private def planDigest(df: DataFrame): String =
+  private def planDigest(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized
     java.util.UUID.nameUUIDFromBytes(
-      df.queryExecution.analyzed.canonicalized.toString
+      (canon.toString + "#" + df.queryExecution.analyzed.semanticHash())
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  }
 
   /** The token-family probe dispatch shared by x14/x16/x29 (their
     * clustering keys — w, w1 — are all draws from the token unigram
