@@ -42,17 +42,29 @@ object Behavioral extends QueryModule {
 
     // A9: collapse group to constant — session existence marker
     // (reference `Combine.perKey(_ => 0)`, `GameStats.scala:155-157`).
-    // The session_window agg is SORT-based (no hash path), so project to
-    // the two consumed columns BEFORE it — the r12 verdict measured the
-    // full event row riding the sort (column pruning does not reach
-    // through the session-window agg's required ordering).
+    // Gaps-and-islands shape (round 13): `session_window`'s batch agg
+    // plans the non-codegen UpdatingSessions/MergingSessions pair, which
+    // stayed at ~1.2 s even after the r12 column-projection fix. The
+    // break-marker + running-sum form is the SAME math the oracle runs
+    // (new session iff ts >= prev + gap, proven hash-identical), rides
+    // ONE user_id exchange + one sort through two codegen-friendly
+    // window passes, and the final (user_id, g) agg reuses the user_id
+    // partitioning (a subset of the group keys — no second exchange).
+    // w3_session / the streaming surface keep the real session_window.
     "a9_session_marker" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts")
+      val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
         .select($"ts", $"user_id")
-        .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
-        .agg(lit(0).cast("int").as("marker"))
-        .select($"user_id", $"w.start".as("s_start"), $"marker")
+        .withColumn("prev", lag($"ts", 1).over(byTs))
+        .withColumn("brk", when($"prev".isNull ||
+          $"ts" >= $"prev" + expr("INTERVAL 10 MINUTES"), 1L).otherwise(0L))
+        .withColumn("g", sum($"brk").over(run))
+        .groupBy($"user_id", $"g")
+        .agg(min($"ts").as("s_start"))
+        .select($"user_id", $"s_start", lit(0).cast("int").as("marker"))
     },
 
     // A10: full per-key grouping with downstream iteration (reference
@@ -273,31 +285,43 @@ object Behavioral extends QueryModule {
     // rounding divergence), converted to double once — (sx2 − sx²/n)/n
     // evaluates in the same IEEE order in both engines, so the 3σ
     // comparison per row is bit-stable. Two pruned (event_type, value)
-    // scans — the decimal moment aggregation runs ONCE (round 13, r12
-    // verdict: the flagging pass previously re-carried the joined stats
-    // through min() re-aggregates, paying the decimal CPU twice); the
-    // second pass only counts threshold crossings against the BROADCAST
-    // 5-row stats frame, and the stats attach to the output by a tiny
-    // 5×5 join. At 100 TB both passes are map-side-combined single
-    // shuffles on event_type.
+    // scans and NOTHING else (round 13): the ≤|event_type|-row stats
+    // frame is dimension-bounded, so it is COLLECTED (the j5
+    // singleton-side-input doctrine) and re-enters the flagging pass as
+    // a literal CASE chain — no broadcast exchange, no joins, two plain
+    // map-side-combined aggregations. The literals keep the stats'
+    // DECIMAL types so the per-row decimal→double promotion in the 3σ
+    // compare is bit-identical to the joined form. At 100 TB both
+    // passes are single shuffles on event_type; the collect stays
+    // O(|event_type|).
     "a17_variance_outliers" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir).select($"event_type", $"value")
-      val stats = ev
+      val statsDf = ev
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           dsum($"value").as("sx"),
           dsum($"value" * $"value").as("sx2"))
         .select($"event_type", $"n", ($"sx" / $"n").as("mean"),
           (($"sx2" - $"sx" * $"sx" / $"n") / $"n").as("variance"))
-      val outliers = ev
-        .join(broadcast(stats), "event_type")
-        .groupBy($"event_type")
-        .agg(sum(when(abs($"value" - $"mean") > lit(3.0) * sqrt($"variance"),
+      val meanT = statsDf.schema("mean").dataType
+      val varT = statsDf.schema("variance").dataType
+      val stats = statsDf.collect() // ≤|event_type| rows: dimension-bounded
+      def chain(value: org.apache.spark.sql.Row => Any,
+          t: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.Column =
+        stats.foldLeft(lit(null).cast(t)) { (acc, r) =>
+          when($"event_type" === lit(r.getString(0)),
+            lit(value(r)).cast(t)).otherwise(acc)
+        }
+      val meanCol = chain(_.get(2), meanT)
+      val varCol = chain(_.get(3), varT)
+      val nCol = chain(_.getLong(1), org.apache.spark.sql.types.LongType)
+      ev.groupBy($"event_type")
+        .agg(sum(when(abs($"value" - meanCol) > lit(3.0) * sqrt(varCol),
           1L).otherwise(0L)).as("n_outliers"))
-      stats.join(outliers, "event_type")
-        .select($"event_type", $"n", round($"mean", 6).as("mean"),
-          round($"variance", 6).as("variance"), $"n_outliers")
+        .select($"event_type", nCol.as("n"), round(meanCol, 6).as("mean"),
+          round(varCol, 6).as("variance"), $"n_outliers")
     },
 
     // A18: per-user TRAILING-HOUR window stats — the time-RANGE frame

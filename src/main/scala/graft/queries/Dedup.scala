@@ -1425,7 +1425,8 @@ object Dedup extends QueryModule {
     * codegen bit_or path.
     */
   private[graft] def sourceOverlapBySet(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+    val sess = docs.sparkSession
+    import sess.implicits._
     val perShingle = docs
       .select($"source",
         explode(HashedShinglesExpr.hashedShingles($"text", 8)).as("shingle"))
@@ -1438,20 +1439,29 @@ object Dedup extends QueryModule {
       .otherwise(array().cast("array<struct<src_i:string,src_j:string>>"))
     val markers = transform($"srcs",
       s0 => struct(s0.as("src_i"), lit(null).cast("string").as("src_j")))
+    // The combined (pair + size-marker) aggregate is ≤ S²+S rows —
+    // sources are a DIMENSION, so this is constant-bounded at any
+    // corpus scale. COLLECT it (the j5/a17 doctrine) and finish the
+    // Jaccard arithmetic on the driver: the corpus chain runs exactly
+    // once as the collect job, and the round-12 localCheckpoint pin +
+    // two joins (whose broadcast/AQE machinery cost more than the rows
+    // they carried) disappear entirely.
     val combined = perShingle
       .select(explode(concat(pairCol, markers)).as("p"))
       .groupBy($"p.src_i".as("src_i"), $"p.src_j".as("src_j"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
-    val sizes = combined.filter($"src_j".isNull)
-      .select($"src_i".as("source"), $"n")
-    combined.filter($"src_j".isNotNull)
-      .select($"src_i", $"src_j", $"n".as("n_common"))
-      .join(sizes.select($"source".as("src_i"), $"n".as("n_i")), "src_i")
-      .join(sizes.select($"source".as("src_j"), $"n".as("n_j")), "src_j")
-      .select($"src_i", $"src_j", $"n_common",
-        round($"n_common".cast("double") /
-          ($"n_i" + $"n_j" - $"n_common").cast("double"), 6).as("jaccard"))
+      .collect()
+    val sizes = combined.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val out = combined.filter(!_.isNullAt(1)).toSeq.map { r =>
+      val (si, sj, nc) = (r.getString(0), r.getString(1), r.getLong(2))
+      // round-half-up on the double quotient — same as Spark round()
+      val j = BigDecimal(nc.toDouble / (sizes(si) + sizes(sj) - nc).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (si, sj, nc, j)
+    }
+    sess.createDataFrame(out)
+      .toDF("src_i", "src_j", "n_common", "jaccard")
   }
 
   private[graft] def ngramNovelty(docs: DataFrame, n: Int): DataFrame =

@@ -318,6 +318,63 @@ object TextAnalytics extends QueryModule {
       bm25Plan(key._1, key._2).localCheckpoint(eager = false)
     })
 
+  // ------------- shared tokenized-corpus pins (round 13) --------------
+
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val bigramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The ONE whitespace-token posting frame per (session, corpus plan):
+    * (doc_id, source, len_d, w, n_dw) — the (doc, term) aggregate that
+    * every unigram consumer (j11's BM25 hits and length totals, x14's
+    * LM score, x20's DSIR weights, x16/x29's vocab side) previously
+    * rebuilt from its own corpus scan + tokenize + explode. Pinned via
+    * localCheckpoint so the chain runs ONCE per session and corpus —
+    * the Dedup-pair-frame / k-means-assignment / BPE-corpus doctrine
+    * applied to the token family. O(corpus) storage is the documented
+    * trade: [[evictCaches]] releases it, and a multi-executor
+    * deployment would swap localCheckpoint for a replicated persist or
+    * reliable checkpoint (the Mains.scala discussion). `source` rides
+    * along when the input has it (x20 keys its target/reference LMs on
+    * it); planted spec corpora without the column get a null.
+    */
+  private[graft] def sharedPostings(docs: DataFrame): DataFrame =
+    postingsCache.computeIfAbsent((docs.sparkSession, planDigest(docs)), { _ =>
+      import docs.sparkSession.implicits._
+      val src = if (docs.columns.contains("source")) $"source"
+                else lit(null).cast("string").as("source")
+      docs
+        .select($"doc_id", src,
+          explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
+        .filter(size($"ts") > 0)
+        .select($"doc_id", $"source", size($"ts").cast("long").as("len_d"),
+          explode($"ts").as("w"))
+        .groupBy($"doc_id", $"source", $"len_d", $"w")
+        .agg(count(lit(1)).as("n_dw"))
+        .localCheckpoint(eager = false)
+    })
+
+  /** The ONE whitespace-token bigram frame per (session, corpus plan):
+    * (doc_id, w1, w2, n_dw). Same pin doctrine as [[sharedPostings]];
+    * consumed by x16 and x29 (whose default/salted shapes previously
+    * each rebuilt the corpus bigram instance stream).
+    */
+  private[graft] def sharedBigrams(docs: DataFrame): DataFrame =
+    bigramsCache.computeIfAbsent((docs.sparkSession, planDigest(docs)), { _ =>
+      import docs.sparkSession.implicits._
+      docs
+        .select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
+        .filter(size($"ts") >= 2)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"ts") - 1),
+            i => struct(element_at($"ts", i).as("w1"),
+              element_at($"ts", i + 1).as("w2")))).as("b"))
+        .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .agg(count(lit(1)).as("n_dw"))
+        .localCheckpoint(eager = false)
+    })
+
   /** Release the pinned rank frames held for `session` (optionally
     * scoped to one data dir) — the `Dedup.evictCaches` contract.
     */
@@ -331,9 +388,10 @@ object TextAnalytics extends QueryModule {
         it.remove()
       }
     }
-    // the BPE pin is keyed by corpus-plan digest, not dir — scope to
-    // the session only (the pinned frame is corpus-sized: releasing it
-    // matters far more than the ≤50-row bm25 frame)
+    // digest-keyed pins (BPE corpus, postings, bigrams) are corpus-
+    // sized — scope the release to the session (the dir is not in
+    // their key; releasing a few extra pinned frames is harmless next
+    // to leaking one)
     val bt = bpeCache.entrySet().iterator()
     while (bt.hasNext) {
       val e = bt.next()
@@ -341,6 +399,17 @@ object TextAnalytics extends QueryModule {
         try e.getValue._3.rdd.unpersist(blocking = false)
         catch { case _: Throwable => () }
         bt.remove()
+      }
+    }
+    Seq(postingsCache, bigramsCache).foreach { c =>
+      val pt = c.entrySet().iterator()
+      while (pt.hasNext) {
+        val e = pt.next()
+        if (e.getKey._1 eq session) {
+          try e.getValue.rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          pt.remove()
+        }
       }
     }
   }
@@ -352,22 +421,16 @@ object TextAnalytics extends QueryModule {
   private[graft] def bm25Plan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // explode(array(…)) is the x8 Generate BARRIER: without it the
-    // explode's inferred generator filter (size(ts)>0 AND isnotnull)
-    // re-evaluates the whole tokenize expression up to 3× per row in
-    // the hits scan — measured ~0.3 s of the query's ~1.1 s at sf0.1,
-    // where the pre-shuffle scan is one task
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id",
-        explode(array(TextFunctions.wsTokens($"text"))).as("ts"))
-    // totals over docs with ≥1 token ONLY — the oracle derives
-    // n_docs/avglen from the (doc, w) counts, which a zero-token doc
-    // never reaches; filter here so both engines agree by
-    // construction on any fixture (round-10 ADVICE), not just on
-    // generators that always emit tokens
-    val tot = toks.filter(size($"ts") > 0)
+    // Round 13: the corpus side reads the SESSION-PINNED posting frame
+    // (doc_id, len_d, w, n_dw) — see [[sharedPostings]] — instead of
+    // re-tokenizing the corpus in two branches. The pin intrinsically
+    // holds docs with ≥1 token only, which is exactly the universe the
+    // oracle's (doc, w) counts derive n_docs/avglen from (round-10
+    // ADVICE), so the totals agree by construction on any fixture.
+    val posts = sharedPostings(Tables.documents(s, dir))
+    val tot = posts.groupBy($"doc_id").agg(first($"len_d").as("len_d"))
       .agg(count(lit(1)).as("n_docs"),
-      (sum(size($"ts")).cast("double") / count(lit(1))).as("avglen"))
+        (sum($"len_d").cast("double") / count(lit(1))).as("avglen"))
     // DISTINCT (qid, w) ≡ per-row array_distinct of the 3-token slice
     // (qid IS doc_id) — rowwise, so the query branch is a pushed-
     // filter scan + project with NO exchange, directly broadcastable
@@ -390,13 +453,10 @@ object TextAnalytics extends QueryModule {
       if (s.conf.get("spark.graft.bm25.termParallel", "false").toBoolean)
         Seq($"qid", $"w")
       else Seq($"qid")
-    val hits = toks
-      .select($"doc_id", size($"ts").cast("long").as("len_d"),
-        explode($"ts").as("w"))
+    val hits = posts
+      .select($"doc_id", $"len_d", $"w", $"n_dw") // pinned (doc, w) counts
       .join(broadcast(q), "w")
       .repartition(hitKeys: _*) // the ONE shuffle — see plan note above
-      .groupBy($"qid", $"w", $"doc_id", $"len_d")
-      .agg(count(lit(1)).as("n_dw"))
       // one row per (qid, w, posting) ⇒ count over (qid, w) = df(w)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy($"qid", $"w")))

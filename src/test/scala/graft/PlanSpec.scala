@@ -86,25 +86,23 @@ class PlanSpec extends SparkSpec {
       s"the counts exchange must be reused across the diamond:\n$p")
   }
 
-  test("d23_source_overlap: corpus chain runs once behind the pinned pair frame") {
+  test("d23_source_overlap: corpus chain runs once, result is a local frame") {
     // Round-13 shape: pair fan-out AND size markers ride ONE explode of
     // the per-shingle source-set aggregate into a single (src_i, src_j)
-    // count whose ≤S²+S-row output is localCheckpoint-pinned; every
-    // consumer (sizes, pairs, the two join probes) reads the pinned
-    // rows, so the result plan contains NO parquet scan and no replay
-    // of the collect_set aggregate (Catalyst's pushed null-filters
-    // would otherwise split the exchange subtrees and defeat reuse —
-    // the r12 "second pair pass").
+    // count that is ≤S²+S rows — dimension-bounded — so it is COLLECTED
+    // and the Jaccard arithmetic finishes on the driver. The returned
+    // frame must therefore contain NO parquet scan and no replay of the
+    // collect_set aggregate (Catalyst's pushed null-filters split the
+    // exchange subtrees and defeated reuse in the r12 join shape — the
+    // "second pair pass"): the one corpus chain ran inside the collect.
     val df = SparkEntry.queries("d23_source_overlap")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!p.contains("FileScan"),
-      s"consumers must read the pinned pair frame, never the corpus:\n$p")
+      s"consumers must read the collected pair matrix, never the corpus:\n$p")
     assert(!p.contains("collect_set"),
       s"the per-shingle source-set agg must not replay per consumer:\n$p")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      s"the pinned (src_i, src_j) frame must front the plan:\n$p")
   }
 
   test("j11_bm25: zero corpus-sized shuffles — one qid repartition runs it all") {
