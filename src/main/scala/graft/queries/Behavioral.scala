@@ -296,7 +296,13 @@ object Behavioral extends QueryModule {
     // O(|event_type|).
     "a17_variance_outliers" -> { (s, dir) =>
       import s.implicits._
+      // event_type.isNotNull preserves the pre-r13 output contract
+      // (round-13 ADVICE): the old inner join with the stats frame
+      // dropped null-keyed rows; the literal CASE chain never matches a
+      // null key, so an unfiltered groupBy would emit a spurious
+      // (null, null, null, null, 0) row the join form never produced
       val ev = Tables.events(s, dir).select($"event_type", $"value")
+        .filter($"event_type".isNotNull)
       val statsDf = ev
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),

@@ -193,15 +193,18 @@ object Dedup extends QueryModule {
 
   /** The ONE pinned pair frame behind the whole exact-dedup family:
     * `pairStats` filtered to (jaccard ≥ [[BasePairThreshold]] OR
-    * containment ≥ [[ContainBaseThreshold]]), `localCheckpoint`-pinned.
-    * Still O(near-dup pairs), not corpus-sized.
+    * containment ≥ [[ContainBaseThreshold]]), persist(MEMORY_AND_DISK)-
+    * pinned — NOT localCheckpoint (round 14): lineage survives, so a
+    * lost executor's blocks recompute instead of failing every consumer
+    * (PinRecoverySpec), and `Dataset.unpersist` actually releases the
+    * blocks on eviction. Still O(near-dup pairs), not corpus-sized.
     */
   private def sharedPairStats(s: SparkSession, dir: String): DataFrame =
     statsCache.computeIfAbsent((s, dir), { key =>
       pairStats(key._1, key._2)
         .filter(col("jaccard") >= BasePairThreshold ||
           col("containment") >= ContainBaseThreshold)
-        .localCheckpoint(eager = false) // first consumer materializes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   private[graft] def sharedJaccardPairs(s: SparkSession, dir: String,
@@ -260,7 +263,7 @@ object Dedup extends QueryModule {
       graft.operators.ConnectedComponents.runStar(
           Tables.documents(sess, d).select($"doc_id".as("id")), pairs,
           edgesDistinct = true) // grouped pair frame: unique, doc_i<doc_j
-        .localCheckpoint(eager = false) // first consumer materializes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** Release every pinned frame this module holds for `session` (the
@@ -292,9 +295,11 @@ object Dedup extends QueryModule {
         val e = it.next()
         if ((sessionOf(e.getKey) eq session) &&
             dir.forall(_ == dirOf(e.getKey))) {
-          // unpersist the checkpoint RDD's blocks; best-effort (a stopped
-          // session throws — the blocks are already unreachable then)
-          try e.getValue.rdd.unpersist(blocking = false)
+          // Dataset.unpersist releases the persisted blocks directly
+          // (the old `.rdd.unpersist` built a DERIVED RDD and leaked
+          // the pinned blocks — round-13 ADVICE); best-effort (a
+          // stopped session throws — blocks already unreachable then)
+          try e.getValue.unpersist(blocking = false)
           catch { case _: Throwable => () }
           it.remove()
         }
@@ -380,7 +385,7 @@ object Dedup extends QueryModule {
         .filter($"inter" /
           (size($"arr_i") + size($"arr_j") - $"inter") >= 0.5)
         .select($"doc_i".as("src"), $"doc_j".as("dst"))
-        .localCheckpoint(eager = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   private[graft] def lshDupComponents(s: SparkSession, dir: String): DataFrame =
@@ -391,7 +396,7 @@ object Dedup extends QueryModule {
           Tables.documents(sess, d).select($"doc_id".as("id")),
           lshVerifiedPairs(sess, d),
           edgesDistinct = true) // lshBandPairs is distinct, doc_i < doc_j
-        .localCheckpoint(eager = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   override def queries: Map[String, Q] = Map(

@@ -188,9 +188,12 @@ object Similarity extends QueryModule {
     * v6 and d19 share it (round-8 verdict: d19 re-ran the 2-round Lloyd
     * assignment v6 had already computed, ~1.7 s of its 2.3 s bench
     * time). Same session-pinning contract as `Dedup.sharedJaccardPairs`:
-    * `localCheckpoint` pins an O(corpus) frame of (vec_id, embedding,
-    * cid) rows — the frame every consumer needs anyway — and
+    * persist(MEMORY_AND_DISK) pins an O(corpus) frame of (vec_id,
+    * embedding, cid) rows — the frame every consumer needs anyway — and
     * [[evictCaches]] releases the blocks for long-lived sessions.
+    * persist, NOT localCheckpoint (round 14): lineage survives executor
+    * loss (PinRecoverySpec) and `Dataset.unpersist` actually releases
+    * the blocks.
     */
   private val assignCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]()
@@ -200,7 +203,7 @@ object Similarity extends QueryModule {
     assignCache.computeIfAbsent((s, dir, k), { key =>
       kmeansAssign(
         emb(key._1, key._2).select(col("vec_id"), col("embedding")), key._3)
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** Release the pinned assignment frames held for `session` (optionally
@@ -211,7 +214,9 @@ object Similarity extends QueryModule {
     while (it.hasNext) {
       val e = it.next()
       if ((e.getKey._1 eq session) && dir.forall(_ == e.getKey._2)) {
-        try e.getValue.rdd.unpersist(blocking = false)
+        // Dataset.unpersist, not .rdd.unpersist (round-13 ADVICE: the
+        // derived RDD handle leaked the persisted blocks)
+        try e.getValue.unpersist(blocking = false)
         catch { case _: Throwable => () }
         it.remove()
       }

@@ -163,47 +163,46 @@ object TextAnalytics extends QueryModule {
   private[graft] val ApproxAccuracyKey =
     "spark.graft.export.approxAccuracy"
 
-  // ------------------- x14/x16 LM-score plan shapes -------------------
+  // ------------------- x14/x16/x29 LM-score plan shapes ---------------
   //
-  // Two result-identical physical shapes per query, selected by the
+  // Round 14: BOTH shapes now read the session-pinned per-doc count
+  // frames ([[sharedPostings]] / [[sharedBigrams]]) — the corpus
+  // tokenize + explode + (doc, term) aggregation runs ONCE per session
+  // and corpus, charged to the family's first consumer; every LM score
+  // evaluation after that is vocab-sized work over the pin. This closes
+  // the r13 weak list's largest block (x14 9.5× / x16 5.5× / x29 3.6×
+  // DuckDB): the old shapes re-shuffled the corpus token/bigram INSTANCE
+  // stream and re-counted term totals under a term-keyed analytic window
+  // on every evaluation. The per-doc agg on (doc_id, term) is the skew
+  // bound for the pin build itself: doc_id spreads any hot term across
+  // all map partitions and the map-side partials bound the shuffle to
+  // distinct (doc, term) pairs.
+  //
+  // Two result-identical join shapes per query, selected by the
   // tri-state `spark.graft.saltedSkew` — "true"/"false" force a shape,
   // and the DEFAULT "auto" probes the corpus itself (see [[saltedFor]]
   // below). SkewFallbackSpec proves identity on a planted hot-context
   // corpus AND the driver fixtures, and pins the auto dispatch on both:
   //
-  // DEFAULT (window-count, round-10): cluster the token/bigram instance
-  // stream by its term key (w / w1) once and attach the global counts as
-  // PARTITIONED window counts over that single exchange — one
-  // corpus-sized shuffle, no vocab join. The catch is the clustering
-  // key's Zipf tail: a hot term ("the" ≈ 5-7% of English tokens; a
-  // "the"-context partition is ~5% of ALL bigrams) lands its entire
-  // corpus share in ONE window partition with no partial aggregation —
-  // at 100 TB that is a multi-TB straggler task no AQE feature can
-  // split (skew-join splitting cannot help a window).
+  // DEFAULT (agg + join): global term totals fold FROM the pin by
+  // two-phase partial aggregation (each final group receives at most
+  // one partial row per map partition, whatever the term's corpus
+  // share), then the vocab-sized stats frame joins back onto the pin on
+  // the bare term key. The join strategy stays size-selected —
+  // broadcast while the vocab fits, shuffle-join past that — and a
+  // Zipf-hot term's join partition CAN be split by AQE skew-join
+  // handling (unlike the analytic window this shape replaced).
   //
-  // SALTED (two-phase + salted stats join — the 100 TB skew fallback):
-  // no corpus-sized exchange is ever keyed by a bare term.
-  //   1. per-doc counts aggregate on (doc_id, term): doc_id spreads any
-  //      hot term across all partitions, map-side partials bound the
-  //      shuffle to distinct (doc, term) pairs;
-  //   2. global term counts FOLD FROM that frame by two-phase partial
-  //      aggregation — each final group receives at most one partial
-  //      row per map partition, whatever the term's corpus share (this
-  //      is the "salted count": the map partition is the salt);
-  //   3. the vocab-sized stats frame joins back on (term…, salt) with
-  //      the stats side replicated across `spark.graft.saltBuckets` explicit
-  //      salts (salt = hash(doc_id) mod S on the big side), so a hot
-  //      term's postings split across S join partitions by
-  //      construction — bounded without relying on AQE.
-  // Cost trade vs default: the stats branch re-derives the per-doc
-  // counts (a second tokenize+agg corpus pass — the salt filter pushed
-  // into the big side's scan defeats ReuseExchange), plus an S×
-  // stats-side replication — which is why the auto probe only selects
-  // it when a genuinely hot key would otherwise dominate the stage
-  // (ScaleFixture measures both shapes on a corpus where one context
-  // holds ≥20% of bigrams). The join
-  // strategy stays size-selected: broadcast while the stats side fits,
-  // shuffle on the salted keys past that (PlanSpec pins the keys).
+  // SALTED (the 100 TB by-construction fallback): same pin, same stats
+  // fold, but the join back keys on (term…, salt) with the stats side
+  // replicated across `spark.graft.saltBuckets` explicit salts (salt =
+  // hash(doc_id) mod S on the big side), so a hot term's postings split
+  // across S join partitions by construction — bounded without relying
+  // on AQE's skew thresholds. Cost trade vs default: the S× stats-side
+  // replication — which is why the auto probe only selects it when a
+  // genuinely hot key would otherwise dominate the stage (ScaleFixture
+  // measures both shapes on a corpus where one context holds ≥20% of
+  // bigrams). PlanSpec pins the join keys of both shapes.
   private[graft] val SaltedSkewKey = "spark.graft.saltedSkew"
   private[graft] val SaltBucketsKey = "spark.graft.saltBuckets"
   private[graft] val SkewThresholdKey = "spark.graft.skewProbe.threshold"
@@ -268,7 +267,11 @@ object TextAnalytics extends QueryModule {
         val sampled =
           if (frac >= 1.0) docs
           else docs.filter(HashFunctions.hashSample(col("doc_id"), frac))
-        hotKeyShare(sess, family + ":" + planDigest(docs),
+        // frac is part of the cache key (round-13 ADVICE): a changed
+        // probe fraction after the first probe must re-measure, not
+        // read the stale share. The threshold compares OUTSIDE the
+        // cache, so re-tuning it alone re-dispatches for free.
+        hotKeyShare(sess, family + "@" + frac + ":" + planDigest(docs),
           keyOf(sampled)) >= thresh
     }
   }
@@ -292,13 +295,31 @@ object TextAnalytics extends QueryModule {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
   }
 
-  /** The token-family probe dispatch shared by x14/x16/x29 (their
+  /** The token-family probe dispatch shared by x14/x16/x29/x20 (their
     * clustering keys — w, w1 — are all draws from the token unigram
-    * distribution, so one probe serves the family).
+    * distribution, so one probe serves the family). Round 14: the
+    * share is EXACT, read from the pinned vocab stats ([[
+    * sharedTermStats]]) instead of a 5% sample scan — the pin is built
+    * shape-independently before either join shape runs, so the probe
+    * costs one vocab-sized agg over cached blocks, not a corpus pass.
     */
-  private[graft] def tokenSkewSalted(docs: DataFrame): Boolean =
-    saltedFor(docs, "token")(
-      _.select(explode(TextFunctions.wsTokens(col("text"))).as("k")))
+  private[graft] def tokenSkewSalted(docs: DataFrame): Boolean = {
+    val sess = docs.sparkSession
+    sess.conf.get(SaltedSkewKey, "auto").toLowerCase(java.util.Locale.ROOT) match {
+      case "true"  => true
+      case "false" => false
+      case _ =>
+        val thresh = sess.conf.get(SkewThresholdKey, "0.10").toDouble
+        val share = skewProbeCache.computeIfAbsent(
+          (sess, "token:" + planDigest(docs)), { _ =>
+            val (cw, nC, _) = sharedTermStats(docs)
+            if (nC == 0L) Double.box(0.0)
+            else Double.box(
+              cw.agg(max(col("n_w"))).head().getLong(0).toDouble / nC)
+          })
+        share >= thresh
+    }
+  }
 
   // ------------------- j11/j12 pinned retrieval family ----------------
 
@@ -315,7 +336,8 @@ object TextAnalytics extends QueryModule {
     */
   private[graft] def bm25Ranks(s: SparkSession, dir: String): DataFrame =
     bm25Cache.computeIfAbsent((s, dir), { key =>
-      bm25Plan(key._1, key._2).localCheckpoint(eager = false)
+      bm25Plan(key._1, key._2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   // ------------- shared tokenized-corpus pins (round 13) --------------
@@ -330,14 +352,15 @@ object TextAnalytics extends QueryModule {
     * every unigram consumer (j11's BM25 hits and length totals, x14's
     * LM score, x20's DSIR weights, x16/x29's vocab side) previously
     * rebuilt from its own corpus scan + tokenize + explode. Pinned via
-    * localCheckpoint so the chain runs ONCE per session and corpus —
-    * the Dedup-pair-frame / k-means-assignment / BPE-corpus doctrine
-    * applied to the token family. O(corpus) storage is the documented
-    * trade: [[evictCaches]] releases it, and a multi-executor
-    * deployment would swap localCheckpoint for a replicated persist or
-    * reliable checkpoint (the Mains.scala discussion). `source` rides
-    * along when the input has it (x20 keys its target/reference LMs on
-    * it); planted spec corpora without the column get a null.
+    * persist(MEMORY_AND_DISK) — NOT localCheckpoint (round 14): the
+    * persisted plan keeps its lineage, so a lost executor's blocks
+    * recompute instead of failing every consumer (PinRecoverySpec pins
+    * the behavior; the Mains.scala k-means fix, same argument), and
+    * `Dataset.unpersist` actually releases the blocks on eviction.
+    * O(distinct (doc, term)) storage is the documented trade:
+    * [[evictCaches]] releases it. `source` rides along when the input
+    * has it (x20 keys its target/reference LMs on it); planted spec
+    * corpora without the column get a null.
     */
   private[graft] def sharedPostings(docs: DataFrame): DataFrame =
     postingsCache.computeIfAbsent((docs.sparkSession, planDigest(docs)), { _ =>
@@ -352,7 +375,13 @@ object TextAnalytics extends QueryModule {
           explode($"ts").as("w"))
         .groupBy($"doc_id", $"source", $"len_d", $"w")
         .agg(count(lit(1)).as("n_dw"))
-        .localCheckpoint(eager = false)
+        // pin PARTITIONED BY doc_id (one extra posting-sized exchange,
+        // once per corpus — the bucketing-alongside-the-data trade):
+        // doc_id is a subset of every per-doc group key, so each LM
+        // consumer's final groupBy(doc_id) reads the cached
+        // partitioning and plans NO exchange of its own
+        .repartition($"doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** The ONE whitespace-token bigram frame per (session, corpus plan):
@@ -372,18 +401,66 @@ object TextAnalytics extends QueryModule {
               element_at($"ts", i + 1).as("w2")))).as("b"))
         .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
         .agg(count(lit(1)).as("n_dw"))
-        .localCheckpoint(eager = false)
+        .repartition($"doc_id") // the sharedPostings bucketing trade
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  // ---------------- pinned corpus LM statistics (round 14) ------------
+  //
+  // The global term/bigram totals are corpus-level statistics just like
+  // the count frames they fold from — computing them per EVALUATION put
+  // a 3-4-stage fold (vocab agg + exchange + 1-row distinct agg) in
+  // front of every LM score, and at the 116k-row fixture that fold IS
+  // the measured cost (~0.2 s/stage of pure stage floor at local[32];
+  // the data work is microseconds). Pinning them drops a warm LM score
+  // to: pinned count scan → broadcast stats join → 2-phase doc agg.
+  // The 1-row corpus totals (n_c, V) are COLLECTED at pin-build time —
+  // constant-bounded, the j5 singleton-side-input doctrine — and
+  // re-enter the score expressions as literals Catalyst constant-folds,
+  // arithmetic-identical to the broadcast 1-row frame they replace.
+
+  private val termStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Long, Long)]()
+  private val bigramStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Pinned (w, n_w) term totals + the collected (n_c, V) corpus
+    * totals, folded ONCE per (session, corpus plan) from
+    * [[sharedPostings]] by two-phase partial aggregation.
+    */
+  private[graft] def sharedTermStats(docs: DataFrame): (DataFrame, Long, Long) =
+    termStatsCache.computeIfAbsent((docs.sparkSession, planDigest(docs)), { _ =>
+      val cw = sharedPostings(docs)
+        .groupBy(col("w")).agg(sum(col("n_dw")).as("n_w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = cw.agg(sum(col("n_w")), count(lit(1))).head() // 1 row
+      (cw, if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    })
+
+  /** Pinned (w1, w2, c12, c1) bigram/context totals, folded ONCE per
+    * (session, corpus plan) from [[sharedBigrams]]. The (w1)-keyed c1
+    * fold is vocab × vocab — never corpus-sized.
+    */
+  private[graft] def sharedBigramStats(docs: DataFrame): DataFrame =
+    bigramStatsCache.computeIfAbsent((docs.sparkSession, planDigest(docs)), { _ =>
+      val c12 = sharedBigrams(docs)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n_dw")).as("c12"))
+      c12.join(c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), "w1")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** Release the pinned rank frames held for `session` (optionally
     * scoped to one data dir) — the `Dedup.evictCaches` contract.
     */
   def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
+    // Dataset.unpersist releases the persisted blocks directly (the
+    // round-13 `.rdd.unpersist` released a DERIVED RDD and leaked the
+    // pinned blocks until session end — round-13 ADVICE)
     val it = bm25Cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if ((e.getKey._1 eq session) && dir.forall(_ == e.getKey._2)) {
-        try e.getValue.rdd.unpersist(blocking = false)
+        try e.getValue.unpersist(blocking = false)
         catch { case _: Throwable => () }
         it.remove()
       }
@@ -396,21 +473,36 @@ object TextAnalytics extends QueryModule {
     while (bt.hasNext) {
       val e = bt.next()
       if (e.getKey._1 eq session) {
-        try e.getValue._3.rdd.unpersist(blocking = false)
+        try e.getValue._3.unpersist(blocking = false)
         catch { case _: Throwable => () }
         bt.remove()
       }
     }
-    Seq(postingsCache, bigramsCache).foreach { c =>
+    Seq(postingsCache, bigramsCache, bigramStatsCache).foreach { c =>
       val pt = c.entrySet().iterator()
       while (pt.hasNext) {
         val e = pt.next()
         if (e.getKey._1 eq session) {
-          try e.getValue.rdd.unpersist(blocking = false)
+          try e.getValue.unpersist(blocking = false)
           catch { case _: Throwable => () }
           pt.remove()
         }
       }
+    }
+    val tt = termStatsCache.entrySet().iterator()
+    while (tt.hasNext) {
+      val e = tt.next()
+      if (e.getKey._1 eq session) {
+        try e.getValue._1.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        tt.remove()
+      }
+    }
+    // the skew-probe results too (round-13 ADVICE): the map strongly
+    // retains SparkSession keys for the JVM lifetime otherwise
+    val st = skewProbeCache.entrySet().iterator()
+    while (st.hasNext) {
+      if (st.next().getKey._1 eq session) st.remove()
     }
   }
 
@@ -499,34 +591,22 @@ object TextAnalytics extends QueryModule {
       salted: Boolean): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // corpus totals (n_c, V): their own 1-row agg over a second pruned
-    // scan (count + count_distinct in one pass, map-side partial
-    // distinct) — shared by both shapes
-    val tot = docs
-      .select(explode(TextFunctions.wsTokens($"text")).as("w"))
-      .agg(count(lit(1)).as("n_c"), count_distinct($"w").as("v"))
+    // the pinned (doc, term) counts — the ONLY corpus-sized input; the
+    // tokenize chain behind it runs once per session (shape note above)
+    val dw = sharedPostings(docs).select($"doc_id", $"w", $"n_dw")
+    // pinned vocab-sized term totals + the collected 1-row corpus
+    // totals (n_c, V) — corpus statistics, computed once per session
+    val (cw, nC, v) = sharedTermStats(docs)
     val counts =
-      if (salted) {
-        val dw = docs
-          .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
-          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_dw"))
-        val cw = dw.groupBy($"w").agg(sum($"n_dw").as("n_w"))
+      if (salted)
         graft.operators.KeyedOps.saltedStatsJoin(dw, cw, Seq("w"),
           saltBuckets(sess), col("doc_id"))
-      } else {
-        docs
-          .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
-          .repartition($"w") // the one clustering shuffle — skew note above
-          .withColumn("n_w", count(lit(1)).over(Window.partitionBy($"w")))
-          .groupBy($"doc_id", $"w", $"n_w").agg(count(lit(1)).as("n_dw"))
-      }
+      else dw.join(cw, "w") // size-selected; AQE-splittable on a hot w
     counts
-      .crossJoin(broadcast(tot)) // 1-row corpus totals
       .select($"doc_id", $"n_dw",
         round($"n_dw".cast("double") *
             (log(($"n_w" + 1).cast("double")) -
-             log(($"n_c" + $"v").cast("double"))), 9)
+             log(lit(nC + v).cast("double"))), 9)
           .cast("decimal(28,12)").as("term"))
       .groupBy($"doc_id")
       .agg(sum($"n_dw").as("n_tokens"),
@@ -549,43 +629,23 @@ object TextAnalytics extends QueryModule {
       salted: Boolean): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
-    val v = toks.select(explode($"ts").as("w"))
-      .agg(count_distinct($"w").as("v"))
-    val binst = toks.filter(size($"ts") >= 2)
-      .select($"doc_id", explode(
-        transform(sequence(lit(1), size($"ts") - 1),
-          i => struct(element_at($"ts", i).as("w1"),
-            element_at($"ts", i + 1).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // pinned per-doc bigram counts + pinned (w1, w2, c12, c1) totals;
+    // V comes from the unigram stats pin (single-token docs contribute
+    // vocabulary but no bigram, so V cannot fold from the bigram
+    // stream) as a collected literal
+    val db = sharedBigrams(docs)
+    val v = sharedTermStats(docs)._3
+    val stats = sharedBigramStats(docs)
     val counts =
-      if (salted) {
-        val db = binst.groupBy($"doc_id", $"w1", $"w2")
-          .agg(count(lit(1)).as("n_dw"))
-        val c12 = db.groupBy($"w1", $"w2").agg(sum($"n_dw").as("c12"))
-        val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
-        // the (w1)-keyed stats join is vocab-sized × vocab-sized (AQE
-        // skew-join CAN split a join, unlike a window); the corpus-sized
-        // join below is the salted one
-        graft.operators.KeyedOps.saltedStatsJoin(db,
-          c12.join(c1, "w1"), Seq("w1", "w2"), saltBuckets(sess),
-          col("doc_id"))
-      } else {
-        binst
-          .repartition($"w1") // the one clustering shuffle — skew note above
-          .withColumn("c12",
-            count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
-          .withColumn("c1", count(lit(1)).over(Window.partitionBy($"w1")))
-          .groupBy($"doc_id", $"w1", $"w2", $"c12", $"c1")
-          .agg(count(lit(1)).as("n_dw"))
-      }
+      if (salted)
+        graft.operators.KeyedOps.saltedStatsJoin(db, stats,
+          Seq("w1", "w2"), saltBuckets(sess), col("doc_id"))
+      else db.join(stats, Seq("w1", "w2"))
     counts
-      .crossJoin(broadcast(v)) // 1-row vocab size
       .select($"doc_id", $"n_dw",
         round($"n_dw".cast("double") *
             (log(($"c12" + 1).cast("double")) -
-             log(($"c1" + $"v").cast("double"))), 9)
+             log(($"c1" + lit(v)).cast("double"))), 9)
           .cast("decimal(28,12)").as("term"))
       .groupBy($"doc_id")
       .agg(sum($"n_dw").as("n_bigrams"),
@@ -1567,32 +1627,40 @@ object TextAnalytics extends QueryModule {
     // quartile as selected (x15's exact boundary-from-ONE-aggregate
     // pattern, never a global-sort window). The paper scores hashed
     // n-gram features; exact unigrams keep the score SQL-replayable
-    // while preserving the estimator's shape. Plan: ONE (doc, source, w)
-    // counts aggregate feeds both LMs (exchange reuse), a vocab-bounded
+    // while preserving the estimator's shape. Plan (round 14): the
+    // (doc, source, w) counts READ THE SESSION-PINNED posting frame —
+    // `source` rides in the pin for exactly this consumer — so both LMs
+    // fold from the pin (vocab-sized two-phase aggs), a vocab-bounded
     // left join aligns them (unseen-in-target words get the smoothing
-    // floor), totals broadcast as 1 row. Shuffles carry (doc, w) counts
-    // then the vocab — never the corpus. ln parity: x13/x14 convention.
+    // floor), totals broadcast as 1 row. Per-evaluation shuffles carry
+    // (doc, w) counts then the vocab — never the corpus instance
+    // stream. ln parity: x13/x14 convention.
     "x20_dsir_weights" -> { (s, dir) =>
       import s.implicits._
-      val dw = Tables.documents(s, dir)
-        .select($"doc_id", $"source",
-          explode(TextFunctions.wsTokens($"text")).as("w"))
-        .groupBy($"doc_id", $"source", $"w").agg(count(lit(1)).as("n_dw"))
-      val rw = dw.groupBy($"w").agg(sum($"n_dw").as("n_rw"))
+      val docs = Tables.documents(s, dir)
+      val dw = sharedPostings(docs)
+        .select($"doc_id", $"source", $"w", $"n_dw")
+      // reference-LM stats ARE the pinned corpus term stats; its 1-row
+      // totals (n_r, V) enter as collected literals (round 14 — see
+      // the sharedTermStats note). The target-LM side folds from the
+      // pin per evaluation (one vocab-sized agg).
+      val (cw, nR, v) = sharedTermStats(docs)
       val tw = dw.filter($"source" === DsirTarget)
         .groupBy($"w").agg(sum($"n_dw").as("n_tw"))
-      val vocab = rw.join(tw, Seq("w"), "left")
+      val vocab = cw.withColumnRenamed("n_w", "n_rw")
+        .join(tw, Seq("w"), "left")
         .select($"w", $"n_rw", coalesce($"n_tw", lit(0L)).as("n_tw"))
-      val tot = vocab.agg(sum($"n_rw").as("n_r"), sum($"n_tw").as("n_t"),
-        count(lit(1)).as("v"))
+      // 1-row target total (coalesce: an empty target side must keep
+      // the old Σ-of-coalesced-zeros semantics, not go null)
+      val tot = tw.agg(coalesce(sum($"n_tw"), lit(0L)).as("n_t"))
       val scored = dw.join(vocab, "w")
-        .crossJoin(broadcast(tot)) // 1-row LM totals
+        .crossJoin(broadcast(tot))
         .select($"doc_id", $"n_dw",
           round($"n_dw".cast("double") *
               (log(($"n_tw" + 1).cast("double")) -
-               log(($"n_t" + $"v").cast("double")) -
+               log(($"n_t" + lit(v)).cast("double")) -
                log(($"n_rw" + 1).cast("double")) +
-               log(($"n_r" + $"v").cast("double"))), 9)
+               log(lit(nR + v).cast("double"))), 9)
             .cast("decimal(28,12)").as("term"))
         .groupBy($"doc_id")
         .agg(sum($"n_dw").as("n_tokens"),
@@ -1917,22 +1985,22 @@ object TextAnalytics extends QueryModule {
     import sess.implicits._
     val toks0 = docs.select($"doc_id",
       TextFunctions.wsTokens($"text").as("ts0"))
-    // The space-padded tokenized corpus is localCheckpoint-PINNED once
-    // (round 13, r11 verdict item 6): every merge iteration runs a full
-    // pair-count pass and previously re-tokenized the corpus from
-    // parquet each time (iteration i replayed i-1 rewrites ON TOP of
-    // the scan — 2 corpus passes per iteration); now iteration 1's
-    // count materializes the pinned frame and every later pass — pair
-    // counts AND the x32 encode — reads the pinned blocks through a
-    // cheap literal-replace chain. Pinning is O(corpus) MEMORY_AND_DISK
-    // storage: the standard iterative-training trade (same doctrine as
-    // the k-means assignment pin); long-lived sessions release it via
-    // [[evictCaches]], and a multi-executor deployment would swap the
-    // localCheckpoint for a replicated persist or reliable checkpoint
-    // (the Mains.scala discussion).
+    // The space-padded tokenized corpus is persist(MEMORY_AND_DISK)-
+    // PINNED once (round 13, r11 verdict item 6): every merge iteration
+    // runs a full pair-count pass and previously re-tokenized the
+    // corpus from parquet each time (iteration i replayed i-1 rewrites
+    // ON TOP of the scan — 2 corpus passes per iteration); now
+    // iteration 1's count materializes the pinned frame and every later
+    // pass — pair counts AND the x32 encode — reads the pinned blocks
+    // through a cheap literal-replace chain. Pinning is O(corpus)
+    // MEMORY_AND_DISK storage: the standard iterative-training trade
+    // (same doctrine as the k-means assignment pin); long-lived
+    // sessions release it via [[evictCaches]]. persist, NOT
+    // localCheckpoint (round 14): lineage survives, so a lost
+    // executor's blocks recompute instead of failing the loop.
     val pinned = toks0.select($"doc_id", size($"ts0").as("n_raw"),
       concat(lit(" "), concat_ws(" ", $"ts0"), lit(" ")).as("t"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = pinned
     val rows = (1 to iters).map { it =>
       // ts MUST be its own projection before the lambda references it
@@ -2000,45 +2068,26 @@ object TextAnalytics extends QueryModule {
   private[graft] def interpLm(docs: DataFrame, salted: Boolean): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select($"doc_id", TextFunctions.wsTokens($"text").as("ts"))
-    val uni = toks.select(explode($"ts").as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("n_w2"))
-      .withColumnRenamed("w", "w2")
-    // N folds from the vocab frame (Σ c(w) — no second tokenize pass;
-    // the vocab-sized re-agg is free next to a corpus scan)
-    val ntot = uni.agg(sum($"n_w2").as("n_tok"))
-    val binst = toks.filter(size($"ts") >= 2)
-      .select($"doc_id", explode(
-        transform(sequence(lit(1), size($"ts") - 1),
-          i => struct(element_at($"ts", i).as("w1"),
-            element_at($"ts", i + 1).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // pinned unigram stats (w2's totals) + pinned bigram stats; N is
+    // the collected corpus token total — no tokenize pass, no stats
+    // fold, anywhere per evaluation
+    val (cw, nTok, _) = sharedTermStats(docs)
+    val uni = cw.withColumnsRenamed(Map("w" -> "w2", "n_w" -> "n_w2"))
+    val db = sharedBigrams(docs)
+    val stats = sharedBigramStats(docs)
     val counts =
       if (salted) {
-        val db = binst.groupBy($"doc_id", $"w1", $"w2")
-          .agg(count(lit(1)).as("n_dw"))
-        val c12 = db.groupBy($"w1", $"w2").agg(sum($"n_dw").as("c12"))
-        val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
-        val bi = graft.operators.KeyedOps.saltedStatsJoin(db,
-          c12.join(c1, "w1"), Seq("w1", "w2"), saltBuckets(sess),
-          col("doc_id"))
+        val bi = graft.operators.KeyedOps.saltedStatsJoin(db, stats,
+          Seq("w1", "w2"), saltBuckets(sess), col("doc_id"))
         graft.operators.KeyedOps.saltedStatsJoin(bi, uni, Seq("w2"),
           saltBuckets(sess), col("doc_id"))
-      } else {
-        binst
-          .repartition($"w1") // x16's one clustering shuffle
-          .withColumn("c12",
-            count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
-          .withColumn("c1", count(lit(1)).over(Window.partitionBy($"w1")))
-          .groupBy($"doc_id", $"w1", $"w2", $"c12", $"c1")
-          .agg(count(lit(1)).as("n_dw"))
-          .join(uni, "w2") // vocab-sized stats side — size-selected join
-      }
+      } else
+        db.join(stats, Seq("w1", "w2"))
+          .join(uni, "w2") // vocab-sized stats sides — size-selected
+
     val p = lit(0.75) * ($"c12".cast("double") / $"c1".cast("double")) +
-      lit(0.25) * ($"n_w2".cast("double") / $"n_tok".cast("double"))
+      lit(0.25) * ($"n_w2".cast("double") / lit(nTok).cast("double"))
     counts
-      .crossJoin(broadcast(ntot)) // 1-row corpus token total
       .select($"doc_id", $"n_dw",
         round($"n_dw".cast("double") * round(log(p), 9), 9)
           .cast("decimal(28,12)").as("term"))

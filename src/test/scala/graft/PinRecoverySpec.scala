@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-14 pin fault-tolerance contract: every session-pinned
+  * frame is `persist(MEMORY_AND_DISK)`, NOT `localCheckpoint`.
+  * localCheckpoint truncates lineage and stores non-replicated executor
+  * blocks — losing an executor makes the pin UNRECOVERABLE and fails
+  * every downstream consumer (the Mains.scala round-13 ADVICE fix, now
+  * applied to the query-family pins). persist keeps lineage, so a lost
+  * block recomputes transparently.
+  *
+  * Block loss is simulated by unpersisting every cached RDD in the
+  * context — the blocks vanish exactly as they would with a dead
+  * executor — and the pins must then RE-EVALUATE CORRECTLY (recompute,
+  * not fail). A localCheckpoint pin under the same treatment throws
+  * `SparkException: Checkpoint block rdd_N_M not found`, which the
+  * last test proves so this spec fails loudly if the doctrine regresses.
+  */
+class PinRecoverySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dropAllCachedBlocks(): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+  test("posting/pair/assignment pins recompute after cached-block loss") {
+    graft.queries.TextAnalytics.evictCaches(spark)
+    graft.queries.Dedup.evictCaches(spark)
+    graft.queries.Similarity.evictCaches(spark)
+
+    // materialize one pin per family through its public consumer
+    val postings = SparkEntry.queries("x14_unigram_logprob")(spark, dir)
+    val pairs = SparkEntry.queries("d2_jaccard_pairs")(spark, dir)
+    val assign = SparkEntry.queries("v6_kmeans")(spark, dir)
+    val expected = Seq(postings, pairs, assign).map(df =>
+      (df.count(), df.agg(sum(hash(df.columns.map(col): _*))).head().get(0)))
+
+    dropAllCachedBlocks() // the executor died; its blocks are gone
+
+    // recompute, not fail — and bit-identical results
+    val after = Seq(postings, pairs, assign).map(df =>
+      (df.count(), df.agg(sum(hash(df.columns.map(col): _*))).head().get(0)))
+    assert(after === expected,
+      "pins must recompute through lineage after block loss")
+
+    graft.queries.TextAnalytics.evictCaches(spark)
+    graft.queries.Dedup.evictCaches(spark)
+    graft.queries.Similarity.evictCaches(spark)
+  }
+
+  test("control: a localCheckpoint pin does NOT survive block loss") {
+    // proves the simulation is real — if this starts passing, the
+    // block-drop above stopped dropping anything and the first test
+    // proves nothing
+    import spark.implicits._
+    val ck = spark.range(0, 1000).select($"id", ($"id" * 2).as("v"))
+      .localCheckpoint(eager = true)
+    assert(ck.count() == 1000)
+    dropAllCachedBlocks()
+    val failed =
+      try { ck.count(); false }
+      catch { case _: Throwable => true }
+    assert(failed,
+      "localCheckpoint must be unrecoverable once its blocks are lost " +
+        "(lineage truncated) — the reason the pins moved to persist()")
+  }
+}

@@ -105,54 +105,68 @@ class PlanSpec extends SparkSpec {
       s"the per-shingle source-set agg must not replay per consumer:\n$p")
   }
 
-  test("j11_bm25: zero corpus-sized shuffles — one qid repartition runs it all") {
-    // Round-9 verdict item 3: the old shape aggregated the FULL (doc, w)
-    // count table — a corpus-token-sized exchange — to serve ≤15 query
-    // terms, then paid a window sort for df on top. Now the broadcast
-    // query-term join filters the token stream BEFORE any aggregation
-    // and ONE repartition(qid) clusters the hits for every downstream
-    // agg/window (qid is a key prefix of each). The FINAL adaptive plan
-    // must show exactly 3 parquet scans (hits pass, totals pass,
-    // pushed-filter doc_id < 5 query scan) and exactly 2 shuffle
-    // exchanges — the 1-row totals and the qid repartition (the query
-    // branch is exchange-free: DISTINCT (qid, w) is a rowwise
-    // array_distinct); any 3rd would mean Catalyst re-clustered the
-    // pipeline. Asserted on the UNPINNED bm25Plan — the queries-map
-    // entry returns the session-pinned rank frame (round 13), whose
-    // plan is just the checkpoint scan.
+  test("j11_bm25: pin-fed retrieval — one query scan, no corpus re-read") {
+    // Round 14 (r13 verdict item 1): bm25Plan reads the session-pinned
+    // posting frame, so the only parquet read left is the pushed-filter
+    // doc_id < 5 query branch — hits and totals both fold from the pin.
+    // Evict first so the assertion is order-independent (the r13 red
+    // suite: whichever spec materialized the pin first determined what
+    // later plan assertions saw), and walk with PlanWalk so the pin's
+    // cached BUILD plan (asserted at its own site) is excluded.
+    graft.queries.TextAnalytics.evictCaches(spark)
     val df = graft.queries.TextAnalytics.bm25Plan(spark, dir)
     df.collect() // finalize AQE
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert("FileScan parquet".r.findAllIn(p).size == 3,
-      s"expected hits + totals + query scans, nothing more:\n$p")
+    val p = graft.core.PlanWalk.outer(df)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"only the doc_id<5 query branch may read parquet:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"hits + totals must read the pinned posting frame:\n$p")
+    // shuffles: the qid repartition that runs every downstream agg/
+    // window, plus the totals fold (doc-level agg + 1-row global) —
+    // the corpus instance stream never shuffles (it only ever moved
+    // once, into the pin)
     val shuffles = "Exchange (hashpartitioning|SinglePartition)".r
       .findAllIn(p).size
-    assert(shuffles == 2,
-      s"expected totals + repartition(qid) shuffles only, got $shuffles:\n$p")
+    assert(shuffles <= 3,
+      s"expected qid repartition + totals folds only, got $shuffles:\n$p")
+    // and the pinned queries-map entry is a BARE cached scan: zero
+    // exchanges, zero joins above the pin
+    val pinned = SparkEntry.queries("j11_bm25")(spark, dir)
+    val pp = graft.core.PlanWalk.outer(pinned)
+    assert(pp.contains("InMemoryTableScan"),
+      s"the j11 entry must serve the session pin:\n$pp")
+    assert(!pp.contains("Exchange") && !pp.contains("Join"),
+      s"nothing may run above the pinned rank frame:\n$pp")
   }
 
-  test("x14/x16 LM scores: one clustering repartition, window counts, no vocab joins") {
-    // Round-10 shape (r9 verdict item 4): the dw→cw / db→c12→c1
-    // aggregate-join diamonds are gone. Each plan must show exactly 2
-    // parquet scans (instance stream + the 1-row totals/vocab agg),
-    // exactly ONE REPARTITION_BY_COL (the w/w1 clustering shuffle the
-    // window counts ride), three hashpartitioning exchanges total
-    // (repartition + final doc agg + the distinct-agg leg of the totals
-    // branch), and no join beyond the 1-row totals broadcast.
+  test("x14/x16 LM scores: pin-fed agg+join — no corpus scan, no window, no instance shuffle") {
+    // Round-14 shape (r13 verdict item 3): both LM scores fold their
+    // term totals FROM the session-pinned (doc, term) count frames by
+    // two-phase partial aggregation and join the vocab-sized stats
+    // back. Per evaluation: zero parquet scans (the pin is the only
+    // input), zero analytic windows (the old term-keyed window count
+    // re-aggregated the instance stream per eval), zero explicit
+    // clustering repartitions, and map-side partial aggregation on the
+    // stats folds. The stats join stays size-selected.
+    graft.queries.TextAnalytics.evictCaches(spark)
     for (q <- Seq("x14_unigram_logprob", "x16_bigram_logprob")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      assert("FileScan parquet".r.findAllIn(p).size == 2,
-        s"$q: expected instance + totals scans only:\n$p")
-      assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
-        s"$q: expected exactly one clustering repartition:\n$p")
-      assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
-        s"$q: unexpected extra shuffle (vocab join crept back?):\n$p")
-      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-        s"$q: no vocab-keyed join expected:\n$p")
+      val p = graft.core.PlanWalk.outer(df)
+      assert(!p.contains("FileScan parquet"),
+        s"$q: every input must be the pinned count frame:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: the pinned count frame must feed the plan:\n$p")
+      assert(!p.contains("Window"),
+        s"$q: no per-eval window count over the instance stream:\n$p")
+      assert(!p.contains("REPARTITION_BY_COL"),
+        s"$q: no explicit clustering repartition:\n$p")
+      assert(p.contains("partial_sum"),
+        s"$q: the doc agg must fold with map-side partials:\n$p")
+      // the pins are PARTITIONED BY doc_id at build time, so the final
+      // doc agg plans NO exchange: warm = one stage + broadcast build
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: the doc agg must ride the pin's doc_id partitioning:\n$p")
     }
   }
 
@@ -176,8 +190,7 @@ class PlanSpec extends SparkSpec {
             """Join \[shingle#\d+L?, __salt#""")) {
         val df = SparkEntry.queries(q)(spark, dir)
         df.collect() // finalize AQE
-        val p = df.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==").head
+        val p = graft.core.PlanWalk.outer(df)
         assert(!p.contains("Window"),
           s"$q salted: no window count may survive:\n$p")
         assert(!p.contains("REPARTITION_BY_COL"),
@@ -318,15 +331,20 @@ class PlanSpec extends SparkSpec {
     // Collect per-query failures rather than dying on the first: a single
     // analysis-broken query must not blind the sweep to the other plans
     // (round-9 lesson — the NTZ fixture change hid 128 plans behind one
-    // AnalysisException).
+    // AnalysisException). Node-typed walk, not string matching (round
+    // 14): persisted pins embed their BUILD plan text in every
+    // consumer's plan string — a pin built WITH a bounded BNLJ (the
+    // k-means centroid broadcast) must not flag its consumers.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
     val problems = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {
-        val p = SparkEntry.queries(name)(spark, dir)
-          .queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct"))
+        val nodes = graft.core.PlanWalk.nodes(
+          SparkEntry.queries(name)(spark, dir))
+        if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
           Some(s"$name plans a CartesianProduct")
         else if (!boundedBnlj.contains(name) &&
-            p.contains("BroadcastNestedLoopJoin"))
+            nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
           Some(s"$name plans a BroadcastNestedLoopJoin off the bounded whitelist")
         else None
       } catch {
@@ -439,7 +457,10 @@ class PlanSpec extends SparkSpec {
     // AQE-splittable equi-join back) must be the plan, with no Window
     // operator at all.
     for (q <- Seq("d32_dup_weights", "d33_effective_tokens")) {
-      val p = plan(q)
+      // PlanWalk: the CC pin these consume is persist()-pinned since
+      // round 14, so the raw plan string embeds the pin's BUILD plan —
+      // assert only on what the query itself executes
+      val p = graft.core.PlanWalk.outer(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("Window"),
         s"$q must size components via agg+join, not an analytic window:\n$p")
       assert(p.contains("partial_count") || p.contains("partial_"),
@@ -465,16 +486,20 @@ class PlanSpec extends SparkSpec {
       s"the corpus must be scanned once:\n$p")
   }
 
-  test("x29_interp_lm: x16's clustered windows + vocab-sized unigram stats join") {
+  test("x29_interp_lm: pin-fed agg+join — no corpus scan, vocab-sized stats joins") {
+    // Round-14 shape: see the x14/x16 test — x29 folds its bigram AND
+    // unigram totals from the two pinned count frames.
+    graft.queries.TextAnalytics.evictCaches(spark)
     val df = SparkEntry.queries("x29_interp_lm")(spark, dir)
     df.collect() // finalize AQE
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1,
-      s"exactly one w1-clustering repartition expected:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the unigram stats side must stay size-selected (broadcast here):\n$p")
-    // the salted variant's join-key pin rides the x14/x16 salted test
+    val p = graft.core.PlanWalk.outer(df)
+    assert(!p.contains("FileScan parquet"),
+      s"every input must be a pinned count frame:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-eval window count over the instance stream:\n$p")
+    assert(!p.contains("REPARTITION_BY_COL"),
+      s"no explicit clustering repartition:\n$p")
+    // the salted variant's join-key pin rides the test below
   }
 
   test("x29_interp_lm salted: no window count, joins keyed on (term…, salt)") {
@@ -482,8 +507,7 @@ class PlanSpec extends SparkSpec {
       spark.conf.set(graft.queries.TextAnalytics.SaltedSkewKey, "true")
       val df = SparkEntry.queries("x29_interp_lm")(spark, dir)
       df.collect() // finalize AQE
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
+      val p = graft.core.PlanWalk.outer(df)
       assert(!p.contains("Window"),
         s"salted: no window count may survive:\n$p")
       assert(!p.contains("REPARTITION_BY_COL"),

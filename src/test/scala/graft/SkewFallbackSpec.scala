@@ -164,16 +164,23 @@ class SkewFallbackSpec extends SparkSpec {
     assert(p.contains("xxhash64"), s"auto must salt on the repeated corpus:\n$p")
   }
 
-  test("AUTO: the flat driver fixture keeps the default window-count shape") {
+  test("AUTO: the flat driver fixture keeps the default (unsalted) shape") {
     assert(spark.conf.getOption(TextAnalytics.SaltedSkewKey).isEmpty)
     val docs = graft.core.Tables.documents(spark, dir)
+    // round 14: the LM default is the pin-fed agg+join (no Window in
+    // EITHER shape anymore) — "default" now means the stats join keys
+    // on the bare term, with no explicit salt
     for (df <- Seq(TextAnalytics.unigramLogprob(docs),
-                   TextAnalytics.bigramLogprob(docs),
-                   graft.queries.Dedup.ngramNovelty(docs, 8))) {
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("Window"),
+                   TextAnalytics.bigramLogprob(docs))) {
+      val p = graft.core.PlanWalk.outer(df)
+      assert(!p.contains("__salt"),
         s"auto must NOT salt a flat corpus (top share ~3.4%):\n$p")
     }
+    // d12 keeps its window-count default
+    val p12 = graft.queries.Dedup.ngramNovelty(docs, 8)
+      .queryExecution.executedPlan.toString
+    assert(p12.contains("Window"),
+      s"auto must NOT salt d12 on a flat corpus:\n$p12")
   }
 
   test("AUTO: result identity on the skew corpus via the auto path") {
