@@ -592,9 +592,17 @@ object Dedup extends QueryModule {
     // reordered boilerplate does not match, verbatim runs do.
     // Scale shape: the gram frame is the token stream (one row per
     // position, ∝ corpus tokens — d12's documented slope); df attaches
-    // as a window count over one fp-clustered exchange; the span-merge
-    // windows partition on doc_id. Nothing is all-pairs, nothing is
-    // unpartitioned.
+    // by agg + equi-join (round 14, r13 verdict item 4): the former
+    // fp-partitioned window count serialized a boilerplate mega-fp's
+    // ENTIRE instance set through one window partition — the straggler
+    // no runtime feature can split — while the map-side-combined df
+    // aggregate bounds any hot fp to one partial row per map partition
+    // and the join back is AQE-skew-splittable. The trade is the gram
+    // generation running in both join branches (two linear corpus
+    // passes — the salted-LM-shape trade, accepted for the same
+    // reason); the duplicated-fp filter rides the STATS side, so the
+    // join's build input shrinks to actually-duplicated fingerprints.
+    // The span-merge windows partition on doc_id (bounded per doc).
     "d25_substring_spans" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -612,15 +620,11 @@ object Dedup extends QueryModule {
         .select($"doc_id", $"n_toks", $"i".cast("long").as("pos"),
           HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
             .as("fp"))
-      // df as a window count over ONE fp-clustered exchange (round-10,
-      // the j11/x14/x16 pattern): the old dfh aggregate + join-back
-      // consumed the gram frame from two differently-pruned branches,
-      // so the corpus-token-sized gram generation ran TWICE and the
-      // join reshuffled it a third time. Hot-fp skew caveat as x16.
-      val dup = grams
-        .repartition($"fp")
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"fp")))
+      val dfh = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2)
+        .select($"fp")
+      val dup = grams
+        .join(dfh, "fp") // inner join IS the df >= 2 filter
         .select($"doc_id", $"n_toks", $"pos")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       val sp = dup
@@ -973,30 +977,30 @@ object Dedup extends QueryModule {
     // a doc is penalized for every FULL 64-token chunk (x10's windows)
     // whose fingerprint also appears in another document, catching long
     // verbatim overlaps that doc-level Jaccard (d2) dilutes away and
-    // 8-gram novelty (d12) over-triggers on. Shape: one
-    // repartition(fp) with the distinct-doc count as stacked windows
-    // over that exchange — shuffle ∝ corpus
-    // chunks (≈ tokens/48), never pairs. Intra-doc repetition is NOT
-    // flagged (that is x8's repetition signal): a fp counts only when
-    // ≥ 2 distinct docs carry it.
+    // 8-gram novelty (d12) over-triggers on. Intra-doc repetition is
+    // NOT flagged (that is x8's repetition signal): a fp counts only
+    // when ≥ 2 distinct docs carry it.
+    //
+    // Round-14 shape (r13 verdict item 4 — the last fp-partitioned
+    // windows): the per-doc answer only needs CHUNK COUNTS, so the
+    // whole query folds from ONE (fp, doc_id) aggregate of the chunk
+    // stream — the LM-family shape. The map-side-combined (fp, doc)
+    // agg bounds a boilerplate mega-fp by doc spread; the fp-keyed nd
+    // fold is two-phase over the DISTINCT (fp, doc) frame; the join
+    // back is an AQE-skew-splittable equi-join of two distinct-pair
+    // frames. The old stacked fp-windows serialized a hot fp's entire
+    // instance set through one window partition no runtime feature can
+    // split. ONE chunk-frame pass, like before — strictly better.
     "d13_chunk_dedup" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      // distinct-doc count per fp via stacked windows over ONE
-      // fp-clustered exchange (round-10 x19 pattern) — the former
-      // distinct+agg+join-back computed the chunk frame twice
-      val full = TextAnalytics.chunkFrame(s, dir)
+      val dfp = TextAnalytics.chunkFrame(s, dir)
         .filter($"chunk_len" === 64)
-        .select($"doc_id", $"chunk_idx", $"fp")
-      full.repartition($"fp")
-        .withColumn("first_in_doc",
-          when(row_number().over(Window.partitionBy($"fp", $"doc_id")
-            .orderBy($"chunk_idx")) === 1, 1L).otherwise(0L))
-        .withColumn("nd",
-          sum($"first_in_doc").over(Window.partitionBy($"fp")))
+        .groupBy($"fp", $"doc_id").agg(count(lit(1)).as("k"))
+      val nd = dfp.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      dfp.join(nd, "fp")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .agg(sum($"k").as("n_chunks"),
+          sum(when($"nd" >= 2, $"k").otherwise(0L)).as("n_dup_chunks"))
         .select($"doc_id", $"n_chunks", $"n_dup_chunks",
           ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_frac"))
     },
@@ -1363,7 +1367,6 @@ object Dedup extends QueryModule {
     */
   private[graft] def withExcisedText(docs: DataFrame, W: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val passthrough = docs.columns.filter(c => c != "text").map(col).toSeq
     val toks = docs
       .select(passthrough :+
@@ -1380,10 +1383,18 @@ object Dedup extends QueryModule {
       .select($"doc_id", $"i".cast("long").as("pos"),
         HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
           .as("fp"))
+    // keeper election by agg + equi-join (round 14, r13 verdict item
+    // 4): min-of-struct folds map-side per fp — a boilerplate mega-fp
+    // contributes one partial row per map partition instead of
+    // serializing its whole instance set through one fp-window
+    // partition — and the join back is AQE-skew-splittable. The gram
+    // generation runs in both branches (two linear passes, the d25
+    // trade); the keepers side is one row per DISTINCT fp.
+    val keepers = grams
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"pos")).as("keeper"))
     val excised = grams
-      .repartition($"fp")
-      .withColumn("keeper",
-        min(struct($"doc_id", $"pos")).over(Window.partitionBy($"fp")))
+      .join(keepers, "fp")
       .filter(struct($"doc_id", $"pos") =!= $"keeper")
     val cov = excised
       .select($"doc_id",

@@ -2146,20 +2146,18 @@ object TextAnalytics extends QueryModule {
         HashFunctions.polyFingerprint(
           transform(array_sort(collect_list(struct(col("pos"), col("h")))),
             x => x("h"))).as("fp"))
-    // nd (distinct docs per fp) via stacked windows over ONE
-    // fp-clustered exchange (round-10 j11/d25/d12 pattern): the former
-    // distinct+agg+join-back consumed `frame` — a collect_list
-    // aggregate — from two differently-pruned branches, computing the
-    // whole chunk frame twice. row_number flags each (fp, doc)'s first
-    // chunk, the fp-window sums the flags = distinct-doc count; the one
-    // (fp, doc_id, chunk_id) sort serves both windows (prefix rule).
-    val wfd = Window.partitionBy(col("fp"), col("doc_id"))
-      .orderBy(col("chunk_id"))
-    val wf = Window.partitionBy(col("fp"))
-    frame.repartition(col("fp"))
-      .withColumn("first_in_doc",
-        when(row_number().over(wfd) === 1, 1L).otherwise(0L))
-      .withColumn("nd", sum(col("first_in_doc")).over(wf))
+    // nd (distinct docs per fp) by agg + equi-join (round 14, r13
+    // verdict item 4 — the last fp-partitioned windows): the stacked
+    // fp-windows this replaces serialized a boilerplate mega-fp's
+    // entire chunk set through one window partition. The (fp, doc)
+    // distinct agg combines map-side (a hot fp spreads by doc), the
+    // fp-keyed nd fold is two-phase over the distinct frame, and the
+    // join back is AQE-skew-splittable. The trade: the chunk chain
+    // runs in both join branches (the d25/d28 two-pass trade).
+    val nd = frame
+      .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)))
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    frame.join(nd, "fp")
       .select(col("doc_id"), col("chunk_id"), col("chunk_len"), col("fp"),
         when(col("nd") >= 2, 1L).otherwise(0L).as("shared"))
   }

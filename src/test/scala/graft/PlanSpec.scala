@@ -382,6 +382,28 @@ class PlanSpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  test("fp-keyed windows are gone: d13/d25/d28/x19 attach fp stats via agg+join") {
+    // Round-14 (r13 verdict item 4): a count/min window partitioned on
+    // a content fingerprint serializes a boilerplate mega-fp's whole
+    // instance set through ONE window partition — the straggler shape
+    // the d32/d33 rewrite eliminated for components. These four were
+    // the last fp-partitioned windows; their fp stats now fold by
+    // map-side-combined aggregation and join back. Per-doc windows
+    // (span merge, CDC chunk ids) remain — those partitions are
+    // bounded by a document's own length.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("d13_chunk_dedup", "d25_substring_spans",
+        "d28_substring_excision", "x19_cdc_chunks")) {
+      val bad = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow
+            if w.partitionSpec.exists(_.references.exists(_.name == "fp")) => w
+        }
+      assert(bad.isEmpty,
+        s"$q still plans a Window partitioned on the fingerprint")
+    }
+  }
+
   test("v10_sign_projection: pure rowwise — zero exchanges, codegen'd folds") {
     val p = plan("v10_sign_projection")
     assert(!p.contains("Exchange"), "projection must not shuffle")
