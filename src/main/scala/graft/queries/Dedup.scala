@@ -1446,6 +1446,13 @@ object Dedup extends QueryModule {
     val perShingle = docs
       .select($"source",
         explode(HashedShinglesExpr.hashedShingles($"text", 8)).as("shingle"))
+      // pre-dedup on (shingle, source) in a CODEGEN hash agg before the
+      // object-hash collect_set: the exchange carries distinct pairs
+      // and the non-codegen set aggregate sees S-bounded group sizes
+      // (A/B'd round 14: measurably faster than collect_set over the
+      // raw instance stream, and the map-side combine bounds a hot
+      // shingle the same way the LM-family (doc, term) agg does)
+      .groupBy($"shingle", $"source").agg(count(lit(1)))
       .groupBy($"shingle")
       .agg(sort_array(collect_set($"source")).as("srcs"))
     val pairCol = when(size($"srcs") >= 2, flatten(transform(
