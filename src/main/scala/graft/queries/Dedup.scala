@@ -240,7 +240,7 @@ object Dedup extends QueryModule {
   /** Transitive near-dup components (Jaccard≥0.5 pair graph), shared by
     * d7/d10: pair-gen + the connected-components fixpoint run ONCE per
     * (session, data dir) and the resulting O(n_docs) label frame is
-    * `localCheckpoint`-pinned for every downstream curation step — d10
+    * persist(MEMORY_AND_DISK)-pinned for every downstream curation step — d10
     * composes d7's clusters, and without this it re-derived the full
     * shingle pair-gen + CC fixpoint (round-4 verdict's slowest bench
     * entry). Uses `runStar` (alternating large/small-star): O(log n)
@@ -267,7 +267,7 @@ object Dedup extends QueryModule {
     })
 
   /** Release every pinned frame this module holds for `session` (the
-    * localCheckpoint RDD blocks behind the pair + component caches).
+    * persisted blocks behind the pair + component caches).
     * Long-lived multi-tenant sessions call this when a data dir's
     * curation pass is finished; entries for other sessions are untouched.
     * Passing `dir=Some(d)` scopes the eviction to one data directory.
@@ -446,9 +446,11 @@ object Dedup extends QueryModule {
     // boilerplate family dominates" signal. Each iteration is one
     // edges⋈deg⋈pr join + one dst-keyed aggregate — shuffle ∝ edges
     // with map-side combine, the standard distributed-PR shape (no
-    // driver-side graph). Edges localCheckpoint once: both iterations
-    // and deg reuse the materialized pair set instead of re-running the
-    // minhash pipeline per reference. Dangling docs (no near-dup
+    // driver-side graph). Edges persist once (round 14: persist, not
+    // localCheckpoint — lineage survives block loss, and the cache
+    // manager dedupes the identical plan across evaluations): both
+    // iterations and deg reuse the materialized pair set instead of
+    // re-running the minhash pipeline per reference. Dangling docs (no near-dup
     // partner) hold the (1-d)/N floor — mass from dangling nodes is
     // NOT redistributed (documented simplified variant; both engines
     // apply the same rule). Parity: per-contribution round-9 +
@@ -456,7 +458,8 @@ object Dedup extends QueryModule {
     "d20_dup_pagerank" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id")
-      val pairs = lshBandPairs(minhashSigs(s, dir)).localCheckpoint()
+      val pairs = lshBandPairs(minhashSigs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = pairs.select($"doc_i".as("src"), $"doc_j".as("dst"))
         .union(pairs.select($"doc_j".as("src"), $"doc_i".as("dst")))
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -684,19 +687,22 @@ object Dedup extends QueryModule {
     // verdict profiled) — and the fused form alone doesn't fix that,
     // because Catalyst pushes each consumer's src_j null/not-null
     // filter BELOW the pair exchange, splitting the subtrees and
-    // defeating reuse. So the ≤S²+S-row combined frame is
-    // localCheckpoint-pinned (bounded at ANY corpus scale — sources
-    // are a dimension, not data) and every consumer reads the pinned
-    // rows: the corpus chain runs exactly once BY CONSTRUCTION, not by
-    // optimizer grace. Jaccard over per-source distinct-shingle
-    // universes.
+    // defeating reuse. So the ≤S²+S-row combined frame is COLLECTED
+    // (round 13 — bounded at ANY corpus scale: sources are a
+    // dimension, not data) and the Jaccard arithmetic finishes on the
+    // driver: the corpus chain runs exactly once BY CONSTRUCTION, not
+    // by optimizer grace. Jaccard over per-source distinct-shingle
+    // universes. Nothing cacheable survives the collect, so every
+    // evaluation re-pays the chain — that chain IS the query; SCALE.md
+    // round 14 carries the five-stage floor breakdown.
     //
     // A bitmask variant (source → string-ordered bit index via a
     // broadcast S-row dim, per-shingle bit_or, pair fan-out over the
-    // DISTINCT-mask histogram) was A/B-benched this round and measured
-    // no faster at sf0.1 — the pin above already removed the replayed
-    // aggregate, and the remaining time is the one corpus chain — so
-    // the simpler collect_set form stays.
+    // DISTINCT-mask histogram) was A/B-benched in round 13 and measured
+    // no faster at sf0.1 — the remaining time is the one corpus chain —
+    // so the simpler collect_set form stays (round 14 pre-dedups the
+    // set aggregate's input on (shingle, source) in a codegen hash agg,
+    // the measured win).
     "d23_source_overlap" -> ((s, dir) =>
       sourceOverlapBySet(Tables.documents(s, dir))),
 
@@ -1466,7 +1472,7 @@ object Dedup extends QueryModule {
     // sources are a DIMENSION, so this is constant-bounded at any
     // corpus scale. COLLECT it (the j5/a17 doctrine) and finish the
     // Jaccard arithmetic on the driver: the corpus chain runs exactly
-    // once as the collect job, and the round-12 localCheckpoint pin +
+    // once as the collect job, and the round-12 bounded-frame pin +
     // two joins (whose broadcast/AQE machinery cost more than the rows
     // they carried) disappear entirely.
     val combined = perShingle

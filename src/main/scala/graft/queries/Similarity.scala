@@ -225,12 +225,14 @@ object Similarity extends QueryModule {
 
   /** d19 frame for an arbitrary corpus (spec entry point — planted
     * corpora); the d19 QUERY goes through [[sharedKmeansAssign]] instead.
-    * The assignment localCheckpoints once — the cid self-join would
+    * The assignment persists once (round 14: persist, not
+    * localCheckpoint — the pin doctrine) — the cid self-join would
     * otherwise run both Lloyd rounds (two corpus passes each) twice.
     */
   private[graft] def semanticDedupFrame(corpus: DataFrame, k: Int,
       tau: Double): DataFrame =
-    semanticDedupFromAssign(kmeansAssign(corpus, k).localCheckpoint(), tau)
+    semanticDedupFromAssign(kmeansAssign(corpus, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), tau)
 
   /** SemDeDup keep-first policy over a pinned (vec_id, embedding, cid)
     * assignment frame: (vec_id, cid, n_dups, dropped).

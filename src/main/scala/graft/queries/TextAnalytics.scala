@@ -843,12 +843,11 @@ object TextAnalytics extends QueryModule {
     // agg, the df window over (qid,w), the (qid,doc) score sum, and the
     // top-10 rank — qid is a prefix of each one's keys), so Catalyst
     // inserts no further exchange and the whole scoring pipeline is a
-    // single post-shuffle stage. Doc length is size(tokens) carried
-    // rowwise — no per-doc aggregate at all; df(w) is a window count
-    // over hits (one row per posting per (qid, w) after the n_dw agg).
-    // The corpus is scanned twice (hits + a 1-row totals agg), both
-    // pruned to the text column — two cheap scans beat one scan + a
-    // corpus-wide shuffle at any scale (PlanSpec asserts the shape).
+    // single post-shuffle stage. df(w) is a window count over hits
+    // (one row per posting per (qid, w)). Since round 13 the corpus
+    // side reads the session-pinned posting frame — the only parquet
+    // read left is the pushed-filter query branch (PlanSpec asserts
+    // the shape).
     // Parallelism is bounded by the query count; at real scale you'd
     // repartition by (qid, w) — or salt — and pay two more tiny
     // exchanges, but the corpus-side cost is identical. Double parity:

@@ -50,6 +50,49 @@ class PinRecoverySpec extends SparkSpec {
     graft.queries.Similarity.evictCaches(spark)
   }
 
+  test("evictCaches releases the persisted blocks (Dataset.unpersist, not .rdd)") {
+    // round-13 ADVICE: `.rdd.unpersist` released a DERIVED RDD and
+    // leaked the pinned blocks until session end. Dataset.storageLevel
+    // is the public witness: persisted while pinned, NONE after evict.
+    import org.apache.spark.storage.StorageLevel
+    graft.queries.TextAnalytics.evictCaches(spark)
+    val docs = graft.core.Tables.documents(spark, dir)
+    val pin = graft.queries.TextAnalytics.sharedPostings(docs)
+    val stats = graft.queries.TextAnalytics.sharedTermStats(docs)._1
+    pin.count(); stats.count()
+    assert(pin.storageLevel != StorageLevel.NONE, "pin must be persisted")
+    assert(stats.storageLevel != StorageLevel.NONE, "stats must be persisted")
+    graft.queries.TextAnalytics.evictCaches(spark)
+    assert(pin.storageLevel == StorageLevel.NONE,
+      "eviction must release the posting pin's blocks")
+    assert(stats.storageLevel == StorageLevel.NONE,
+      "eviction must release the term-stats pin's blocks")
+  }
+
+  test("pin build plans: one corpus scan into the doc_id-partitioned agg; " +
+      "stats fold FROM the pin") {
+    // consumers no longer show the build plan (PlanWalk stops at the
+    // cached scan), so assert it at the build site: the posting pin is
+    // ONE parquet scan → (doc, term) hash agg → repartition(doc_id);
+    // the term-stats pin folds from the POSTING pin (a cached scan),
+    // never from parquet.
+    graft.queries.TextAnalytics.evictCaches(spark)
+    val docs = graft.core.Tables.documents(spark, dir)
+    val pinPlan = graft.queries.TextAnalytics.sharedPostings(docs)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(pinPlan).size == 1,
+      s"the posting pin build must scan the corpus once:\n$pinPlan")
+    assert(pinPlan.contains("partial_count"),
+      s"the (doc, term) agg must combine map-side:\n$pinPlan")
+    assert(pinPlan.contains("REPARTITION_BY_COL"),
+      s"the pin must be doc_id-partitioned for its per-doc consumers:\n$pinPlan")
+    val statsPlan = graft.core.PlanWalk.outer(
+      graft.queries.TextAnalytics.sharedTermStats(docs)._1)
+    assert(!statsPlan.contains("FileScan"),
+      s"term stats must fold from the pin, not re-scan parquet:\n$statsPlan")
+    graft.queries.TextAnalytics.evictCaches(spark)
+  }
+
   test("control: a localCheckpoint pin does NOT survive block loss") {
     // proves the simulation is real — if this starts passing, the
     // block-drop above stopped dropping anything and the first test

@@ -245,7 +245,7 @@ class PlanSpec extends SparkSpec {
     // a WholeStageCodegen projection — not a chain of interpreted
     // higher-order functions (transform/array_join/slice/array_distinct).
     // execute so AQE finalizes and codegen spans materialize in the plan
-    // (the d2 QUERY serves the pinned shared frame — a checkpoint scan —
+    // (the d2 QUERY serves the pinned shared frame — a cached scan —
     // so inspect the underlying pair-gen plan)
     val d2df = graft.queries.Dedup.jaccardPairs(spark, dir, 0.3)
     d2df.collect()
