@@ -251,9 +251,11 @@ object TextAnalytics extends QueryModule {
 
   /** The tri-state dispatch: force via "true"/"false", else probe
     * `keyOf(sampled docs)`'s hot-key share against the threshold.
-    * `family` names the clustering-key family (probe cache key — the
-    * token probe is shared by x14/x16/x29; each shingle width gets its
-    * own). Package-visible for Dedup's shingle-keyed consumers.
+    * `family` names the clustering-key family (probe cache key — each
+    * shingle width gets its own). Package-visible for Dedup's
+    * shingle-keyed consumers; the TOKEN family dispatches through
+    * [[tokenSkewSalted]] instead, which reads the exact share from the
+    * pinned vocab stats rather than a sampled corpus pass.
     */
   private[graft] def saltedFor(docs: DataFrame, family: String)(
       keyOf: DataFrame => DataFrame): Boolean = {
@@ -1812,9 +1814,14 @@ object TextAnalytics extends QueryModule {
             .as("x2"),
           (aggregate($"ts", lit(0L), (a, w) => a + length(w))
             .cast("double") / (size($"ts") * 5)).as("x3"))
+        // iteration 1 materializes the feature frame; iterations 2-3
+        // read the cached blocks instead of re-running the corpus
+        // tokenize (persist + released in the finally — the training
+        // loop finishes inside query construction, the BPE-loop trade)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val eta = 0.5
       var w = Array(0.0, 0.0, 0.0, 0.0)
-      val rows = (1 to 3).map { it =>
+      val rows = try (1 to 3).map { it =>
         val z = lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
           lit(w(3)) * $"x3"
         val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
@@ -1831,7 +1838,7 @@ object TextAnalytics extends QueryModule {
         val g = (2 to 5).map(i => r.getDecimal(i).doubleValue).toArray
         w = Array.tabulate(4)(k => round6(w(k) + eta * g(k) / n))
         (it, acc, w(0), w(1), w(2), w(3))
-      }
+      } finally feat.unpersist(blocking = false)
       rows.toDF("iter", "acc_before", "w0", "w1", "w2", "w3")
     },
 
@@ -1843,10 +1850,9 @@ object TextAnalytics extends QueryModule {
     //   p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N,   λ = 0.75
     // (the KenLM-class recipe; KN smoothing differs only in the
     // discount arithmetic, the plan shape is identical). Two shapes,
-    // same flag as x14/x16: default rides x16's single w1-clustered
-    // exchange for (c12, c1) window counts, then attaches the unigram
-    // stats by a VOCAB-sized (w2)-keyed equi-join — a join, not a
-    // window, so a hot w2 ("the") is AQE-skew-splittable; salted
+    // same flag as x14/x16 (round 14): default joins the pinned bigram
+    // count frame with the pinned (c12, c1) and unigram stats — all
+    // equi-joins, AQE-skew-splittable on a hot w1/w2 ("the"); salted
     // replaces both attachments with explicit (term…, salt) joins so no
     // corpus-sized exchange is ever keyed by a bare term. Parity: both
     // divisions and the interpolation sum are IEEE doubles in identical
