@@ -13,10 +13,22 @@ import org.apache.spark.sql.functions._
   * deterministic and oracle-reproducible (DuckDB recursive CTE).
   *
   * Scale contract: each round is one join + one agg shuffle, both keyed
-  * on node id; `localCheckpoint` breaks lineage so plans stay flat across
-  * rounds. Rounds needed = component diameter; the loop runs to FIXPOINT
-  * by default (a silently-unconverged result would be wrong, not slow) —
-  * `maxIter` is an explicit opt-in cap that THROWS when exceeded.
+  * on node id; per-round checkpointing breaks lineage so plans stay flat
+  * across rounds (the rewired edge set doubles the plan per round
+  * otherwise — truncation is required, not an optimization). Rounds
+  * needed = component diameter; the loop runs to FIXPOINT by default (a
+  * silently-unconverged result would be wrong, not slow) — `maxIter` is
+  * an explicit opt-in cap that THROWS when exceeded.
+  *
+  * Fault tolerance: truncated lineage means the result can only be
+  * recomputed back to the last round's checkpoint. With the default
+  * `localCheckpoint` those blocks are non-replicated executor storage —
+  * fine single-node, unrecoverable after executor loss on a cluster. A
+  * deployment sets `SparkContext.setCheckpointDir` (HDFS/S3) and every
+  * round switches to a RELIABLE checkpoint automatically: the round
+  * files survive any executor, so the persisted component pins
+  * (Dedup.dupComponents and friends) recompute instead of failing
+  * (PinRecoverySpec proves it).
   *
   * For high-diameter graphs (long similarity chains) `runStar` runs the
   * alternating large-star/small-star algorithm (Kiveris et al.,
@@ -30,6 +42,16 @@ object ConnectedComponents {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-round lineage truncation: reliable `checkpoint` when the
+    * context has a checkpoint dir (the production switch — round files
+    * survive executor loss), `localCheckpoint` otherwise (single-node
+    * default: no file I/O per round).
+    */
+  private def pinRound(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = eager)
+    else df.localCheckpoint(eager = eager)
+
   /** nodes: (id) one row per node; edges: (src, dst) undirected (either
     * orientation). Returns (id, component) with component = min id
     * reachable. Throws IllegalStateException if `maxIter` rounds pass
@@ -37,13 +59,13 @@ object ConnectedComponents {
     */
   def run(nodes: DataFrame, edges: DataFrame,
           maxIter: Int = Int.MaxValue): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val sym = pinRound(
+      edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), eager = true)
 
-    var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint(eager = false)
+    var labels = pinRound(
+      nodes.select(col("id"), col("id").as("component")), eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -56,13 +78,13 @@ object ConnectedComponents {
       // Fold the did-anything-change flag into the same pass instead of
       // re-joining next against old labels: one scan of the fresh
       // checkpoint replaces a per-round join.
-      val next = labels.join(prop, labels("id") === prop("dst"), "left_outer")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr_min"), col("component")) < col("component"))
-            .as("chg"))
-        .localCheckpoint(eager = false)
+      val next = pinRound(
+        labels.join(prop, labels("id") === prop("dst"), "left_outer")
+          .select(labels("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"),
+            (coalesce(col("nbr_min"), col("component")) < col("component"))
+              .as("chg")), eager = false)
       // the filtered count is the materializing action for the lazy
       // checkpoint above (the full frame pins; the count sees the filter)
       changed = next.filter(col("chg")).count()
@@ -134,9 +156,9 @@ object ConnectedComponents {
     // (plan + pin + count) instead of an eager-checkpoint job followed
     // by a count job — at toy SF the fixpoint is stage-count-bound, so
     // halving the jobs halves the wall-clock.
-    var e = (if (edgesDistinct) norm
-             else norm.where(col("a") =!= col("b")).distinct())
-      .localCheckpoint(eager = false)
+    var e = pinRound(
+      if (edgesDistinct) norm
+      else norm.where(col("a") =!= col("b")).distinct(), eager = false)
     var eCount = e.count()
     var converged = eCount == 0
     var iter = 0
@@ -146,7 +168,7 @@ object ConnectedComponents {
           s"ConnectedComponents.runStar: no fixpoint after $maxIter " +
             "rounds; labels would be wrong")
       // ONE lazy localCheckpoint per round, materialized by the count.
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = pinRound(smallStar(largeStar(e)), eager = false)
       val nextCount = next.count()
       // Both sets are distinct, so subset + equal cardinality ⇒ equal: at
       // the star fixpoint one more ls+ss round is a no-op. The (cheap)

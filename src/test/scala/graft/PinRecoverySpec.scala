@@ -93,6 +93,31 @@ class PinRecoverySpec extends SparkSpec {
     graft.queries.TextAnalytics.evictCaches(spark)
   }
 
+  test("CC-rooted pins survive block loss under a RELIABLE checkpoint dir") {
+    // The component pins persist their RESULT, but recomputing it walks
+    // lineage into ConnectedComponents' per-round checkpoints (lineage
+    // truncation there is required — the rewired edge plan doubles per
+    // round). With the default localCheckpoint those rounds are
+    // executor-local blocks, so a cluster deployment sets
+    // SparkContext.setCheckpointDir and CC switches to RELIABLE
+    // checkpoints automatically — round files survive any executor.
+    // NOTE: the dir stays set for the rest of the suite (the context
+    // API has no unset) — later CC runs just also write round files,
+    // which is the production configuration anyway.
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    graft.queries.Dedup.evictCaches(spark)
+    val comp = SparkEntry.queries("d7_dup_components")(spark, dir)
+    val before = comp.collect().sortBy(_.toString).mkString("|")
+    dropAllCachedBlocks()
+    val after = comp.collect().sortBy(_.toString).mkString("|")
+    assert(after === before,
+      "the pinned component frame must recompute through the reliable " +
+        "checkpoint after block loss")
+    graft.queries.Dedup.evictCaches(spark)
+  }
+
   test("control: a localCheckpoint pin does NOT survive block loss") {
     // proves the simulation is real — if this starts passing, the
     // block-drop above stopped dropping anything and the first test
