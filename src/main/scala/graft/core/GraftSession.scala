@@ -33,6 +33,15 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spark.graft.checkpointDir (opt-in): wires the context checkpoint
+    // dir so iterative operators (ConnectedComponents) truncate lineage
+    // with RELIABLE checkpoints — round files survive executor loss,
+    // making the persisted component pins recomputable (PinRecoverySpec).
+    // A cluster points it at HDFS/S3; unset (the local default) keeps
+    // localCheckpoint: no per-round file I/O.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .orElse(spark.conf.getOption("spark.graft.checkpointDir"))
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark
   }
 }
