@@ -653,10 +653,11 @@ object Dedup extends QueryModule {
     // policy: a W-token window seen anywhere else is removed, ONE copy
     // survives). Keep-first is global and deterministic: per
     // fingerprint, the occurrence with the smallest (doc_id, pos)
-    // survives — computed as a min-of-struct WINDOW over one
-    // fp-clustered exchange (no sort, unlike a row_number rank; the
-    // hot-fp caveat is d25/x16's, and the same saltedSkew machinery
-    // applies if a profile ever shows boilerplate fps dominating).
+    // survives — computed as a map-side-combined min-of-struct
+    // aggregate joined back on fp (round 14: the fp-partitioned window
+    // this replaces serialized a boilerplate mega-fp's instance set
+    // through one task; the agg bounds it to one partial row per map
+    // partition and the join back is AQE-skew-splittable).
     // Every other occurrence's W token positions are excised; a doc's
     // kept tokens re-concatenate in order and the per-doc javaHash
     // checksum proves BYTE-level parity of the cleaned text against
@@ -664,9 +665,9 @@ object Dedup extends QueryModule {
     // repeats excise too (first occurrence kept). ALL docs emit a row —
     // docs under W tokens pass through unchanged; a fully-duplicated
     // doc comes out empty (checksum 0). Shape: gram frame ∝ corpus
-    // tokens, coverage ∝ excised volume × W, one doc-keyed left join
-    // to rebuild text; the corpus is scanned twice (gram pass + rebuild
-    // pass — the Generate barrier keeps each scan to one tokenize).
+    // tokens (now generated in both keeper-join branches — the d25
+    // two-linear-pass trade), coverage ∝ excised volume × W, one
+    // doc-keyed left join to rebuild text.
     "d28_substring_excision" -> { (s, dir) =>
       substringExcision(Tables.documents(s, dir), 8)
     },
