@@ -121,14 +121,17 @@ class PlanSpec extends SparkSpec {
       s"only the doc_id<5 query branch may read parquet:\n$p")
     assert(p.contains("InMemoryTableScan"),
       s"hits + totals must read the pinned posting frame:\n$p")
-    // shuffles: the qid repartition that runs every downstream agg/
-    // window, plus the totals fold (doc-level agg + 1-row global) —
-    // the corpus instance stream never shuffles (it only ever moved
-    // once, into the pin)
+    // exactly 2 shuffles: the qid repartition that runs every
+    // downstream agg/window, and the 1-row totals fold — the totals'
+    // per-doc agg rides the pin's doc_id partitioning with NO exchange
+    // of its own, and the corpus instance stream never shuffles (it
+    // only ever moved once, into the pin)
     val shuffles = "Exchange (hashpartitioning|SinglePartition)".r
       .findAllIn(p).size
-    assert(shuffles <= 3,
-      s"expected qid repartition + totals folds only, got $shuffles:\n$p")
+    assert(shuffles == 2,
+      s"expected qid repartition + 1-row totals only, got $shuffles:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"hits + totals are the pin's two consumers:\n$p")
     // and the pinned queries-map entry is a BARE cached scan: zero
     // exchanges, zero joins above the pin
     val pinned = SparkEntry.queries("j11_bm25")(spark, dir)
