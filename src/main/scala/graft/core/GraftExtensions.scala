@@ -23,7 +23,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     keys (P = 2^31−1 permutation family), the streaming near-dup
   *     blocking primitive;
   *   - `cosine_f32(a, b)` — fused cosine similarity over float arrays
-  *     (one JIT'd loop; the kNN scoring primitive).
+  *     (one JIT'd loop; the kNN scoring primitive);
+  *   - `poly_fp_windows(str, w)` — every w-token sliding-window
+  *     polynomial fingerprint in position order (the ExactSubstr
+  *     primitive behind d25/d28).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -68,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => graft.functions.CosineSimExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "usage: cosine_f32(array<float>, array<float>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_fp_windows"),
+      new ExpressionInfo(classOf[graft.functions.PolyFpWindowsExpr].getName,
+        "poly_fp_windows"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(w: Int, _)) =>
+          graft.functions.PolyFpWindowsExpr(text, w)
+        case _ => throw new IllegalArgumentException(
+          "usage: poly_fp_windows(text, <int literal w>)")
       }))
   }
 }

@@ -610,19 +610,24 @@ object Dedup extends QueryModule {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val W = 8
-      val hsCol = transform(TextFunctions.wsTokens($"text"),
-        w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
-          lit(4294967296L)))
+      // round 14: tokenize + u32 hash + ALL window folds fused into the
+      // codegen'd poly_fp_windows expression (one compiled call per doc)
+      // — the composed transform/slice/aggregate chain evaluated W
+      // interpreted multiply-mod trees per corpus POSITION, in both
+      // branches of the df agg+join. Values bit-identical (FunctionsSpec
+      // proves the differential); n_toks = |fps| + W - 1 by construction.
       val grams = Tables.documents(s, dir)
-        // generate barrier (x10 pattern): token hashes computed once
-        // per row, not once per downstream gram reference
-        .select($"doc_id", explode(array(hsCol)).as("hs"))
-        .filter(size($"hs") >= W)
-        .select($"doc_id", size($"hs").cast("long").as("n_toks"), $"hs",
-          explode(expr(s"sequence(0, size(hs) - $W)")).as("i"))
-        .select($"doc_id", $"n_toks", $"i".cast("long").as("pos"),
-          HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
-            .as("fp"))
+        // generate barrier (x10 pattern): fingerprints computed once per
+        // row, not once per downstream position reference
+        .select($"doc_id",
+          explode(array(
+            graft.functions.PolyFpWindowsExpr.polyFpWindows($"text", W)))
+            .as("fps"))
+        .filter(size($"fps") > 0)
+        .select($"doc_id",
+          (size($"fps") + W - 1).cast("long").as("n_toks"),
+          posexplode($"fps").as(Seq("pos0", "fp")))
+        .select($"doc_id", $"n_toks", $"pos0".cast("long").as("pos"), $"fp")
       val dfh = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2)
         .select($"fp")
@@ -1378,18 +1383,18 @@ object Dedup extends QueryModule {
     val toks = docs
       .select(passthrough :+
         explode(array(TextFunctions.wsTokens($"text"))).as("ts"): _*)
-    val grams = toks
-      .select($"doc_id", $"ts")
-      .filter(size($"ts") >= W)
+    // round 14: the gram stream comes straight from the fused
+    // poly_fp_windows expression (see d25 — one compiled call per doc,
+    // bit-identical fingerprints), generated from `text` in both
+    // keeper-join branches
+    val grams = docs
       .select($"doc_id",
-        transform($"ts", w => pmod(
-          HashFunctions.javaStringHashCode(w).cast("long"),
-          lit(4294967296L))).as("hs"))
-      .select($"doc_id",
-        explode(expr(s"sequence(0, size(hs) - $W)")).as("i"), $"hs")
-      .select($"doc_id", $"i".cast("long").as("pos"),
-        HashFunctions.polyFingerprint(slice($"hs", $"i" + 1, lit(W)))
-          .as("fp"))
+        explode(array(
+          graft.functions.PolyFpWindowsExpr.polyFpWindows($"text", W)))
+          .as("fps"))
+      .filter(size($"fps") > 0)
+      .select($"doc_id", posexplode($"fps").as(Seq("pos0", "fp")))
+      .select($"doc_id", $"pos0".cast("long").as("pos"), $"fp")
     // keeper election by agg + equi-join (round 14, r13 verdict item
     // 4): min-of-struct folds map-side per fp — a boilerplate mega-fp
     // contributes one partial row per map partition instead of

@@ -81,6 +81,48 @@ class FunctionsSpec extends SparkSpec {
       BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong).sorted)
   }
 
+  test("poly_fp_windows matches the composed transform/slice/aggregate chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashFunctions, PolyFpWindowsExpr, TextFunctions}
+    val W = 8
+    val rng = new scala.util.Random(4242)
+    val docs = Seq(
+      "", "one", "a b c d e f g", // under W tokens -> empty
+      "a b c d e f g h",          // exactly W -> one fp
+      "  padded   spacing\tand\ttabs a b c d e f ",
+      "dup dup dup dup dup dup dup dup dup dup",
+      "Ünïcode tökens überall here ok x y z w v u t s"
+    ) ++ (1 to 20).map(_ =>
+      (0 until (rng.nextInt(40) + 1)).map(_ => s"w${rng.nextInt(9)}")
+        .mkString(" "))
+    val df = docs.toDF("text")
+    // the composed form this expression replaced (d25/d28 pre-round-14)
+    val hsCol = transform(TextFunctions.wsTokens($"text"),
+      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
+        lit(4294967296L)))
+    val composed = df
+      .select(monotonically_increasing_id().as("i"), hsCol.as("hs"))
+      .select($"i",
+        when(size($"hs") >= W,
+          transform(sequence(lit(0), size($"hs") - W),
+            j => HashFunctions.polyFingerprint(slice($"hs", j + 1, lit(W)))))
+          .otherwise(expr("CAST(array() AS array<bigint>)")).as("fps"))
+      .orderBy($"i").as[(Long, Seq[Long])].collect().map(_._2)
+    val fused = df
+      .select(monotonically_increasing_id().as("i"),
+        PolyFpWindowsExpr.polyFpWindows($"text", W).as("fps"))
+      .orderBy($"i").as[(Long, Seq[Long])].collect().map(_._2)
+    composed.zip(fused).zip(docs).foreach { case ((c, f), d) =>
+      assert(f == c, s"fp mismatch for '${d.take(40)}'")
+    }
+    // SQL surface (GraftExtensions registration)
+    val viaSql = spark.sql(
+      "SELECT poly_fp_windows('a b c d e f g h i', 8)")
+      .as[Seq[Long]].head()
+    assert(viaSql.length == 2)
+  }
+
   test("repetitionStats matches an independent reimplementation") {
     import spark.implicits._
     import graft.functions.RepetitionStatsExpr
