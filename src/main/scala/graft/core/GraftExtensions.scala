@@ -26,7 +26,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     (one JIT'd loop; the kNN scoring primitive);
   *   - `poly_fp_windows(str, w)` — every w-token sliding-window
   *     polynomial fingerprint in position order (the ExactSubstr
-  *     primitive behind d25/d28).
+  *     primitive behind d25/d28);
+  *   - `cdc_chunks(str)` — content-defined chunk (chunk_id, chunk_len,
+  *     fp) structs (the x19 primitive; map-only chunking).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -72,6 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: cosine_f32(array<float>, array<float>)")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunksExpr].getName,
+        "cdc_chunks"),
+      (children: Seq[Expression]) =>
+        graft.functions.CdcChunksExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("poly_fp_windows"),
       new ExpressionInfo(classOf[graft.functions.PolyFpWindowsExpr].getName,

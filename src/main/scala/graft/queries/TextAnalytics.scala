@@ -2133,24 +2133,21 @@ object TextAnalytics extends QueryModule {
     * shift-robustness spec can feed planted corpora.
     */
   private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hs = transform(TextFunctions.wsTokens(col("text")),
-      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
-        lit(4294967296L)))
-    val tok = docs
-      .select(col("doc_id"), posexplode(hs))
-      .select(col("doc_id"), col("pos"), col("col").as("h"),
-        when(col("pos") > 0 &&
-          pmod(HashFunctions.knuthHash(col("col")), lit(16L)) === 0, 1L)
-          .otherwise(0L).as("b"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val frame = tok.withColumn("chunk_id", sum(col("b")).over(w))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(count(lit(1)).as("chunk_len"),
-        HashFunctions.polyFingerprint(
-          transform(array_sort(collect_list(struct(col("pos"), col("h")))),
-            x => x("h"))).as("fp"))
+    // round 14: the boundary scan, chunk-id prefix sum, and per-chunk
+    // fp fold are per-document SEQUENTIAL by construction, so the whole
+    // chunk frame is ONE fused codegen expression + explode — map-only
+    // at any corpus size. The composed form this replaces paid a
+    // per-doc analytic window (boundary prefix sum), a (doc, chunk)
+    // collect_list ObjectHashAggregate (one corpus exchange), and an
+    // interpreted HOF fold per chunk. Values bit-identical
+    // (FunctionsSpec differential + the x19 oracle replays the whole
+    // derivation in SQL).
+    val frame = docs
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunksExpr.cdcChunks(col("text")))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_len").as("chunk_len"), col("c.fp").as("fp"))
     // nd (distinct docs per fp) by agg + equi-join (round 14, r13
     // verdict item 4 — the last fp-partitioned windows): the stacked
     // fp-windows this replaces serialized a boilerplate mega-fp's

@@ -123,6 +123,45 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.length == 2)
   }
 
+  test("cdc_chunks matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.{CdcChunksExpr, HashFunctions}
+    // independent reference: split, Java hashCode -> u32, Knuth-hash
+    // boundary test, BigInt poly fold per chunk
+    def ref(text: String): Seq[(Long, Long, Long)] = {
+      val hs = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong)
+      if (hs.isEmpty) return Seq.empty
+      val chunks = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+      var id = 0L; var len = 0L; var g = BigInt(0)
+      hs.zipWithIndex.foreach { case (h, pos) =>
+        if (pos > 0 && HashFunctions.knuthHashJvm(h) % 16 == 0) {
+          chunks += ((id, len, g.toLong)); id += 1; len = 0; g = BigInt(0)
+        }
+        g = (g * 31 + h) mod BigInt(1000000007L)
+        len += 1
+      }
+      chunks += ((id, len, g.toLong))
+      chunks.toSeq
+    }
+    val rng = new scala.util.Random(777)
+    val docs = Seq("", "one", "a b c") ++ (1 to 25).map(_ =>
+      (0 until (rng.nextInt(120) + 1)).map(_ => s"t${rng.nextInt(400)}")
+        .mkString(" "))
+    val got = docs.toDF("text")
+      .select(org.apache.spark.sql.functions.monotonically_increasing_id()
+        .as("i"), CdcChunksExpr.cdcChunks($"text").as("c"))
+      .orderBy($"i")
+      .as[(Long, Seq[(Long, Long, Long)])].collect().map(_._2)
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d), s"chunk mismatch for '${d.take(40)}'")
+    }
+    // SQL surface (GraftExtensions registration)
+    val viaSql = spark.sql("SELECT size(cdc_chunks('a b c'))")
+      .as[Int].head()
+    assert(viaSql >= 1)
+  }
+
   test("repetitionStats matches an independent reimplementation") {
     import spark.implicits._
     import graft.functions.RepetitionStatsExpr
