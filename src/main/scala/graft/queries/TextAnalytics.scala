@@ -2110,22 +2110,17 @@ object TextAnalytics extends QueryModule {
     */
   private[graft] def chunkFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hs = transform(TextFunctions.wsTokens($"text"),
-      w => pmod(HashFunctions.javaStringHashCode(w).cast("long"),
-        lit(4294967296L)))
+    // round 14: tokenize + hash + every chunk's poly fold fused into
+    // the codegen'd strided_chunks expression (one compiled call per
+    // doc) — the composed slice + interpreted-HOF-fold-per-chunk chain
+    // it replaces is spec-proven bit-identical (FunctionsSpec); the
+    // x10 oracle replays the derivation in SQL. Map-only, as before.
     Tables.documents(s, dir)
-      // Generate barrier: token hashes computed once per row, not once
-      // per downstream chunk reference
-      .select($"doc_id", explode(array(hs)).as("hs"))
-      .filter(size($"hs") > 0)
-      // chunk i covers tokens [i*48+1, i*48+64]; i < ceil(n/48)
-      .select($"doc_id", $"hs",
-        explode(expr("sequence(0, (size(hs) + 47) div 48 - 1)")).as("i"))
-      .select($"doc_id", $"i".cast("bigint").as("chunk_idx"),
-        size(slice($"hs", $"i" * 48 + 1, lit(64))).cast("bigint")
-          .as("chunk_len"),
-        HashFunctions.polyFingerprint(slice($"hs", $"i" * 48 + 1, lit(64)))
-          .as("fp"))
+      .select($"doc_id",
+        explode(graft.functions.StridedChunksExpr
+          .stridedChunks($"text", 64, 48)).as("c"))
+      .select($"doc_id", $"c.chunk_idx".as("chunk_idx"),
+        $"c.chunk_len".as("chunk_len"), $"c.fp".as("fp"))
   }
 
   /** CDC chunk frame (see the x19 query note): (doc_id, chunk_id,

@@ -162,6 +162,34 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql >= 1)
   }
 
+  test("strided_chunks matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.StridedChunksExpr
+    def ref(text: String, size: Int, stride: Int): Seq[(Long, Long, Long)] = {
+      val hs = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong)
+      if (hs.isEmpty) return Seq.empty
+      (0 until (hs.length + stride - 1) / stride).map { i =>
+        val sl = hs.slice(i * stride, i * stride + size)
+        val fp = sl.foldLeft(BigInt(0))((g, h) =>
+          (g * 31 + h) mod BigInt(1000000007L))
+        (i.toLong, sl.length.toLong, fp.toLong)
+      }
+    }
+    val rng = new scala.util.Random(31337)
+    val docs = Seq("", "one", "a b c") ++ (1 to 20).map(_ =>
+      (0 until (rng.nextInt(200) + 1)).map(_ => s"t${rng.nextInt(500)}")
+        .mkString(" "))
+    val got = docs.toDF("text")
+      .select(org.apache.spark.sql.functions.monotonically_increasing_id()
+        .as("i"), StridedChunksExpr.stridedChunks($"text", 64, 48).as("c"))
+      .orderBy($"i")
+      .as[(Long, Seq[(Long, Long, Long)])].collect().map(_._2)
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d, 64, 48), s"chunk mismatch for '${d.take(40)}'")
+    }
+  }
+
   test("repetitionStats matches an independent reimplementation") {
     import spark.implicits._
     import graft.functions.RepetitionStatsExpr
