@@ -230,10 +230,38 @@ object Bench {
 
     for ((bName, cls) <- backends; (oName, run) <- ops) yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-      val rps = try run() catch { case _: Throwable => -1.0 }
-      (s"${oName}_$bName", rps)
+      // A failed probe retries ONCE and always records its cause
+      // (round-14 verdict item 4: the committed record carried two bare
+      // -1s with the Throwable swallowed — transient, but undiagnosable
+      // after the fact). The cause lands on stderr AND in the JSON
+      // line's "streaming_errors" map.
+      val name = s"${oName}_$bName"
+      val rps =
+        try run() catch { case e1: Throwable =>
+          System.err.println(
+            s"streaming probe $name failed (retrying once): " +
+              s"${e1.getClass.getName}: ${e1.getMessage}")
+          try run() catch { case e2: Throwable =>
+            System.err.println(s"streaming probe $name failed twice: " +
+              s"${e2.getClass.getName}: ${e2.getMessage}")
+            probeErrors.put(name,
+              s"${e2.getClass.getName}: ${String.valueOf(e2.getMessage).take(200)}")
+            -1.0
+          }
+        }
+      (name, rps)
     }
   }
+
+  /** probe name → cause for every probe that read -1 (retried once). */
+  private val probeErrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def loadavg(): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3)
+      .mkString(" ")
+    catch { case _: Throwable => "unavailable" }
 
   def main(args: Array[String]): Unit = {
     // optional arg filter: `runMain graft.Bench x16_bigram_logprob …` times
@@ -258,12 +286,28 @@ object Bench {
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
       })
-    // untimed warmup: JVM/codegen + parquet footers for every table family
+    // Self-diagnosing record (round-14 verdict item 1: three rounds
+    // running, the driver's BENCH record arrived environment-poisoned —
+    // ambient machine load inflating a contiguous run-order tail 4-85× —
+    // and nothing in the JSON line let a reader reject it without a full
+    // judge rerun). The line now carries: suite start/end /proc/loadavg,
+    // per-query epoch-millis start times (a poisoned tail shows as a
+    // wall-clock bulge at specific timestamps), the warmup cost measured
+    // separately (item 6: cold-start was folded invisibly into the first
+    // family), and an end-of-suite CANARY — p1_wordcount/p12_upper
+    // re-timed after the last family; canary_ratio = max(recheck/suite).
+    // Reading the record: canary_ratio ≳ 3 means the machine degraded
+    // during the run — reject the tail, rerun. SCALE.md documents this.
+    val loadStart = loadavg()
+    // warmup, measured (not folded into the first family's queries):
+    // JVM/codegen + parquet footers for every table family
+    val warmupT0 = System.nanoTime()
     Seq("q1_agg", "p1_wordcount", "w1_tumbling", "a5_max_per_key",
         "j1_left_outer", "v2_lsh_buckets").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    val warmupS = (System.nanoTime() - warmupT0) / 1e9
     // (name, seconds, succeeded). A failing query is reported as -1 and
     // listed in "failed" — never silently folded into the total.
     // SPARK_GRAFT_REPEAT=N (arg-filtered runs only): evaluate each query
@@ -288,19 +332,41 @@ object Bench {
       graft.queries.TextAnalytics.evictCaches(spark)
     }
     var family = ' '
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => selected(kv._1)).map { case (name, fn) =>
-      if (name.head != family) { evictAll(); family = name.head }
+    val startMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        reps: Int): (Double, Boolean) = {
       var last = (0.0, false)
-      (1 to repeat).foreach { _ =>
+      (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         last = ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, last._1, last._2)
+      last
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).map { case (name, fn) =>
+      if (name.head != family) { evictAll(); family = name.head }
+      startMs(name) = System.currentTimeMillis()
+      val (sec, ok) = timeQuery(name, fn, repeat)
+      (name, sec, ok)
     }
     evictAll() // release the last family's pins before the streaming probes
+    // end-of-suite canary: re-time two trivial map-shape queries whose
+    // in-suite times are stage floor; a busy machine late in the run
+    // inflates the recheck, so canary_ratio flags a poisoned tail in-band
+    val suiteTimes = results.map(r => r._1 -> r._2).toMap
+    val canary = (if (only.isEmpty) Seq("p1_wordcount", "p12_upper")
+                  else Seq.empty).flatMap { q =>
+      val (sec, ok) = timeQuery(q, SparkEntry.queries(q), 1)
+      if (ok && suiteTimes.get(q).exists(_ > 0)) Some((q, suiteTimes(q), sec))
+      else None
+    }
+    val canaryRatio =
+      if (canary.isEmpty) -1.0
+      else canary.map { case (_, s, r) => r / s }.max
+    val loadEnd = loadavg()
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1")
@@ -314,11 +380,21 @@ object Bench {
                      else Seq.empty).map { case (k, v) =>
       "\"" + k + "\":" + "%.0f".formatLocal(Locale.ROOT, v)
     }.mkString("{", ",", "}")
+    import scala.jdk.CollectionConverters._
+    val streamErrs = probeErrors.asScala.toSeq.sortBy(_._1).map {
+      case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val starts = startMs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val canaryJson = canary.map { case (q, s, r) =>
+      "\"" + q + "\":{\"suite\":" + f3(s) + ",\"recheck\":" + f3(r) + "}"
+    }.mkString("{", ",", "}")
     // ONE short JSON line. stdout gets sbt's "[info] " prefix, which
     // breaks strict JSON parsing — emit on stderr too (un-prefixed under
     // `sbt runMain`) so machine consumers get a clean line; stdout stays
     // for tail-scrapers.
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"query_start_ms":$starts,"sf":"$sfDir"}"""
     println(json)
     System.err.println(json)
     // durable copy: the round-11 driver artifact captured only a tail

@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` those blocks are non-replicated executor storage —
   * fine single-node, unrecoverable after executor loss on a cluster. A
   * deployment sets `SparkContext.setCheckpointDir` (HDFS/S3) and every
-  * round switches to a RELIABLE checkpoint automatically: the round
-  * files survive any executor, so the persisted component pins
-  * (Dedup.dupComponents and friends) recompute instead of failing
-  * (PinRecoverySpec proves it).
+  * round switches to a RELIABLE round file automatically (one parquet
+  * write per round — the write is the materializing action, so rounds
+  * are never computed twice): the round files survive any executor, so
+  * the persisted component pins (Dedup.dupComponents and friends)
+  * recompute instead of failing (PinRecoverySpec proves it). Superseded
+  * rounds delete as soon as their successor is written; exactly one
+  * final-round directory per CC run remains (the pins' recompute path),
+  * owned by the deployment's checkpoint-dir lifecycle.
   *
   * For high-diameter graphs (long similarity chains) `runStar` runs the
   * alternating large-star/small-star algorithm (Kiveris et al.,
@@ -42,15 +46,58 @@ object ConnectedComponents {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Per-round lineage truncation: reliable `checkpoint` when the
-    * context has a checkpoint dir (the production switch — round files
-    * survive executor loss), `localCheckpoint` otherwise (single-node
-    * default: no file I/O per round).
+  /** Per-round lineage truncation + round-file lifecycle. Reliable mode
+    * (context has a checkpoint dir — the production switch): each round
+    * is ONE parquet write job to `<ckDir>/graft-cc-<uuid>/round-<i>`
+    * followed by a file-backed read — the write IS the materializing
+    * action (round-14 ADVICE: `Dataset.checkpoint` computed every round
+    * twice, once for the caller's count and once for the checkpoint-
+    * write job, because the RDD was never persisted), the read
+    * truncates lineage, and the files survive executor loss. Superseded
+    * rounds are DELETED via [[release]] as soon as their last consumer
+    * has run (same ADVICE: nothing ever cleaned the per-round dirs, so
+    * a long-lived cluster session accumulated O(rounds) checkpoint
+    * files per CC run) — only the FINAL round's files are kept, since
+    * the persisted component pins recompute through them after block
+    * loss (PinRecoverySpec). Local mode (no checkpoint dir): lazy
+    * `localCheckpoint`, blocks reclaimed by the ContextCleaner on RDD
+    * GC — unchanged, no per-round file I/O.
     */
-  private def pinRound(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = eager)
-    else df.localCheckpoint(eager = eager)
+  private final class RoundPins(spark: org.apache.spark.sql.SparkSession) {
+    private val base: Option[String] = spark.sparkContext.getCheckpointDir
+      .map(_ + "/graft-cc-" + java.util.UUID.randomUUID())
+    private var round = 0
+    private val pathOf =
+      new java.util.IdentityHashMap[DataFrame, String]()
+
+    def pin(df: DataFrame, eager: Boolean): DataFrame = base match {
+      case Some(b) =>
+        val p = s"$b/round-$round"
+        round += 1
+        df.write.mode("overwrite").parquet(p)
+        // explicit schema: an all-empty write can leave no row groups
+        // to infer from, and it pins the frame's exact nullability
+        val out = spark.read.schema(df.schema).parquet(p)
+        pathOf.put(out, p)
+        out
+      case None => df.localCheckpoint(eager = eager)
+    }
+
+    /** `df`'s round is superseded — delete its files (reliable mode;
+      * local-mode blocks stay on the existing GC path). Callers order
+      * this AFTER the superseding round's last read of `df`.
+      */
+    def release(df: DataFrame): Unit =
+      Option(pathOf.remove(df)).foreach { p =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(path, true)
+        } catch { case e: Throwable =>
+          log.warn(s"ConnectedComponents: could not delete round file $p: $e")
+        }
+      }
+  }
 
   /** nodes: (id) one row per node; edges: (src, dst) undirected (either
     * orientation). Returns (id, component) with component = min id
@@ -59,13 +106,15 @@ object ConnectedComponents {
     */
   def run(nodes: DataFrame, edges: DataFrame,
           maxIter: Int = Int.MaxValue): DataFrame = {
-    val sym = pinRound(
+    val pins = new RoundPins(nodes.sparkSession)
+    val sym = pins.pin(
       edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(), eager = true)
 
-    var labels = pinRound(
+    var pinned = pins.pin(
       nodes.select(col("id"), col("id").as("component")), eager = false)
+    var labels: DataFrame = pinned
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -78,7 +127,7 @@ object ConnectedComponents {
       // Fold the did-anything-change flag into the same pass instead of
       // re-joining next against old labels: one scan of the fresh
       // checkpoint replaces a per-round join.
-      val next = pinRound(
+      val next = pins.pin(
         labels.join(prop, labels("id") === prop("dst"), "left_outer")
           .select(labels("id"),
             least(col("component"), coalesce(col("nbr_min"), col("component")))
@@ -86,14 +135,21 @@ object ConnectedComponents {
             (coalesce(col("nbr_min"), col("component")) < col("component"))
               .as("chg")), eager = false)
       // the filtered count is the materializing action for the lazy
-      // checkpoint above (the full frame pins; the count sees the filter)
+      // local checkpoint (reliable mode already materialized via the
+      // round-file write; there the count is metadata-only)
       changed = next.filter(col("chg")).count()
+      pins.release(pinned) // round i-1 fully consumed — files delete
+      pinned = next
       labels = next.drop("chg")
       iter += 1
       // Diagnosable progress: an unexpectedly deep graph shows up as a
       // round counter climbing, not as a silent hang (ADVICE r2).
       log.info(s"ConnectedComponents: round $iter, $changed labels changed")
     }
+    // the fixpoint labels are file-backed — sym is no longer in their
+    // lineage, so its round files delete too; only the final round's
+    // files survive (the persisted component pins recompute through them)
+    pins.release(sym)
     labels
   }
 
@@ -151,12 +207,15 @@ object ConnectedComponents {
               edgesDistinct: Boolean = false): DataFrame = {
     val norm = edges
       .select(col("src").as("a"), col("dst").as("b"))
-    // LAZY checkpoints throughout: the count() that every round needs
-    // anyway is the materializing action, so each round is ONE job
-    // (plan + pin + count) instead of an eager-checkpoint job followed
-    // by a count job — at toy SF the fixpoint is stage-count-bound, so
-    // halving the jobs halves the wall-clock.
-    var e = pinRound(
+    // LAZY checkpoints throughout (local mode): the count() that every
+    // round needs anyway is the materializing action, so each round is
+    // ONE job (plan + pin + count) instead of an eager-checkpoint job
+    // followed by a count job — at toy SF the fixpoint is
+    // stage-count-bound, so halving the jobs halves the wall-clock.
+    // (Reliable mode materializes via the round-file write; its count
+    // is metadata-only.)
+    val pins = new RoundPins(nodes.sparkSession)
+    var e = pins.pin(
       if (edgesDistinct) norm
       else norm.where(col("a") =!= col("b")).distinct(), eager = false)
     var eCount = e.count()
@@ -168,13 +227,14 @@ object ConnectedComponents {
           s"ConnectedComponents.runStar: no fixpoint after $maxIter " +
             "rounds; labels would be wrong")
       // ONE lazy localCheckpoint per round, materialized by the count.
-      val next = pinRound(smallStar(largeStar(e)), eager = false)
+      val next = pins.pin(smallStar(largeStar(e)), eager = false)
       val nextCount = next.count()
       // Both sets are distinct, so subset + equal cardinality ⇒ equal: at
       // the star fixpoint one more ls+ss round is a no-op. The (cheap)
       // count compare short-circuits the (anti-join) except to the final
       // round(s); e's count is carried over, never recomputed.
       converged = nextCount == eCount && next.except(e).isEmpty
+      pins.release(e) // the except was round i-1's last read — files delete
       e = next
       eCount = nextCount
       iter += 1

@@ -287,7 +287,33 @@ object Dedup extends QueryModule {
     docs.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
+  /** Loose pins: per-query persisted helper frames with no named cache
+    * of their own (d20's band-pair frame). Registered here so
+    * [[evictCaches]] releases their blocks — the CacheManager holds a
+    * strong reference to a persisted plan, so an unregistered persist
+    * leaks its blocks until session stop in a long-lived multi-tenant
+    * session (round-14 ADVICE; the old eager localCheckpoint's blocks
+    * were at least ContextCleaner-reclaimed on RDD GC).
+    */
+  private val loosePins =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
+
+  private def loosePin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    loosePins.add((df.sparkSession, p))
+    p
+  }
+
   def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
+    val lp = loosePins.iterator()
+    while (lp.hasNext) {
+      val (s, df) = lp.next()
+      if (s eq session) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        lp.remove()
+      }
+    }
     def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
                 sessionOf: K => SparkSession, dirOf: K => String): Unit = {
       val it = m.entrySet().iterator()
@@ -458,8 +484,10 @@ object Dedup extends QueryModule {
     "d20_dup_pagerank" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id")
-      val pairs = lshBandPairs(minhashSigs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // loosePin, not a bare persist (round-14 ADVICE): evictCaches
+      // releases the blocks; an unregistered persist would outlive the
+      // query in a long-lived session
+      val pairs = loosePin(lshBandPairs(minhashSigs(s, dir)))
       val edges = pairs.select($"doc_i".as("src"), $"doc_j".as("dst"))
         .union(pairs.select($"doc_j".as("src"), $"doc_i".as("dst")))
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))

@@ -209,7 +209,29 @@ object Similarity extends QueryModule {
   /** Release the pinned assignment frames held for `session` (optionally
     * scoped to one data dir) — the `Dedup.evictCaches` contract.
     */
+  /** Loose pins (the Dedup.loosePin contract): persisted helper frames
+    * with no named cache, registered so [[evictCaches]] releases their
+    * blocks instead of leaking them to session stop (round-14 ADVICE).
+    */
+  private val loosePins =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
+
+  private def loosePin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    loosePins.add((df.sparkSession, p))
+    p
+  }
+
   def evictCaches(session: SparkSession, dir: Option[String] = None): Unit = {
+    val lp = loosePins.iterator()
+    while (lp.hasNext) {
+      val (s, df) = lp.next()
+      if (s eq session) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        lp.remove()
+      }
+    }
     val it = assignCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -231,8 +253,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def semanticDedupFrame(corpus: DataFrame, k: Int,
       tau: Double): DataFrame =
-    semanticDedupFromAssign(kmeansAssign(corpus, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), tau)
+    semanticDedupFromAssign(loosePin(kmeansAssign(corpus, k)), tau)
 
   /** SemDeDup keep-first policy over a pinned (vec_id, embedding, cid)
     * assignment frame: (vec_id, cid, n_dups, dropped).

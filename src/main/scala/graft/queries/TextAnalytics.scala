@@ -421,8 +421,25 @@ object TextAnalytics extends QueryModule {
   // re-enter the score expressions as literals Catalyst constant-folds,
   // arithmetic-identical to the broadcast 1-row frame they replace.
 
+  /** Term-stats pin holder: the frame registers inside the cache's
+    * computeIfAbsent (LAZY — plan + persist registration only; no Spark
+    * job runs under the ConcurrentHashMap bin lock, round-14 ADVICE:
+    * the old in-map collect held the bin hostage for the whole
+    * pin-build job, blocking unrelated tenants whose keys hashed to the
+    * same bin). The 1-row (n_c, V) totals collect runs OUTSIDE the map
+    * computation, memoized by the lazy val's per-INSTANCE monitor —
+    * concurrent tenants of the same corpus still serialize on the one
+    * job they both want, but never tenants of a different corpus.
+    */
+  private final class TermStatsPin(val cw: DataFrame) {
+    lazy val totals: (Long, Long) = {
+      val r = cw.agg(sum(col("n_w")), count(lit(1))).head() // 1 row
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+  }
+
   private val termStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Long, Long)]()
+    (SparkSession, String), TermStatsPin]()
   private val bigramStatsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
@@ -430,14 +447,16 @@ object TextAnalytics extends QueryModule {
     * totals, folded ONCE per (session, corpus plan) from
     * [[sharedPostings]] by two-phase partial aggregation.
     */
-  private[graft] def sharedTermStats(docs: DataFrame): (DataFrame, Long, Long) =
-    termStatsCache.computeIfAbsent((docs.sparkSession, planDigest(docs)), { _ =>
-      val cw = sharedPostings(docs)
-        .groupBy(col("w")).agg(sum(col("n_dw")).as("n_w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val r = cw.agg(sum(col("n_w")), count(lit(1))).head() // 1 row
-      (cw, if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
-    })
+  private[graft] def sharedTermStats(docs: DataFrame): (DataFrame, Long, Long) = {
+    val pin = termStatsCache.computeIfAbsent(
+      (docs.sparkSession, planDigest(docs)), { _ =>
+        new TermStatsPin(sharedPostings(docs)
+          .groupBy(col("w")).agg(sum(col("n_dw")).as("n_w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      })
+    val (nC, v) = pin.totals // first caller runs the 1-row job, unlocked
+    (pin.cw, nC, v)
+  }
 
   /** Pinned (w1, w2, c12, c1) bigram/context totals, folded ONCE per
     * (session, corpus plan) from [[sharedBigrams]]. The (w1)-keyed c1
@@ -495,7 +514,7 @@ object TextAnalytics extends QueryModule {
     while (tt.hasNext) {
       val e = tt.next()
       if (e.getKey._1 eq session) {
-        try e.getValue._1.unpersist(blocking = false)
+        try e.getValue.cw.unpersist(blocking = false)
         catch { case _: Throwable => () }
         tt.remove()
       }

@@ -101,21 +101,68 @@ class PinRecoverySpec extends SparkSpec {
     // executor-local blocks, so a cluster deployment sets
     // SparkContext.setCheckpointDir and CC switches to RELIABLE
     // checkpoints automatically — round files survive any executor.
-    // NOTE: the dir stays set for the rest of the suite (the context
-    // API has no unset) — later CC runs just also write round files,
-    // which is the production configuration anyway.
+    // The checkpoint dir is CONTEXT state — restore it in a finally so
+    // later CC runs in the suite keep the default localCheckpoint path
+    // (round-14 ADVICE: leaving it set silently switched every
+    // subsequent spec to reliable round files writing into a temp dir
+    // nobody deleted — ordering-dependent suite behavior). In local
+    // mode `setCheckpointDir(null)` unsets (Option(null) → None).
     val ckDir = java.nio.file.Files
-      .createTempDirectory("graft-cc-ck").toString
-    spark.sparkContext.setCheckpointDir(ckDir)
-    graft.queries.Dedup.evictCaches(spark)
-    val comp = SparkEntry.queries("d7_dup_components")(spark, dir)
-    val before = comp.collect().sortBy(_.toString).mkString("|")
-    dropAllCachedBlocks()
-    val after = comp.collect().sortBy(_.toString).mkString("|")
-    assert(after === before,
-      "the pinned component frame must recompute through the reliable " +
-        "checkpoint after block loss")
-    graft.queries.Dedup.evictCaches(spark)
+      .createTempDirectory("graft-cc-ck")
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      graft.queries.Dedup.evictCaches(spark)
+      val comp = SparkEntry.queries("d7_dup_components")(spark, dir)
+      val before = comp.collect().sortBy(_.toString).mkString("|")
+      dropAllCachedBlocks()
+      val after = comp.collect().sortBy(_.toString).mkString("|")
+      assert(after === before,
+        "the pinned component frame must recompute through the reliable " +
+          "checkpoint after block loss")
+      graft.queries.Dedup.evictCaches(spark)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      // temp round files: nothing references them once the pins evict
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("reliable CC keeps ONLY the final round's files (superseded " +
+      "rounds delete)") {
+    // round-14 ADVICE: nothing ever deleted superseded per-round
+    // checkpoint dirs, so a long-lived cluster session accumulated
+    // O(rounds) files per CC run. Now each superseded round deletes as
+    // soon as its successor is written; a multi-round fixpoint must end
+    // with exactly ONE round-* directory per RoundPins (runStar: the
+    // final edge set; the chain below needs ≥3 star rounds).
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-gc")
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      val n = 64
+      val nodes = spark.range(0, n).select($"id")
+      val edges = spark.range(0, n - 1)
+        .select($"id".as("src"), ($"id" + 1).as("dst"))
+      val labels = graft.operators.ConnectedComponents
+        .runStar(nodes, edges, edgesDistinct = true)
+      assert(labels.agg(max($"component")).head().getLong(0) == 0L,
+        "one chain component labeled by its min id")
+      import scala.jdk.CollectionConverters._
+      val roundDirs = java.nio.file.Files.walk(ckDir).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("round-")).toSeq
+      assert(roundDirs.size == 1,
+        s"superseded round files must delete; found: $roundDirs")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("control: a localCheckpoint pin does NOT survive block loss") {
