@@ -1512,30 +1512,23 @@ object TextAnalytics extends QueryModule {
     // norm join — both shuffles carry ≤ 16 longs per doc.
     "x17_hash_embedding" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      // Round-11 rework of the round-10 single-repartition shape: the
-      // explicit repartition(doc_id) BEFORE the aggregate shuffled the
-      // RAW TOKEN-INSTANCE stream (40-60 rows/doc) and, worse, disabled
-      // map-side partial aggregation. Letting the (doc_id, dim) hash
-      // agg plan its own exchange restores the partial combine — at
-      // most 16 rows/doc cross the wire — and the norm window then
-      // re-clusters the tiny aggregated frame on doc_id. Two exchanges,
-      // but both carry ≤16 rows/doc instead of one carrying every
-      // token: strictly less shuffle volume at any corpus size.
+      // Round 15: the whole 16-dim signed-hash embedding fused into ONE
+      // codegen expression (`functions/HashEmbed.scala`, the round-14
+      // poly_fp_windows doctrine — fuse only on a measured win, SCALE.md
+      // carries the A/B). The embedding is a pure per-document function,
+      // but the composed form exploded every token instance into a
+      // (doc_id, dim) hash agg and re-clustered for the norm window —
+      // two corpus exchanges for rowwise work. Fused, x17 is MAP-ONLY:
+      // scan → compute/explode, zero exchanges at any corpus size.
+      // Bit-identical by construction (same u32 Java token hashes, same
+      // long-Σraw² → double → sqrt IEEE order); FunctionsSpec proves it
+      // against an independent reimplementation AND the unchanged
+      // oracle SQL replays the composed derivation.
       Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("w"))
         .select($"doc_id",
-          pmod(HashFunctions.javaStringHashCode($"w").cast("long"),
-            lit(4294967296L)).as("h"))
-        .select($"doc_id", ($"h" % 16).as("dim"),
-          (shiftright($"h", 16).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
-        .groupBy($"doc_id", $"dim").agg(sum($"sign").as("raw"))
-        .withColumn("norm",
-          sqrt(sum($"raw" * $"raw").over(Window.partitionBy($"doc_id"))
-            .cast("double")))
-        .select($"doc_id", $"dim",
-          when($"norm" === 0.0, lit(0.0))
-            .otherwise($"raw".cast("double") / $"norm").as("value"))
+          explode(graft.functions.HashEmbedExpr.hashEmbed($"text", 16))
+            .as("e"))
+        .select($"doc_id", $"e.dim".as("dim"), $"e.value".as("value"))
     },
 
     // T6: COUNT-MIN SKETCH heavy hitters — the mergeable-sketch answer

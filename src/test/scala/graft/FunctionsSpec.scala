@@ -190,6 +190,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hash_embed matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.HashEmbedExpr
+    // independent reference: regex tokenize, Java hash -> u32 via
+    // BigInt, per-dim sign accumulation, long sum-of-squares norm
+    def ref(text: String, dims: Int): Seq[(Long, Double)] = {
+      val hs = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)).toLong)
+      val raw = new Array[Long](dims)
+      val cnt = new Array[Int](dims)
+      hs.foreach { h =>
+        raw((h % dims).toInt) += ((h >> 16) & 1L) * 2L - 1L
+        cnt((h % dims).toInt) += 1
+      }
+      val norm = math.sqrt(raw.map(r => r * r).sum.toDouble)
+      (0 until dims).filter(cnt(_) > 0).map(d =>
+        (d.toLong, if (norm == 0.0) 0.0 else raw(d).toDouble / norm))
+    }
+    val rng = new scala.util.Random(1729)
+    val docs = Seq("", "one", "a b c", "x x x x") ++ (1 to 20).map(_ =>
+      (0 until (rng.nextInt(200) + 1)).map(_ => s"t${rng.nextInt(500)}")
+        .mkString(" "))
+    val got = docs.toDF("text")
+      .select(org.apache.spark.sql.functions.monotonically_increasing_id()
+        .as("i"), HashEmbedExpr.hashEmbed($"text", 16).as("e"))
+      .orderBy($"i")
+      .as[(Long, Seq[(Long, Double)])].collect().map(_._2)
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d, 16), s"embed mismatch for '${d.take(40)}'")
+    }
+    // the fused x17 must plan MAP-ONLY: no exchange anywhere
+    val plan = SparkEntry.queries("x17_hash_embedding")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fused x17 must be map-only (zero exchanges):\n$plan")
+  }
+
   test("repetitionStats matches an independent reimplementation") {
     import spark.implicits._
     import graft.functions.RepetitionStatsExpr

@@ -207,12 +207,10 @@ class PlanSpec extends SparkSpec {
   test("x17/t6: per-group stats ride clustered windows — no derived-frame join") {
     // Round-10: x17's norm and t6's sketch cells were aggregates joined
     // back onto their own input frame (double-computed under divergent
-    // pruning). Round-11 refinement for x17: the explicit
-    // repartition(doc_id) BEFORE its aggregate shuffled the raw
-    // token-instance stream AND disabled map-side combine — now the
-    // (doc_id, dim) hash agg plans its own exchange (partial_sum
-    // asserted) and the norm window re-clusters the ≤16-rows/doc
-    // aggregated frame. t6 keeps the single explicit clustering.
+    // pruning). Round-15: x17 fused into the hash_embed codegen
+    // expression — the whole embedding is per-document, so the query is
+    // MAP-ONLY (zero exchanges; FunctionsSpec pins that plus
+    // bit-identity). t6 keeps the single explicit clustering.
     for ((q, scans, reparts) <- Seq(("x17_hash_embedding", 1, 0),
         ("t6_cms_heavy_hitters", 1, 1))) {
       val df = SparkEntry.queries(q)(spark, dir)
@@ -226,11 +224,6 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
         s"$q: no derived-frame join expected:\n$p")
     }
-    // the restored map-side combine is the point of the x17 shape
-    val p17 = SparkEntry.queries("x17_hash_embedding")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(p17.contains("partial_sum"),
-      s"x17: map-side partial aggregation must be restored:\n$p17")
   }
 
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
@@ -472,6 +465,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"),
       s"the (w, user) agg must combine map-side:\n$p")
     assert(p.contains("LeftAnti"), s"spammer exclusion is an anti-join:\n$p")
+    // Round 15: ONE corpus agg — the per-window mean re-aggregates the
+    // ut exchange (AQE ReusedExchange) instead of re-running the scan +
+    // (w, user) partial agg; the explicit user_id-notnull filter at
+    // ut's source keeps both planned copies canonically identical
+    // (without it, the anti-join's inferred IsNotNull pushed into one
+    // copy only and reuse never fired).
+    assert(p.contains("ReusedExchange"),
+      s"the mean agg must reuse the (w, user) exchange:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"two scans only (ev + ut); the mean's own scan must be gone:\n$p")
   }
 
   test("d32/d33: component sizes via agg+join — no analytic window anywhere") {
