@@ -29,11 +29,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional filters for huge-fixture runs: --skip n1,n2 / --only n1,n2
+    skip, only = set(), set()
+    argv = sys.argv[3:]
+    while argv:
+        if argv[0] == "--skip":
+            skip = set(argv[1].split(","))
+            argv = argv[2:]
+        elif argv[0] == "--only":
+            only = set(argv[1].split(","))
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown arg {argv[0]}")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table dir (e.g. TenXFixture)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
@@ -41,6 +56,8 @@ def main():
         if not os.path.isdir(d):
             continue
         name = os.path.basename(d)
+        if name in skip or (only and name not in only):
+            continue
         spark_df = pd.concat(
             [pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))],
             ignore_index=True)
