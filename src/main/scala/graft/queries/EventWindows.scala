@@ -110,19 +110,36 @@ object EventWindows extends QueryModule {
   // avoids DuckDB's TIMESTAMPTZ local-zone coercion; Spark windows are
   // epoch-aligned so integer floor reproduces window()'s assignment exactly.
   override def oracle: Map[String, String] = Map(
+    // Sessionize over DISTINCT error ts (round 15): the lag/cumsum
+    // replay is tie-UNSAFE under duplicate error timestamps — lag and
+    // the running sum sort ties in their own arbitrary orders, so the
+    // brk=1 row can land mid-tie-group in the cumsum's order and split
+    // one timestamp's copies across two "sessions" (overlapping outages
+    // — the 10x duplicate-heavy fixture caught it; Spark's
+    // session_window over the ts multiset is well-defined). Gap
+    // sessionization depends only on the distinct ts SET, so dedupe
+    // first (no ties → deterministic windows), then count every error
+    // row back into its session for n_errors.
     "j8_range_outage" ->
-      """WITH marked AS (
+      """WITH et AS (
+        |  SELECT DISTINCT ts FROM events WHERE event_type = 'error'),
+        |marked AS (
         |  SELECT ts, CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
         |      OR ts >= lag(ts) OVER (ORDER BY ts) + INTERVAL 2 MINUTE
         |    THEN 1 ELSE 0 END AS brk
-        |  FROM events WHERE event_type = 'error'),
+        |  FROM et),
         |grp AS (
         |  SELECT ts, sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS g
         |  FROM marked),
+        |spans AS (
+        |  SELECT min(ts) AS o_start, max(ts) AS o_last FROM grp GROUP BY g),
         |outages AS (
-        |  SELECT min(ts) AS o_start, max(ts) + INTERVAL 2 MINUTE AS o_end,
+        |  SELECT s.o_start, s.o_last + INTERVAL 2 MINUTE AS o_end,
         |    count(*) AS n_errors
-        |  FROM grp GROUP BY g)
+        |  FROM spans s JOIN events er
+        |    ON er.event_type = 'error'
+        |    AND er.ts >= s.o_start AND er.ts <= s.o_last
+        |  GROUP BY 1, 2)
         |SELECT e.event_id, e.ts, o.o_start, o.o_end, o.n_errors
         |FROM events e JOIN outages o
         |  ON e.ts >= o.o_start AND e.ts < o.o_end
