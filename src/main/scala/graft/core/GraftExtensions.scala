@@ -28,7 +28,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     polynomial fingerprint in position order (the ExactSubstr
   *     primitive behind d25/d28);
   *   - `cdc_chunks(str)` — content-defined chunk (chunk_id, chunk_len,
-  *     fp) structs (the x19 primitive; map-only chunking).
+  *     fp) structs (the x19 primitive; map-only chunking);
+  *   - `hash_embed(str, dims)` — L2-normalized signed-hash document
+  *     embedding as (dim, value) structs (the x17 primitive; map-only
+  *     text→vector bridge).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -80,6 +83,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cdc_chunks"),
       (children: Seq[Expression]) =>
         graft.functions.CdcChunksExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hash_embed"),
+      new ExpressionInfo(classOf[graft.functions.HashEmbedExpr].getName,
+        "hash_embed"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(d: Int, _)) =>
+          graft.functions.HashEmbedExpr(text, d)
+        case _ => throw new IllegalArgumentException(
+          "usage: hash_embed(text, <int literal dims>)")
+      }))
     ext.injectFunction((
       FunctionIdentifier("poly_fp_windows"),
       new ExpressionInfo(classOf[graft.functions.PolyFpWindowsExpr].getName,

@@ -225,6 +225,10 @@ class FunctionsSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"fused x17 must be map-only (zero exchanges):\n$plan")
+    // SQL surface (GraftExtensions registration)
+    val viaSql = spark.sql(
+      "SELECT size(hash_embed('a b c', 16))").as[Int].head()
+    assert(viaSql >= 1 && viaSql <= 3)
   }
 
   test("repetitionStats matches an independent reimplementation") {
