@@ -31,7 +31,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     fp) structs (the x19 primitive; map-only chunking);
   *   - `hash_embed(str, dims)` — L2-normalized signed-hash document
   *     embedding as (dim, value) structs (the x17 primitive; map-only
-  *     text→vector bridge).
+  *     text→vector bridge);
+  *   - `ngram_selfdup_stats(str, n)` — within-doc repeated-n-gram
+  *     stats struct (n_tokens, n_dup_windows, dup_tokens) (the x35
+  *     primitive; intra-document repetition removal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -92,6 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.HashEmbedExpr(text, d)
         case _ => throw new IllegalArgumentException(
           "usage: hash_embed(text, <int literal dims>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_selfdup_stats"),
+      new ExpressionInfo(classOf[graft.functions.NgramSelfDupExpr].getName,
+        "ngram_selfdup_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, _)) =>
+          graft.functions.NgramSelfDupExpr(text, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: ngram_selfdup_stats(text, <int literal n>)")
       }))
     ext.injectFunction((
       FunctionIdentifier("poly_fp_windows"),

@@ -1092,6 +1092,34 @@ object TextAnalytics extends QueryModule {
             .otherwise(0.0).as("top_bigram_frac"))
     },
 
+    // X35: WITHIN-document repeated-trigram stats — the intra-doc
+    // repetition-REMOVAL measurement (the Gopher-class cleaning step):
+    // a window is duplicated iff its fingerprint occurred earlier in
+    // the SAME doc (keep-first), dup_tokens = exact token coverage an
+    // excision pass would remove. Distinct from x8 (scores global
+    // token/bigram repetition, no positions) and from d25 (spans
+    // repeated ACROSS the corpus). Pure per-document function → ONE
+    // codegen expression (`functions/NgramSelfDup.scala`), so the
+    // query is MAP-ONLY — zero exchanges at any corpus size; fp
+    // equality stands in for trigram equality on BOTH sides of the
+    // oracle (the d25 convention). explode(array(...)) is the x8
+    // Generate barrier: without it the stats expression would inline
+    // into each field projection and run 4x per row.
+    "x35_selfdup_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          explode(array(
+            graft.functions.NgramSelfDupExpr.ngramSelfDupStats($"text", 3)))
+            .as("r"))
+        .select($"doc_id", $"r.n_tokens".as("n_tokens"),
+          $"r.n_dup_windows".as("n_dup_windows"),
+          $"r.dup_tokens".as("dup_tokens"),
+          when($"r.n_tokens" > 0,
+            round($"r.dup_tokens".cast("double") / $"r.n_tokens", 6))
+            .otherwise(0.0).as("dup_frac"))
+    },
+
     // Token-distribution Shannon entropy per document — the information-
     // density quality signal (near-zero entropy = boilerplate/repetition;
     // complements x8's count-based fractions). H = ln(T) - Σ n·ln(n) / T
@@ -2494,6 +2522,41 @@ object TextAnalytics extends QueryModule {
          |    THEN top_n::DOUBLE / (len(hs) - 1)
          |    ELSE 0.0 END AS top_bigram_frac
          |FROM th LEFT JOIN top ON th.doc_id = top.doc_id""".stripMargin,
+
+    // Replays NgramSelfDupExpr: window fp = poly fold mod 1e9+7 over
+    // u32 token hashes (the d25 fragment, re-centered for DuckDB's
+    // signed %); dup = pos > min(pos) per (doc, fp); coverage = DISTINCT
+    // positions under any dup window's [pos, pos+3) span.
+    "x35_selfdup_stats" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform(${ws("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM documents),
+         |g AS (
+         |  SELECT doc_id, i::BIGINT AS pos,
+         |    list_reduce(list_prepend(0::BIGINT, hs[i+1 : i+3]),
+         |      (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+         |        % 1000000007) AS fp
+         |  FROM (SELECT doc_id, hs,
+         |          unnest(generate_series(0, len(hs) - 3)) AS i
+         |        FROM th WHERE len(hs) >= 3)),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, fp)
+         |      AS mi FROM g)
+         |  WHERE pos > mi),
+         |dw AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+         |       FROM dup GROUP BY 1),
+         |cov AS (SELECT doc_id, count(DISTINCT pos + o)::BIGINT AS dup_tokens
+         |        FROM dup CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) u
+         |        GROUP BY doc_id)
+         |SELECT th.doc_id, len(hs)::BIGINT AS n_tokens,
+         |  coalesce(dw.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  CASE WHEN len(hs) > 0
+         |    THEN round(coalesce(cov.dup_tokens, 0)::DOUBLE / len(hs), 6)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM th LEFT JOIN dw ON th.doc_id = dw.doc_id
+         |  LEFT JOIN cov ON th.doc_id = cov.doc_id""".stripMargin,
 
     "x9_entropy" ->
       s"""WITH w AS (

@@ -231,6 +231,63 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql >= 1 && viaSql <= 3)
   }
 
+  test("ngram_selfdup_stats matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.NgramSelfDupExpr
+    // independent reference: regex tokenize, u32 Java hash via BigInt,
+    // window fp by BigInt poly fold, first-occurrence-wins dup marking,
+    // set-union coverage
+    def ref(text: String, n: Int): (Long, Long, Long) = {
+      val hs = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => BigInt(t.hashCode).mod(BigInt(4294967296L)))
+      if (hs.length < n) return (hs.length.toLong, 0L, 0L)
+      val fps = (0 to hs.length - n).map(i =>
+        hs.slice(i, i + n).foldLeft(BigInt(0))((g, h) =>
+          (g * 31 + h) mod BigInt(1000000007L)))
+      val seen = scala.collection.mutable.Set[BigInt]()
+      var dupW = 0L
+      val cov = scala.collection.mutable.Set[Int]()
+      fps.zipWithIndex.foreach { case (fp, i) =>
+        if (!seen.add(fp)) { dupW += 1; (i until i + n).foreach(cov += _) }
+      }
+      (hs.length.toLong, dupW, cov.size.toLong)
+    }
+    val docs = Seq("", "a b", "a b c", "a b c a b c", "x x x x x x",
+      "a b c d a b c d e f a b", "one two three two three four") ++ {
+      val rng = new scala.util.Random(4242)
+      (1 to 20).map(_ => (0 until (rng.nextInt(120) + 1))
+        .map(_ => s"t${rng.nextInt(12)}").mkString(" "))
+    }
+    val got = docs.toDF("text")
+      .select(org.apache.spark.sql.functions.monotonically_increasing_id()
+        .as("i"), NgramSelfDupExpr.ngramSelfDupStats($"text", 3).as("r"))
+      .orderBy($"i")
+      .select($"r.n_tokens", $"r.n_dup_windows", $"r.dup_tokens")
+      .as[(Long, Long, Long)].collect()
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g == ref(d, 3), s"selfdup mismatch for '${d.take(50)}': " +
+        s"got $g, want ${ref(d, 3)}")
+    }
+    // "a b c a b c": windows abc,bca,cab,abc -> 1 dup window covering
+    // tokens 3..5 -> (6, 1, 3)
+    assert(got(3) == ((6L, 1L, 3L)))
+    // "x x x x x x": windows all identical -> 3 dups covering tokens 1..5
+    assert(got(4) == ((6L, 3L, 5L)))
+    // the fused x35 must plan MAP-ONLY, and the driver corpus makes it
+    // non-vacuous (sf0.001 plants repeated trigrams in some docs)
+    val df = SparkEntry.queries("x35_selfdup_stats")(
+      spark, "/root/testdata/sf0.001")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fused x35 must be map-only (zero exchanges)")
+    assert(df.filter($"n_dup_windows" > 0).count() > 0,
+      "corpus must exercise the dup path")
+    // SQL surface (GraftExtensions registration)
+    val viaSql = spark.sql(
+      "SELECT ngram_selfdup_stats('a b c a b c', 3).dup_tokens")
+      .as[Long].head()
+    assert(viaSql == 3L)
+  }
+
   test("repetitionStats matches an independent reimplementation") {
     import spark.implicits._
     import graft.functions.RepetitionStatsExpr
