@@ -345,9 +345,25 @@ object Bench {
       }
       last
     }
+    // Per-family canary (round-15 verdict item 3): the end-of-suite canary
+    // only catches TAIL poisoning — the driver's r15 record had the
+    // j-family inflated 10-40x at minutes 2-3 yet canary_ratio read 1.16
+    // because the machine quieted before the recheck. Re-time one ~100ms
+    // map-shape query (p12_upper) at every family boundary against a
+    // post-warmup baseline; any contiguous poisoned window now shows
+    // in-band as that family's ratio >~3.
+    val famCanary = scala.collection.mutable.LinkedHashMap[Char, Double]()
+    val canaryBase: Double =
+      if (only.isEmpty) timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)._1
+      else -1.0
+    def familyCanary(fam: Char): Unit =
+      if (only.isEmpty && canaryBase > 0) {
+        val (sec, ok) = timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)
+        if (ok) famCanary(fam) = sec / canaryBase
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
-      if (name.head != family) { evictAll(); family = name.head }
+      if (name.head != family) { evictAll(); family = name.head; familyCanary(family) }
       startMs(name) = System.currentTimeMillis()
       val (sec, ok) = timeQuery(name, fn, repeat)
       (name, sec, ok)
@@ -381,40 +397,56 @@ object Bench {
       "\"" + k + "\":" + "%.0f".formatLocal(Locale.ROOT, v)
     }.mkString("{", ",", "}")
     import scala.jdk.CollectionConverters._
+    // escape control chars too (round-15 ADVICE): exception messages can
+    // carry any U+0000-U+001F, each of which breaks strict JSON unescaped
     val streamErrs = probeErrors.asScala.toSeq.sortBy(_._1).map {
       case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\")
-        .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+        .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     val starts = startMs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val canaryJson = canary.map { case (q, s, r) =>
       "\"" + q + "\":{\"suite\":" + f3(s) + ",\"recheck\":" + f3(r) + "}"
     }.mkString("{", ",", "}")
-    // ONE short JSON line. stdout gets sbt's "[info] " prefix, which
-    // breaks strict JSON parsing — emit on stderr too (un-prefixed under
-    // `sbt runMain`) so machine consumers get a clean line; stdout stays
-    // for tail-scrapers.
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"query_start_ms":$starts,"sf":"$sfDir"}"""
-    println(json)
-    System.err.println(json)
-    // durable copy: the round-11 driver artifact captured only a tail
-    // fragment of the line ("parsed": null), losing half the round
-    // diff — a file survives any stdout truncation. Arg-filtered runs
-    // skip the default-path write (round-13 ADVICE): a partial subset
-    // would silently clobber the full-suite BENCH_SELF.json — the exact
-    // stale-artifact mode the write exists to prevent. An explicit
+    val famCanaryJson = famCanary.map { case (f, r) =>
+      "\"" + f + "\":" + f3(r)
+    }.mkString("{", ",", "}")
+    val famCanaryMax =
+      if (famCanary.isEmpty) -1.0 else famCanary.values.max
+    // FULL self-diagnosing record — file only. Round-15 verdict item 1:
+    // the driver captures just the LAST 2,000 bytes of stdout, and the
+    // full record grew to ~10 KB, so BENCH_r12..r15.json were all mid-line
+    // fragments ("parsed": null). The full record (every query time,
+    // query_start_ms, canary detail) lives in BENCH_SELF.json; stdout's
+    // final line is a compact <=1 KB summary the tail capture always fits.
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"query_start_ms":$starts,"sf":"$sfDir"}"""
+    // compact line: totals + the 5 slowest queries (the per-query signal a
+    // reader needs first) + the rejection signals (canary ratios, loadavg)
+    val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
+      case (k, v, _) => "\"" + k + "\":" + f3(v)
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir","self":"BENCH_SELF.json"}"""
+    // durable copy FIRST, then the compact line as the very last stdout
+    // bytes (the driver keeps only the tail). Arg-filtered runs skip the
+    // default-path write (round-13 ADVICE): a partial subset would
+    // silently clobber the full-suite BENCH_SELF.json. An explicit
     // SPARK_GRAFT_BENCH_OUT opts back in.
     if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")),
-        json + "\n")
+        fullJson + "\n")
       catch { case e: Throwable =>
         // surface the failure (round-12 ADVICE): a silent swallow would
         // reproduce the exact stale-artifact mode this write guards
         // against
         System.err.println(s"bench-out write failed: $e")
       }
+    // full record on stderr for human debugging; compact line on BOTH
+    // streams, last, so any tail capture ends with one parseable object
+    System.err.println(fullJson)
+    System.err.println(compact)
+    println(compact)
     spark.stop()
   }
 }

@@ -97,6 +97,22 @@ object ConnectedComponents {
           log.warn(s"ConnectedComponents: could not delete round file $p: $e")
         }
       }
+
+    /** Error-path cleanup (round-15 ADVICE): the maxIter throw would
+      * otherwise orphan every still-pinned round file — nothing consumes
+      * a failed run's frames, so the whole `graft-cc-<uuid>` dir goes.
+      * Reliable mode only; local-mode blocks stay on the RDD-GC path.
+      */
+    def releaseAll(): Unit = base.foreach { b =>
+      pathOf.clear()
+      try {
+        val path = new org.apache.hadoop.fs.Path(b)
+        path.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(path, true)
+      } catch { case e: Throwable =>
+        log.warn(s"ConnectedComponents: could not delete run dir $b: $e")
+      }
+    }
   }
 
   /** nodes: (id) one row per node; edges: (src, dst) undirected (either
@@ -117,6 +133,7 @@ object ConnectedComponents {
     var labels: DataFrame = pinned
     var changed = 1L
     var iter = 0
+    try {
     while (changed > 0) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -151,6 +168,7 @@ object ConnectedComponents {
     // files survive (the persisted component pins recompute through them)
     pins.release(sym)
     labels
+    } catch { case e: Throwable => pins.releaseAll(); throw e }
   }
 
   /** Large-star: process every edge from its smaller endpoint u; connect
@@ -221,6 +239,7 @@ object ConnectedComponents {
     var eCount = e.count()
     var converged = eCount == 0
     var iter = 0
+    try {
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -248,5 +267,6 @@ object ConnectedComponents {
     nodes.join(lbl, nodes("id") === lbl("nid"), "left_outer")
       .select(nodes("id"),
         coalesce(col("cmp"), nodes("id")).as("component"))
+    } catch { case e: Throwable => pins.releaseAll(); throw e }
   }
 }

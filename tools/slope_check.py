@@ -22,7 +22,6 @@ def main():
     for q in sorted(one):
         if q not in ten or one[q] < 0 or ten[q] < 0:
             continue
-        fam = q.split("_")[0].rstrip("0123456789") or q[0]
         fam = q[0]
         fam1[fam] += one[q]
         fam10[fam] += ten[q]
