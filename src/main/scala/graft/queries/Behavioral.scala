@@ -258,6 +258,14 @@ object Behavioral extends QueryModule {
       // predicate) makes both subtrees canonically identical, and AQE
       // stage reuse collapses them: one scan + one (w, user) exchange
       // feeding both the mean re-agg and the spammer join.
+      //
+      // CONTRACT NOTE (r15 ADVICE): the null-user filter is a RESULT-
+      // CHANGING semantics clarification, not a pure perf fix — on data
+      // carrying null user_ids those rows previously contributed to the
+      // per-window mean's sum and denominator, so spammer classification
+      // (and hence output totals) can differ. Engine and oracle changed
+      // in lockstep; the documented contract is now "spam is a per-user
+      // property; null-keyed rows are never spam inputs".
       val ev = Tables.events(s, dir)
         .withColumn("w", window($"ts", "1 hour"))
       val ut = ev

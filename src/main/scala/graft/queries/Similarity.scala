@@ -486,6 +486,23 @@ object Similarity extends QueryModule {
       val blockBytes = s.conf.getOption("graft.d5.blockBytes")
         .map(_.toLong).getOrElse(64L << 20)
       val n = corpus.count()
+      // CORPUS-SIZE GUARD (round-15 verdict item 5): the exact all-pairs
+      // contract is the reference oracle, but its compute is O(n²) BY
+      // CONTRACT — at the 10x fixture it was already 32% of the whole
+      // suite, and at 100x it would silently burn the cluster. Above the
+      // cap, fail FAST with a pointer to the approximate paths instead
+      // of launching the grid. The cap is generous (5M vectors ≈ 1.25e13
+      // cosines — days of cluster time; anything bigger is a mistake,
+      // not a plan) and config-overridable for a deliberate run.
+      val maxVectors = s.conf.getOption("graft.d5.maxVectors")
+        .map(_.toLong).getOrElse(5000000L)
+      require(n <= maxVectors,
+        s"d5_embed_neardup is EXACT all-pairs (O(n²) compute by " +
+          s"contract): corpus has $n vectors, cap is $maxVectors " +
+          "(graft.d5.maxVectors). For corpora past the cap use the " +
+          "approximate paths: v3_ann_lsh (LSH candidates) or " +
+          "d19_semantic_dedup (k-means cluster blocking), or raise the " +
+          "cap deliberately.")
       val dim: Int =
         if (n == 0) 0 else corpus.select(size($"embedding")).as[Int].head()
       val perVec = dim.toLong * 4 + 48 // float payload + struct overhead

@@ -214,6 +214,52 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate corpus: no band collisions")
   }
 
+  test("LSH hot-band cap: cap=∞ ≡ None; a planted hot band stops pairing; intra immune") {
+    import spark.implicits._
+    import graft.queries.Dedup.{BandSize, NumPerm}
+    val nBands = NumPerm / BandSize
+    // synthetic signatures, full control over band keys:
+    // - docs 1..20: DISTINCT sigs sharing band 0 (the planted boilerplate
+    //   band) and nothing else -> 190 candidate pairs, all via band 0
+    // - docs 100, 101: share band 1 only (a cold band, df 2)
+    // - docs 200, 201: IDENTICAL sig whose band 0 is the hot key -> the
+    //   collapse emits them as an intra pair, cap-immune
+    def sigOf(band0: Seq[Long], rest: Long): Seq[Long] =
+      band0 ++ (BandSize until NumPerm).map(j => rest * 1000 + j)
+    val hot = Seq.fill(BandSize)(1L)
+    val rows =
+      (1L to 20L).map(i => i -> sigOf(hot, i)) ++
+      Seq(100L -> (Seq.fill(BandSize)(7L) ++
+            (BandSize until NumPerm).map(j => 100L * 1000 + j)),
+          101L -> (Seq.fill(BandSize)(7L) ++
+            (BandSize until NumPerm).map(j => 101L * 1000 + j))) ++
+      Seq(200L -> sigOf(hot, 999L), 201L -> sigOf(hot, 999L))
+    // make 100/101 collide on band 1, not band 0: swap their layout
+    // (band 0 differs per doc, band 1 shared)
+    val rows2 = rows.map {
+      case (id, s) if id == 100L || id == 101L =>
+        id -> ((0 until BandSize).map(j => id * 1000 + j) ++
+          Seq.fill(BandSize)(7L) ++
+          (2 * BandSize until NumPerm).map(j => id * 1000 + j))
+      case kv => kv
+    }
+    assert(nBands >= 2, "fixture needs >= 2 bands")
+    val sigDf = rows2.toDF("doc_id", "sig")
+    def pairs(cap: Option[Long]): Set[(Long, Long)] =
+      graft.queries.Dedup.lshBandPairs(sigDf, cap)
+        .as[(Long, Long)].collect().toSet
+    val uncapped = pairs(None)
+    assert(pairs(Some(Long.MaxValue)) == uncapped, "cap=∞ must equal None")
+    assert(uncapped.contains((100L, 101L)) && uncapped.contains((200L, 201L)))
+    assert(uncapped.size >= 190 + 2, s"hot band must pair uncapped: $uncapped")
+    val capped = pairs(Some(10L))
+    // band 0 holds 21 distinct sigs (20 + the 200/201 group) > cap ->
+    // its cross-content pairs vanish; the cold band-1 pair and the
+    // identical-sig intra pair survive
+    assert(capped == Set((100L, 101L), (200L, 201L)),
+      s"capped candidate set wrong: $capped")
+  }
+
   test("shared pair frame: ONE pair-gen per (session, dir); thresholds are filters") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -236,6 +236,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SerializeFromObject"), "JIT flatMap stage expected")
   }
 
+  test("d5_embed_neardup: corpus-size guard fails fast past the cap") {
+    // r15 verdict item 5: exact all-pairs is O(n²) by contract — past
+    // the cap it must refuse with a pointer to the approximate paths,
+    // not launch the grid. Below the cap (default) behavior is
+    // unchanged (the oracle gate proves the result).
+    spark.conf.set("graft.d5.maxVectors", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("d5_embed_neardup")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("v3_ann_lsh") &&
+        e.getMessage.contains("graft.d5.maxVectors"),
+        s"guard message must name the cap and the scale paths: $e")
+    } finally spark.conf.unset("graft.d5.maxVectors")
+    assert(SparkEntry.queries("d5_embed_neardup")(spark, dir).count() > 0)
+  }
+
   test("d2/d4: fused shingle + simhash exprs stay inside codegen spans") {
     // d2's shingle generation must be the single fused expression inside
     // a WholeStageCodegen projection — not a chain of interpreted
