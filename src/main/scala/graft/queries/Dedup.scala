@@ -1334,27 +1334,57 @@ object Dedup extends QueryModule {
     // batch never self-joins: cost scales with the increment, which is
     // the whole point of incremental ingest. Emits each flagged new doc
     // with its dup-partner count and best (max-Jaccard, min-id) match.
+    //
+    // IDENTICAL-CONTENT PRE-COLLAPSE, incremental flavor (round 16 —
+    // the round-15 rep-level pattern extended to the ingest join, which
+    // the 10× gate showed was the family's one remaining doc-level
+    // pair-gen): the hash-split scatters a content's copies across BOTH
+    // sides, so each side builds its own content groups; the shingle
+    // join runs over distinct-content representatives only (identical
+    // fresh/ref contents still meet through their shared shingles and
+    // verify at jaccard 1, so the collapse loses no pair), and
+    // membership expands afterwards — a qualifying ref group of size m
+    // contributes m partners with best id the group min (ids sorted),
+    // and every member of a fresh group inherits its rep's row
+    // verbatim (jaccard is a content function). Join volume falls from
+    // doc pairs to distinct-content pairs — the dominant saving on a
+    // copy-heavy crawl (differential spec proves doc-level identity).
     "d18_incremental_dedup" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingleArr(s, dir)
-        .select($"doc_id", size($"arr").cast("long").as("n_sh"),
-          explode($"arr").as("shingle"))
-      val isRef = HashFunctions.hashSample($"doc_id", 0.5)
-      val ref = sh.filter(isRef)
-      val fresh = sh.filter(!isRef)
-      fresh.as("a").join(ref.as("b"), Seq("shingle"))
-        .groupBy($"a.doc_id".as("doc_id"), $"b.doc_id".as("ref_id"))
+      // ONE content agg, not one per side: the split is a pure function
+      // of doc_id, so each group's sorted ids partition rowwise into
+      // ref/fresh member arrays via a filter HOF (sort order survives a
+      // filter, so ids[0] stays each side's min = its rep).
+      val g = contentGroups(s, dir).filter(size($"arr") > 0)
+        .select($"arr",
+          filter($"ids", i => HashFunctions.hashSample(i, 0.5)).as("rids"),
+          filter($"ids", i => !HashFunctions.hashSample(i, 0.5)).as("fids"))
+      val freshG = g.filter(size($"fids") > 0)
+        .select($"arr", $"fids".as("ids"))
+      val refG = g.filter(size($"rids") > 0)
+        .select($"arr", $"rids".as("ids"))
+      val a = freshG.select($"ids".getItem(0).as("fid"),
+        size($"arr").cast("long").as("n_i"), explode($"arr").as("shingle"))
+      val b = refG.select($"ids".getItem(0).as("rid"),
+        size($"arr").cast("long").as("n_j"), explode($"arr").as("shingle"))
+      val repHits = a.join(b, Seq("shingle"))
+        .groupBy($"fid", $"rid")
         .agg(count(lit(1)).as("n_common"),
-          min($"a.n_sh").as("n_i"), min($"b.n_sh").as("n_j"))
-        .select($"doc_id", $"ref_id",
+          min($"n_i").as("n_i"), min($"n_j").as("n_j"))
+        .select($"fid", $"rid",
           ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
             .as("jaccard"))
         .filter($"jaccard" >= 0.5)
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_dup_partners"),
-          max(struct($"jaccard", (-$"ref_id").as("negid"))).as("m"))
-        .select($"doc_id", $"n_dup_partners",
-          $"m.jaccard".as("best_jaccard"), (-$"m.negid").as("best_ref"))
+      val refSizes = refG.select($"ids".getItem(0).as("rid"),
+        size($"ids").cast("long").as("m"))
+      repHits.join(refSizes, Seq("rid"))
+        .groupBy($"fid")
+        .agg(sum($"m").as("n_dup_partners"),
+          max(struct($"jaccard", (-$"rid").as("negid"))).as("mx"))
+        .join(freshG.select($"ids".getItem(0).as("fid"), $"ids"),
+          Seq("fid"))
+        .select(explode($"ids").as("doc_id"), $"n_dup_partners",
+          $"mx.jaccard".as("best_jaccard"), (-$"mx.negid").as("best_ref"))
     },
 
     // D9: test-set DECONTAMINATION — flag training docs sharing any

@@ -319,6 +319,52 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(got(n1) == ((1L, refId)))
   }
 
+  test("incremental dedup (d18): content pre-collapse ≡ doc-level join (copy-heavy corpus)") {
+    import spark.implicits._
+    // nearDupCorpus plants verbatim copies and near-dup mutants; the
+    // hash-split scatters each content's copies across ref AND fresh,
+    // exercising every collapse case: multi-member groups on both
+    // sides, identical contents meeting across the split (jaccard 1
+    // through their shared shingles), and singleton reps. Expected =
+    // brute-force doc-level replay of the pre-r16 join in plain Scala.
+    def isRef(id: Long): Boolean =
+      graft.functions.HashFunctions.knuthHashJvm(id) < 2147483648L
+    val docs = nearDupCorpus(14)
+    val sets = docs.map { case (i, t) => i -> shingleSet(t) }.toMap
+    val (refIds, freshIds) = docs.map(_._1).partition(isRef)
+    val expected = freshIds.flatMap { f =>
+      val sf = sets(f)
+      val hits = refIds.flatMap { r =>
+        val sr = sets(r)
+        val inter = (sf & sr).size.toDouble
+        if (inter == 0) None
+        else {
+          val j = inter / (sf.size + sr.size - inter)
+          if (j >= 0.5) Some((r, j)) else None
+        }
+      }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.maxBy { case (r, j) => (j, -r) }
+        Some((f, hits.size.toLong, best._2, best._1))
+      }
+    }.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
+    docs.map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d18_incremental_dedup")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected, s"collapse ≠ doc-level: got ${got.size} rows, " +
+      s"expected ${expected.size}")
+    // non-vacuity: the split must leave verbatim copies on BOTH sides
+    // (otherwise the collapse path degenerates to the old join shape)
+    val textOf = docs.toMap
+    assert(refIds.groupBy(textOf).exists(_._2.size >= 2) &&
+      freshIds.groupBy(textOf).exists(_._2.size >= 2),
+      "fixture lost its same-side verbatim copies")
+  }
+
   test("CDC chunks (x19) realign after an insertion; fixed-stride chunks don't") {
     import spark.implicits._
     // base = 200 distinct tokens; shifted = one token INSERTED at the
