@@ -373,9 +373,15 @@ object Bench {
     // in-suite times are stage floor; a busy machine late in the run
     // inflates the recheck, so canary_ratio flags a poisoned tail in-band
     val suiteTimes = results.map(r => r._1 -> r._2).toMap
+    // 2 reps, keep the last: the single-eval recheck read a structural
+    // ~1.5-1.6x on QUIET machines at the 10x suite length (post-suite
+    // GC/code-cache churn inflating the first re-evaluation), which sat
+    // exactly on the <=1.5 rejection bar. The second evaluation is the
+    // steady-state the ratio should compare; genuine ambient load still
+    // inflates it (both reps run under the same contention).
     val canary = (if (only.isEmpty) Seq("p1_wordcount", "p12_upper")
                   else Seq.empty).flatMap { q =>
-      val (sec, ok) = timeQuery(q, SparkEntry.queries(q), 1)
+      val (sec, ok) = timeQuery(q, SparkEntry.queries(q), 2)
       if (ok && suiteTimes.get(q).exists(_ > 0)) Some((q, suiteTimes(q), sec))
       else None
     }
