@@ -1365,19 +1365,21 @@ object Dedup extends QueryModule {
         .select($"arr", $"rids".as("ids"))
       val a = freshG.select($"ids".getItem(0).as("fid"),
         size($"arr").cast("long").as("n_i"), explode($"arr").as("shingle"))
+      // the ref group SIZE rides the shingle rows as one long (constant
+      // per rid, recovered by min) instead of joining a fourth
+      // consumption of the content agg back in afterwards
       val b = refG.select($"ids".getItem(0).as("rid"),
+        size($"ids").cast("long").as("m"),
         size($"arr").cast("long").as("n_j"), explode($"arr").as("shingle"))
       val repHits = a.join(b, Seq("shingle"))
         .groupBy($"fid", $"rid")
         .agg(count(lit(1)).as("n_common"),
-          min($"n_i").as("n_i"), min($"n_j").as("n_j"))
-        .select($"fid", $"rid",
+          min($"n_i").as("n_i"), min($"n_j").as("n_j"), min($"m").as("m"))
+        .select($"fid", $"rid", $"m",
           ($"n_common".cast("double") / ($"n_i" + $"n_j" - $"n_common"))
             .as("jaccard"))
         .filter($"jaccard" >= 0.5)
-      val refSizes = refG.select($"ids".getItem(0).as("rid"),
-        size($"ids").cast("long").as("m"))
-      repHits.join(refSizes, Seq("rid"))
+      repHits
         .groupBy($"fid")
         .agg(sum($"m").as("n_dup_partners"),
           max(struct($"jaccard", (-$"rid").as("negid"))).as("mx"))

@@ -86,6 +86,25 @@ class PlanSpec extends SparkSpec {
       s"the counts exchange must be reused across the diamond:\n$p")
   }
 
+  test("d18_incremental_dedup: one content agg reused across the rep join's sides") {
+    // Round-16 collapse shape: the query consumes the content aggregate
+    // three times (fresh side, ref side — with the ref group size riding
+    // the shingle rows — and the final fresh-membership expansion). The
+    // two shingle-join sides canonicalize identically, so AQE must
+    // collapse them to one exchange: ≥1 ReusedExchange and at most 2
+    // executed corpus scans (the membership broadcast build is the one
+    // residual re-aggregation; a regression to per-consumer aggs would
+    // read 3+ scans and zero reuse).
+    val df = SparkEntry.queries("d18_incremental_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"the content agg's exchange must be reused across the join sides:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 executed corpus scans, got $scans:\n$p")
+  }
+
   test("d23_source_overlap: corpus chain runs once, result is a local frame") {
     // Round-13 shape: pair fan-out AND size markers ride ONE explode of
     // the per-shingle source-set aggregate into a single (src_i, src_j)
