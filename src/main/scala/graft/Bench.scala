@@ -431,7 +431,7 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
       case (k, v, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir","self":"BENCH_SELF.json"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir","self":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")}"}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would
