@@ -351,24 +351,39 @@ object Bench {
     // because the machine quieted before the recheck. Re-time one ~100ms
     // map-shape query (p12_upper) at every family boundary against a
     // post-warmup baseline; any contiguous poisoned window now shows
-    // in-band as that family's ratio >~3.
+    // in-band as that family's ratio >~3. Round-16 review fixes: the
+    // baseline takes 2 reps and keeps the steady-state second (the cold
+    // first-ever evaluation carried the same structural inflation the
+    // end canary's recheck had) and respects the ok flag (a fast-failing
+    // baseline would make every ratio garbage); each boundary sample is
+    // recorded under the family that just COMPLETED — the window the
+    // sample actually closes — with one final sample after the last
+    // family (previously the sample at entry to family f was labeled f,
+    // so a spike during f surfaced under f+1 and the last family had no
+    // sample at all).
     val famCanary = scala.collection.mutable.LinkedHashMap[Char, Double]()
     val canaryBase: Double =
-      if (only.isEmpty) timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)._1
-      else -1.0
+      if (only.isEmpty) {
+        val (sec, ok) =
+          timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 2)
+        if (ok) sec else -1.0
+      } else -1.0
     def familyCanary(fam: Char): Unit =
-      if (only.isEmpty && canaryBase > 0) {
+      if (fam != ' ' && only.isEmpty && canaryBase > 0) {
         val (sec, ok) = timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)
         if (ok) famCanary(fam) = sec / canaryBase
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
-      if (name.head != family) { evictAll(); family = name.head; familyCanary(family) }
+      if (name.head != family) {
+        evictAll(); familyCanary(family); family = name.head
+      }
       startMs(name) = System.currentTimeMillis()
       val (sec, ok) = timeQuery(name, fn, repeat)
       (name, sec, ok)
     }
     evictAll() // release the last family's pins before the streaming probes
+    familyCanary(family) // close the LAST family's window
     // end-of-suite canary: re-time two trivial map-shape queries whose
     // in-suite times are stage floor; a busy machine late in the run
     // inflates the recheck, so canary_ratio flags a poisoned tail in-band
@@ -425,13 +440,21 @@ object Bench {
     // fragments ("parsed": null). The full record (every query time,
     // query_start_ms, canary detail) lives in BENCH_SELF.json; stdout's
     // final line is a compact <=1 KB summary the tail capture always fits.
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"query_start_ms":$starts,"sf":"$sfDir"}"""
+    // escape interpolated PATHS (round-16 review): sfDir and the
+    // SPARK_GRAFT_BENCH_OUT target are caller-controlled strings; a
+    // quote or backslash in either would emit the exact invalid-JSON
+    // record-loss mode the compact line exists to prevent
+    def jpath(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val selfName = jpath(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
     // compact line: totals + the 5 slowest queries (the per-query signal a
     // reader needs first) + the rejection signals (canary ratios, loadavg)
     val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
       case (k, v, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir","self":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")}"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":"$selfName"}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would

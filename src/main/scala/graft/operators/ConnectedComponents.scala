@@ -123,6 +123,11 @@ object ConnectedComponents {
   def run(nodes: DataFrame, edges: DataFrame,
           maxIter: Int = Int.MaxValue): DataFrame = {
     val pins = new RoundPins(nodes.sparkSession)
+    // the try covers the INITIAL pins too (round-16 review): the round-0
+    // write evaluates the full upstream edge plan — the most
+    // failure-prone materialization of the whole run — and a throw there
+    // would otherwise orphan the already-written round files
+    try {
     val sym = pins.pin(
       edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -133,7 +138,6 @@ object ConnectedComponents {
     var labels: DataFrame = pinned
     var changed = 1L
     var iter = 0
-    try {
     while (changed > 0) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -233,13 +237,16 @@ object ConnectedComponents {
     // (Reliable mode materializes via the round-file write; its count
     // is metadata-only.)
     val pins = new RoundPins(nodes.sparkSession)
+    // initial pin + count inside the try (round-16 review): the first
+    // materialization evaluates the upstream pair-gen plan and must not
+    // orphan its round file on failure
+    try {
     var e = pins.pin(
       if (edgesDistinct) norm
       else norm.where(col("a") =!= col("b")).distinct(), eager = false)
     var eCount = e.count()
     var converged = eCount == 0
     var iter = 0
-    try {
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(

@@ -394,16 +394,30 @@ object Dedup extends QueryModule {
       val repEdges = sharedRepStats(sess, d)
         .filter($"jaccard" >= 0.5)
         .select($"doc_i".as("src"), $"doc_j".as("dst"))
-      val repLabels = graft.operators.ConnectedComponents.runStar(
-        docs, repEdges, edgesDistinct = true) // rep frame: unique, src<dst
-      val memb = sharedMultiGroups(sess, d)
-        .select(explode($"ids").as("id"), $"ids".getItem(0).as("rep"))
-      docs.join(memb, Seq("id"), "left")
-        .select($"id", coalesce($"rep", $"id").as("rep"))
-        .join(repLabels.select($"id".as("rep"), $"component"), Seq("rep"))
-        .select($"id", $"component")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      contractedComponents(sess, d, docs, repEdges)
     })
+
+  /** Group-contracted CC + membership inheritance, shared by
+    * [[dupComponents]] and [[lshDupComponents]] (round-16 review: the
+    * mechanism lived in two verbatim copies of the equivalence
+    * argument's one implementation): runStar over the rep edge frame
+    * (callers guarantee unique src < dst rep pairs), then every member
+    * inherits its rep's label via one membership join; singleton-content
+    * docs are their own rep. Returns the pinned (id, component) frame.
+    */
+  private def contractedComponents(sess: SparkSession, d: String,
+      docs: DataFrame, repEdges: DataFrame): DataFrame = {
+    import sess.implicits._
+    val repLabels = graft.operators.ConnectedComponents.runStar(
+      docs, repEdges, edgesDistinct = true)
+    val memb = sharedMultiGroups(sess, d)
+      .select(explode($"ids").as("id"), $"ids".getItem(0).as("rep"))
+    docs.join(memb, Seq("id"), "left")
+      .select($"id", coalesce($"rep", $"id").as("rep"))
+      .join(repLabels.select($"id".as("rep"), $"component"), Seq("rep"))
+      .select($"id", $"component")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Release every pinned frame this module holds for `session` (the
     * persisted blocks behind the pair + component caches).
@@ -590,16 +604,8 @@ object Dedup extends QueryModule {
       // group-contracted CC over the verified rep graph + membership
       // inheritance — see dupComponents for the equivalence argument
       val docs = Tables.documents(sess, d).select($"doc_id".as("id"))
-      val repLabels = graft.operators.ConnectedComponents.runStar(
-        docs, lshVerifiedRepPairs(sess, d).select($"src", $"dst"),
-        edgesDistinct = true) // rep pair frame: unique, src < dst
-      val memb = sharedMultiGroups(sess, d)
-        .select(explode($"ids").as("id"), $"ids".getItem(0).as("rep"))
-      docs.join(memb, Seq("id"), "left")
-        .select($"id", coalesce($"rep", $"id").as("rep"))
-        .join(repLabels.select($"id".as("rep"), $"component"), Seq("rep"))
-        .select($"id", $"component")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      contractedComponents(sess, d, docs,
+        lshVerifiedRepPairs(sess, d).select($"src", $"dst"))
     })
 
   override def queries: Map[String, Q] = Map(

@@ -14,8 +14,19 @@ from collections import defaultdict
 
 
 def main():
-    one = json.load(open(sys.argv[1]))["queries"]
-    ten = json.load(open(sys.argv[2]))["queries"]
+    def full_record(path):
+        rec = json.load(open(path))
+        # the compact stdout line carries only the 5 slowest queries; a
+        # slope table computed from it would silently present <=5 queries
+        # per family as whole-suite results (round-16 review)
+        if "queries_truncated_to_slowest" in rec:
+            sys.exit(f"{path} is a compact (truncated-to-slowest) bench "
+                     "line — point at the full record its 'self' field "
+                     "names (e.g. BENCH_SELF.json)")
+        return rec["queries"]
+
+    one = full_record(sys.argv[1])
+    ten = full_record(sys.argv[2])
     bar = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
     fam1, fam10 = defaultdict(float), defaultdict(float)
     flagged, watched = [], []
