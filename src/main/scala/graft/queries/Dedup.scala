@@ -254,7 +254,9 @@ object Dedup extends QueryModule {
     * contract, now derived as rep-level stats + membership expansion.
     */
   private def pairStats(s: SparkSession, dir: String): DataFrame = {
-    val multi = multiGroupsOf(contentGroups(s, dir))
+    // read the PINNED multi-group frame (round-16 review) instead of
+    // deriving an unpinned duplicate of the content agg for this view
+    val multi = sharedMultiGroups(s, dir)
     expandStats(withMemberIds(repPairStats(s, dir), multi), multi)
   }
 
