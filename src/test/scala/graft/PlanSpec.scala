@@ -272,6 +272,37 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.queries("d5_embed_neardup")(spark, dir).count() > 0)
   }
 
+  test("d4_simhash_pairs: output-volume guard fails fast past the cap") {
+    // r16 verdict item 1: the doc-pair expansion is O(clique²) in
+    // verbatim-copy mass — past the cap it must refuse with a pointer
+    // to the group-form contract, not launch the expansion. Below the
+    // cap (default) behavior is unchanged (the oracle gate proves the
+    // result set).
+    spark.conf.set("graft.d4.maxPairs", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("d4_simhash_pairs")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("graft.d4.maxPairs") &&
+        e.getMessage.contains("d4_group_stats"),
+        s"guard message must name the cap and the group-form path: $e")
+    } finally spark.conf.unset("graft.d4.maxPairs")
+    assert(SparkEntry.queries("d4_simhash_pairs")(spark, dir).count() > 0)
+  }
+
+  test("d4 group form: expansion volume equals the group-frame estimate") {
+    // the guard's estimate must be EXACT, not approximate: the sum of
+    // per-group pair counts is the number of doc pairs the expansion
+    // emits (and the two frames stay consistent as either side evolves)
+    import spark.implicits._
+    val gp = graft.queries.Dedup.simhashGroupPairs(spark, dir)
+    val est = gp.agg(org.apache.spark.sql.functions.sum($"n_pairs"))
+      .as[Option[Long]].head().getOrElse(0L)
+    val expanded = SparkEntry.queries("d4_simhash_pairs")(spark, dir).count()
+    assert(est === expanded,
+      s"group-frame estimate $est != expanded doc-pair count $expanded")
+  }
+
   test("d2/d4: fused shingle + simhash exprs stay inside codegen spans") {
     // d2's shingle generation must be the single fused expression inside
     // a WholeStageCodegen projection — not a chain of interpreted
