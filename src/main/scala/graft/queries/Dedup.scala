@@ -492,6 +492,7 @@ object Dedup extends QueryModule {
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
     drop[(SparkSession, String)](lshComponentsCache, _._1, _._2)
     drop[(SparkSession, String)](lshPairsCache, _._1, _._2)
+    drop[(SparkSession, String)](lshCandsCache, _._1, _._2)
   }
 
   /** The LSH-candidate-restricted component assignment (d26/d27 share
@@ -554,6 +555,56 @@ object Dedup extends QueryModule {
   private val lshPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private val lshCandsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** ONE rep-level UNVERIFIED band-collision candidate frame per
+    * (session, dir) — the frame every LSH-candidate consumer derives
+    * from (round-16 verdict item 2: after the rep-frame rewrite,
+    * d3_lsh_pairs was left re-deriving the full band join because the
+    * only pinned frames were verified ones; this pin restores the
+    * one-build-many-consumers shape for the UNVERIFIED candidate set).
+    * Consumers: d3 (doc-level expansion via [[lshCandDocPairs]]), d11
+    * (verify scores on top), d14 (recall probe), d20 (pagerank edges),
+    * and [[lshVerifiedRepPairs]] (Jaccard filter on top — the verified
+    * pin now derives from this one instead of rebuilding the band
+    * join). Shape: (doc_i, doc_j, ids_i, ids_j) — rep pair + both
+    * content groups' memberships; row count is band collisions over
+    * DISTINCT content, never copies².
+    */
+  private[graft] def lshRepCandPairs(s: SparkSession, dir: String): DataFrame =
+    lshCandsCache.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      import sess.implicits._
+      val reps = contentGroups(sess, d).filter(size($"arr") > 0)
+        .select($"ids".getItem(0).as("doc_id"), $"arr", $"ids")
+      val sigs = minhashSigsOf(
+        reps.select($"doc_id", explode($"arr").as("shingle")))
+      lshBandPairs(sigs) // distinct-content input: returns rep pairs
+        .join(reps.select($"doc_id".as("doc_i"), $"ids".as("ids_i")), "doc_i")
+        .join(reps.select($"doc_id".as("doc_j"), $"ids".as("ids_j")), "doc_j")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Doc-level UNVERIFIED band-collision pairs — d3's reference output:
+    * membership expansion of the pinned rep candidate frame plus the
+    * within-content-group pairs (identical content ⇒ identical
+    * signature ⇒ band agreement on every band). Value-identical to
+    * `lshBandPairs(minhashSigs(corpus))` (differential spec + d3's
+    * oracle); the expensive half (signatures + band join) runs once per
+    * session via the pin, and each use pays only the expansion.
+    */
+  private[graft] def lshCandDocPairs(s: SparkSession, dir: String): DataFrame = {
+    val rep = lshRepCandPairs(s, dir)
+    val inter = rep.select(col("ids_j"), explode(col("ids_i")).as("x"))
+      .select(col("x"), explode(col("ids_j")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_i"),
+        greatest(col("x"), col("y")).as("doc_j"))
+    val intra = intraPairsOf(sharedMultiGroups(s, dir))
+      .select(col("doc_i"), col("doc_j"))
+    inter.unionAll(intra)
+  }
+
   /** REP-level verified band pairs, pinned: banding, the signature
     * computation, AND the exact-Jaccard verify all run once per
     * DISTINCT content (identical arr ⇒ identical sig ⇒ identical band
@@ -567,14 +618,12 @@ object Dedup extends QueryModule {
       val (sess, d) = key
       import sess.implicits._
       val reps = contentGroups(sess, d).filter(size($"arr") > 0)
-        .select($"ids".getItem(0).as("doc_id"), $"arr", $"ids")
-      val sigs = minhashSigsOf(
-        reps.select($"doc_id", explode($"arr").as("shingle")))
-      lshBandPairs(sigs) // distinct-content input: returns rep pairs
-        .join(reps.select($"doc_id".as("doc_i"), $"arr".as("arr_i"),
-          $"ids".as("ids_i")), "doc_i")
-        .join(reps.select($"doc_id".as("doc_j"), $"arr".as("arr_j"),
-          $"ids".as("ids_j")), "doc_j")
+        .select($"ids".getItem(0).as("doc_id"), $"arr")
+      // candidates from the UNVERIFIED pin (ids already ride the rows);
+      // this build adds only the arr joins + the exact-Jaccard filter
+      lshRepCandPairs(sess, d)
+        .join(reps.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
+        .join(reps.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
         .withColumn("inter",
           size(array_intersect($"arr_i", $"arr_j")).cast("double"))
         .filter($"inter" /
@@ -643,10 +692,14 @@ object Dedup extends QueryModule {
     },
 
     // D3b: LSH candidate pairs — docs agreeing on at least one full band.
-    // The join is keyed on (band index, band value): shuffle ∝ corpus,
-    // never O(n²).
+    // The join is keyed on (band index, band value): shuffle ∝ distinct
+    // content, never O(n²) — and the band join itself is the session
+    // pin, so repeated family consumers pay only membership expansion
+    // (round-16 verdict item 2: this query was re-deriving the build
+    // after the rep rewrite; r15's 0.3 s warm time is restored by
+    // sharing the same pin d11/d14/d20 read).
     "d3_lsh_pairs" -> { (s, dir) =>
-      lshBandPairs(minhashSigs(s, dir))
+      lshCandDocPairs(s, dir)
     },
 
     // D20: PageRank centrality over the near-dup graph — 2 unrolled
@@ -669,10 +722,10 @@ object Dedup extends QueryModule {
     "d20_dup_pagerank" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id")
-      // loosePin, not a bare persist (round-14 ADVICE): evictCaches
-      // releases the blocks; an unregistered persist would outlive the
-      // query in a long-lived session
-      val pairs = loosePin(lshBandPairs(minhashSigs(s, dir)))
+      // the candidate pairs come from the session pin (the expensive
+      // band join runs once for the whole family); the cheap doc-level
+      // expansion recomputes per reference — no loosePin needed
+      val pairs = lshCandDocPairs(s, dir)
       val edges = pairs.select($"doc_i".as("src"), $"doc_j".as("dst"))
         .union(pairs.select($"doc_j".as("src"), $"doc_i".as("dst")))
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -1079,14 +1132,14 @@ object Dedup extends QueryModule {
         .select($"ids".getItem(0).as("doc_id"), $"arr", $"ids")
       val sigs = minhashSigsOf(
         reps.select($"doc_id", explode($"arr").as("shingle")))
-      val cands = lshBandPairs(sigs) // distinct-content input: rep pairs
+      // candidates come from the session pin (ids_i/ids_j already ride
+      // the pinned rows); only the sig/arr scoring joins run per use
+      val cands = lshRepCandPairs(s, dir)
       val scored = cands
         .join(sigs.select($"doc_id".as("doc_i"), $"sig".as("sig_i")), "doc_i")
         .join(sigs.select($"doc_id".as("doc_j"), $"sig".as("sig_j")), "doc_j")
-        .join(reps.select($"doc_id".as("doc_i"), $"arr".as("arr_i"),
-          $"ids".as("ids_i")), "doc_i")
-        .join(reps.select($"doc_id".as("doc_j"), $"arr".as("arr_j"),
-          $"ids".as("ids_j")), "doc_j")
+        .join(reps.select($"doc_id".as("doc_i"), $"arr".as("arr_i")), "doc_i")
+        .join(reps.select($"doc_id".as("doc_j"), $"arr".as("arr_j")), "doc_j")
         .select($"ids_i", $"ids_j",
           (aggregate(zip_with($"sig_i", $"sig_j",
               (x, y) => when(x === y, 1).otherwise(0)),
@@ -1283,7 +1336,7 @@ object Dedup extends QueryModule {
       import s.implicits._
       val truePairs = sharedJaccardPairs(s, dir, 0.5)
         .select($"doc_i", $"doc_j")
-      val cands = lshBandPairs(minhashSigs(s, dir))
+      val cands = lshCandDocPairs(s, dir)
         .select($"doc_i", $"doc_j", lit(1L).as("hit"))
       truePairs.join(cands, Seq("doc_i", "doc_j"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),

@@ -214,6 +214,34 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate corpus: no band collisions")
   }
 
+  test("pinned rep-candidate expansion (d3) == doc-level band join (value identity)") {
+    import spark.implicits._
+    // r16 verdict item 2: d3_lsh_pairs now expands the pinned rep-level
+    // candidate frame instead of re-deriving the full-corpus band join.
+    // Prove value identity on the real fixture: the expansion (inter
+    // rep-pair cross products + within-content-group pairs) emits
+    // EXACTLY the doc-level lshBandPairs(minhashSigs(corpus)) set.
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Dedup.evictCaches(spark, Some(dir))
+    val got = graft.queries.Dedup.lshCandDocPairs(spark, dir)
+      .select($"doc_i", $"doc_j")
+      .as[(Long, Long)].collect().toSet
+    val docSigs = graft.queries.Dedup.minhashSigsOf(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", explode(HashedShinglesExpr
+          .hashedShingles($"text", 3)).as("shingle")))
+    val expected = graft.queries.Dedup.lshBandPairs(docSigs)
+      .select($"doc_i", $"doc_j")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(20)}\n" +
+        s"spurious=${(got -- expected).take(20)}")
+    assert(expected.nonEmpty, "degenerate fixture: no band collisions")
+    assert(got.size == graft.queries.Dedup.lshCandDocPairs(spark, dir).count(),
+      "expansion emitted duplicate pair rows")
+    graft.queries.Dedup.evictCaches(spark, Some(dir))
+  }
+
   test("LSH hot-band cap: cap=∞ ≡ None; a planted hot band stops pairing; intra immune") {
     import spark.implicits._
     import graft.queries.Dedup.{BandSize, NumPerm}
