@@ -65,6 +65,34 @@ class SkewFallbackSpec extends SparkSpec {
     assert(sortedRows(d) == sortedRows(s))
   }
 
+  test("x16 minDf tail prune: identity when off; pruned bigrams score as unseen") {
+    import spark.implicits._
+    // doc 1 carries (a,b)x2 + (b,a)x1; doc 2 carries (a,b)x1
+    // -> corpus c12: (a,b)=3 (head), (b,a)=1 (tail at minDf=2)
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    def run(): Map[Long, (Long, Double)] =
+      TextAnalytics.bigramLogprob(docs, salted = false)
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, n, m) => id -> (n, m) }.toMap
+    val exact = run()
+    // identity when off: unset == explicit minDf=1 == the exact form
+    spark.conf.set("graft.x16.minDf", "1")
+    try assert(run() == exact, "minDf=1 must be the exact form")
+    finally spark.conf.unset("graft.x16.minDf")
+    assert(run() == exact, "unset must be the exact form")
+    spark.conf.set("graft.x16.minDf", "2")
+    try {
+      val pruned = run()
+      // doc 2 only uses the head bigram (a,b): row unchanged
+      assert(pruned(2L) == exact(2L),
+        "head-only doc must be untouched by the tail prune")
+      // doc 1's (b,a) now scores as unseen (c12=0 < 1): strictly lower
+      assert(pruned(1L)._1 == exact(1L)._1, "bigram counts must not change")
+      assert(pruned(1L)._2 < exact(1L)._2,
+        s"tail bigram must score lower when pruned: ${pruned(1L)} vs ${exact(1L)}")
+    } finally spark.conf.unset("graft.x16.minDf")
+  }
+
   test("x29 salted interpolated-LM shape is result-identical on the skew corpus") {
     val d = TextAnalytics.interpLm(skewCorpus(), salted = false)
     val s = TextAnalytics.interpLm(skewCorpus(), salted = true)
