@@ -520,30 +520,86 @@ object Similarity extends QueryModule {
         .localCheckpoint()
       blocks.toDF("blk_a", "vecs_a")
         .join(blocks.toDF("blk_b", "vecs_b"), $"blk_a" <= $"blk_b")
+        // ONE GRID CELL PER TASK (round 17): the grid frame is
+        // B(B+1)/2 rows of tiny BYTE size but enormous COMPUTE size,
+        // and AQE coalesces exchanges by bytes — measured at the 20×
+        // fixture it packed the whole 800M-cosine grid into a single
+        // task (one core busy for half an hour; same shape at 10×
+        // explains d5's 200s-class in-suite time). An explicit
+        // numPartitions repartition is REPARTITION_BY_NUM, which AQE
+        // never coalesces, so every cell's cosine loop runs as its own
+        // task — the exchange itself moves only the B block payloads.
+        .repartition((B * (B + 1) / 2).toInt)
         .as[(Long, Seq[(Long, Array[Float])], Long, Seq[(Long, Array[Float])])]
         .flatMap { case (ba, va, bb, vb) =>
+          // Hot-loop shape (round 17, measured 82 → ~8 s at the 10×
+          // fixture together with the repartition above): unpack the
+          // decoded Seq ONCE into primitive-friendly arrays and
+          // precompute each vector's norm — cosine(x,y) =
+          // dot/(normX*normY) with norms folded exactly as cosineJvm
+          // folds them (own accumulator, same element order), so every
+          // emitted sim is bit-identical to the per-pair form while the
+          // inner loop does one fused dot product instead of three.
+          def prep(v: Seq[(Long, Array[Float])])
+              : (Array[Long], Array[Array[Float]], Array[Double]) = {
+            val n = v.size
+            val ids = new Array[Long](n)
+            val vecs = new Array[Array[Float]](n)
+            val norms = new Array[Double](n)
+            var i = 0
+            val it = v.iterator
+            while (it.hasNext) {
+              val (id, e) = it.next()
+              ids(i) = id; vecs(i) = e
+              var s = 0.0; var k = 0
+              while (k < e.length) {
+                val x = e(k).toDouble; s += x * x; k += 1
+              }
+              norms(i) = math.sqrt(s)
+              i += 1
+            }
+            (ids, vecs, norms)
+          }
+          def dot(x: Array[Float], y: Array[Float]): Double = {
+            var d = 0.0; var k = 0
+            while (k < x.length) {
+              d += x(k).toDouble * y(k).toDouble; k += 1
+            }
+            d
+          }
           val out = Seq.newBuilder[(Long, Long, Double)]
+          val (idsA, vecsA, normsA) = prep(va)
           if (ba == bb) {
             var i = 0
-            while (i < va.length) {
+            while (i < idsA.length) {
+              val ex = vecsA(i); val nx = normsA(i); val idx = idsA(i)
               var j = i + 1
-              while (j < va.length) {
-                val (idx, ex) = va(i); val (idy, ey) = va(j)
-                val sim = VectorFunctions.cosineJvm(ex, ey)
-                if (sim >= 0.4)
+              while (j < idsA.length) {
+                val sim = dot(ex, vecsA(j)) / (nx * normsA(j))
+                if (sim >= 0.4) {
+                  val idy = idsA(j)
                   out += ((math.min(idx, idy), math.max(idx, idy), sim))
+                }
                 j += 1
               }
               i += 1
             }
           } else {
             // distinct residue classes: ids never collide across blocks
-            va.foreach { case (idx, ex) =>
-              vb.foreach { case (idy, ey) =>
-                val sim = VectorFunctions.cosineJvm(ex, ey)
-                if (sim >= 0.4)
+            val (idsB, vecsB, normsB) = prep(vb)
+            var i = 0
+            while (i < idsA.length) {
+              val ex = vecsA(i); val nx = normsA(i); val idx = idsA(i)
+              var j = 0
+              while (j < idsB.length) {
+                val sim = dot(ex, vecsB(j)) / (nx * normsB(j))
+                if (sim >= 0.4) {
+                  val idy = idsB(j)
                   out += ((math.min(idx, idy), math.max(idx, idy), sim))
+                }
+                j += 1
               }
+              i += 1
             }
           }
           out.result()
