@@ -1392,15 +1392,43 @@ object Dedup extends QueryModule {
     // text.
     "d17_edit_verify" -> { (s, dir) =>
       import s.implicits._
+      // PRE-COLLAPSE (round 17): the O(len²) edit distance is a pure
+      // content function, but the old form joined texts onto the
+      // doc-level EXPANDED pair frame and ran levenshtein once per doc
+      // pair — clique-quadratic lev calls on a copy-heavy corpus (the
+      // 20× oracle gate surfaced it as the family's last content-
+      // function hot spot: ~1M doc-pair levs where ~250 distinct-
+      // content pairs suffice). Now lev computes once per REP pair and
+      // membership expands afterwards; within-group pairs are
+      // identical texts (lev = 0, rel_dist = 0, verified = 1,
+      // jaccard = 1) and are never evaluated. Value-identical: lev,
+      // lengths, and jaccard are all functions of the two contents.
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      sharedJaccardPairs(s, dir, BasePairThreshold)
+      val multi = sharedMultiGroups(s, dir)
+      val rep = withMemberIds(
+          sharedRepStats(s, dir).filter($"jaccard" >= BasePairThreshold),
+          multi)
         .join(docs.select($"doc_id".as("doc_i"), $"text".as("text_i")), "doc_i")
         .join(docs.select($"doc_id".as("doc_j"), $"text".as("text_j")), "doc_j")
-        .select($"doc_i", $"doc_j", $"jaccard",
+        .select($"ids_i", $"ids_j", $"jaccard",
           levenshtein($"text_i", $"text_j").cast("long").as("lev"),
           (levenshtein($"text_i", $"text_j").cast("double") /
             greatest(length($"text_i"), length($"text_j")))
             .as("rel_dist"))
+      // lev/rel_dist/jaccard are symmetric content functions — the
+      // expansion needs no column swap
+      val inter = rep
+        .select($"ids_j", $"jaccard", $"lev", $"rel_dist",
+          explode($"ids_i").as("x"))
+        .select($"x", $"jaccard", $"lev", $"rel_dist",
+          explode($"ids_j").as("y"))
+        .select(least($"x", $"y").as("doc_i"),
+          greatest($"x", $"y").as("doc_j"),
+          $"jaccard", $"lev", $"rel_dist")
+      val intra = intraPairsOf(multi)
+        .select($"doc_i", $"doc_j", lit(1.0).as("jaccard"),
+          lit(0L).as("lev"), lit(0.0).as("rel_dist"))
+      inter.unionAll(intra)
         .select($"doc_i", $"doc_j", $"jaccard", $"lev", $"rel_dist",
           when($"rel_dist" <= 0.05, 1L).otherwise(0L).as("verified"))
     },
