@@ -253,6 +253,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"corpus should move through the blk hash-agg only:\n$p")
     assert(p.contains("SerializeFromObject"), "JIT flatMap stage expected")
+    // round 17: the grid frame is tiny in bytes but enormous in
+    // compute, and AQE coalesces by bytes — without the explicit
+    // REPARTITION_BY_NUM the whole 20x grid ran as ONE task (measured:
+    // one core, half an hour). Pin the round-robin exchange so a
+    // refactor can't silently re-serialize the grid.
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"grid must spread via an explicit REPARTITION_BY_NUM exchange:\n$p")
   }
 
   test("d5_embed_neardup: corpus-size guard fails fast past the cap") {
