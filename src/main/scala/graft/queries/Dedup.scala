@@ -489,6 +489,7 @@ object Dedup extends QueryModule {
     drop[(SparkSession, String)](statsCache, _._1, _._2)
     drop[(SparkSession, String)](pairsCache, _._1, _._2)
     drop[(SparkSession, String)](groupsCache, _._1, _._2)
+    drop[(SparkSession, String)](simhashGroupCache, _._1, _._2)
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
     drop[(SparkSession, String)](lshComponentsCache, _._1, _._2)
     drop[(SparkSession, String)](lshPairsCache, _._1, _._2)
@@ -1022,12 +1023,18 @@ object Dedup extends QueryModule {
     // 100 TB contract and the guard rationale).
     "d4_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      // The group-pair frame is materialized ONCE (localCheckpoint):
-      // the estimate agg and the expansion both read it, so the guard
-      // never doubles the band-join cost. Its row count is
-      // distinct-hash pairs (collision-bounded), NOT doc pairs — at the
-      // 20x copy-heavy fixture it is ~400x smaller than the expansion.
-      val gp = simhashGroupPairs(s, dir).localCheckpoint()
+      // The group-pair frame is the SESSION PIN (round 18 — was a fresh
+      // localCheckpoint per invocation): the estimate agg and the
+      // expansion both read it, so the guard never doubles the band-join
+      // cost, repeated invocations (Bench reps, d4_group_stats) reuse
+      // the same blocks, and persist keeps lineage so a lost executor
+      // recomputes instead of failing (pin doctrine, PinRecoverySpec).
+      // Its row count is distinct-hash pairs (collision-bounded), NOT
+      // doc pairs — at the 20x copy-heavy fixture ~400x smaller than
+      // the expansion. The guard agg below is still an eager job at
+      // DataFrame-construction time BY DESIGN: the require must fire
+      // before any consumer can launch the quadratic expansion.
+      val gp = sharedSimhashGroupPairs(s, dir)
       // OUTPUT-VOLUME GUARD (round-16 verdict item 1, mirroring d5's
       // corpus-size guard): the band join itself is pre-collapsed and
       // collision-bounded, but this final doc-pair expansion is
@@ -1076,7 +1083,7 @@ object Dedup extends QueryModule {
     // collision-bounded, never clique-quadratic.
     "d4_group_stats" -> { (s, dir) =>
       import s.implicits._
-      simhashGroupPairs(s, dir).select(
+      sharedSimhashGroupPairs(s, dir).select(
         $"simhash_i", $"simhash_j",
         size($"ids_i").cast("bigint").as("n_i"),
         size($"ids_j").cast("bigint").as("n_j"),
@@ -1392,43 +1399,58 @@ object Dedup extends QueryModule {
     // text.
     "d17_edit_verify" -> { (s, dir) =>
       import s.implicits._
-      // PRE-COLLAPSE (round 17): the O(len²) edit distance is a pure
-      // content function, but the old form joined texts onto the
-      // doc-level EXPANDED pair frame and ran levenshtein once per doc
-      // pair — clique-quadratic lev calls on a copy-heavy corpus (the
-      // 20× oracle gate surfaced it as the family's last content-
-      // function hot spot: ~1M doc-pair levs where ~250 distinct-
-      // content pairs suffice). Now lev computes once per REP pair and
-      // membership expands afterwards; within-group pairs are
-      // identical texts (lev = 0, rel_dist = 0, verified = 1,
-      // jaccard = 1) and are never evaluated. Value-identical: lev,
-      // lengths, and jaccard are all functions of the two contents.
+      // PRE-COLLAPSE, TEXT-KEYED (round 18 — fixes the r17 form, which
+      // keyed the collapse on the hashed-shingle SET and inherited each
+      // rep pair's lev across its whole group: equal shingle sets do
+      // NOT imply equal texts — whitespace variants and repeated /
+      // reordered n-grams collapse to one set with nonzero true edit
+      // distance, so shingle-group inheritance diverges from the
+      // per-doc-pair oracle on any corpus with arr-identical-but-text-
+      // different docs. Only BYTE-IDENTITY of the raw text licenses
+      // skipping the O(len²) distance.) The collapse unit is therefore
+      // the TEXT group: each doc maps to its text-group rep (min
+      // doc_id among byte-identical texts), lev/rel_dist compute once
+      // per DISTINCT ordered text-rep pair actually present among the
+      // candidates, and same-text pairs short-circuit to lev = 0
+      // without evaluation. The candidate doc pairs still come from
+      // the pinned shared pair frame (cheap bookkeeping expansion —
+      // they ARE the output rows); only the quadratic-in-length
+      // distance is deduplicated, now under the correct key. Lev count
+      // = distinct-TEXT candidate pairs (≥ the r17 shingle-rep count
+      // only when true whitespace/reorder variants exist — exactly the
+      // rows r17 got wrong).
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      val multi = sharedMultiGroups(s, dir)
-      val rep = withMemberIds(
-          sharedRepStats(s, dir).filter($"jaccard" >= BasePairThreshold),
-          multi)
-        .join(docs.select($"doc_id".as("doc_i"), $"text".as("text_i")), "doc_i")
-        .join(docs.select($"doc_id".as("doc_j"), $"text".as("text_j")), "doc_j")
-        .select($"ids_i", $"ids_j", $"jaccard",
-          levenshtein($"text_i", $"text_j").cast("long").as("lev"),
-          (levenshtein($"text_i", $"text_j").cast("double") /
-            greatest(length($"text_i"), length($"text_j")))
+      // text-identity groups: doc_id -> rep, rep -> text. One
+      // corpus-sized exchange keyed on the raw text (same order as the
+      // shingle-array group the pin family already pays).
+      val tg = docs.groupBy($"text")
+        .agg(sort_array(collect_list($"doc_id")).as("tids"))
+      val docTrep = tg.select($"tids".getItem(0).as("trep"),
+        explode($"tids").as("doc_id"))
+      val repText = tg.select($"tids".getItem(0).as("trep"), $"text")
+      val cand = sharedJaccardPairs(s, dir, BasePairThreshold)
+        .join(docTrep.select($"doc_id".as("doc_i"), $"trep".as("t_i")),
+          "doc_i")
+        .join(docTrep.select($"doc_id".as("doc_j"), $"trep".as("t_j")),
+          "doc_j")
+        .select($"doc_i", $"doc_j", $"jaccard",
+          least($"t_i", $"t_j").as("ta"),
+          greatest($"t_i", $"t_j").as("tb"))
+      // one lev per distinct cross-text rep pair; texts join onto this
+      // pair-distinct frame only (pair-sized shuffles, never corpus²)
+      val need = cand.filter($"ta" =!= $"tb")
+        .select($"ta", $"tb").distinct()
+        .join(repText.select($"trep".as("ta"), $"text".as("text_a")), "ta")
+        .join(repText.select($"trep".as("tb"), $"text".as("text_b")), "tb")
+        .select($"ta", $"tb",
+          levenshtein($"text_a", $"text_b").cast("long").as("lev"),
+          (levenshtein($"text_a", $"text_b").cast("double") /
+            greatest(length($"text_a"), length($"text_b")))
             .as("rel_dist"))
-      // lev/rel_dist/jaccard are symmetric content functions — the
-      // expansion needs no column swap
-      val inter = rep
-        .select($"ids_j", $"jaccard", $"lev", $"rel_dist",
-          explode($"ids_i").as("x"))
-        .select($"x", $"jaccard", $"lev", $"rel_dist",
-          explode($"ids_j").as("y"))
-        .select(least($"x", $"y").as("doc_i"),
-          greatest($"x", $"y").as("doc_j"),
-          $"jaccard", $"lev", $"rel_dist")
-      val intra = intraPairsOf(multi)
-        .select($"doc_i", $"doc_j", lit(1.0).as("jaccard"),
-          lit(0L).as("lev"), lit(0.0).as("rel_dist"))
-      inter.unionAll(intra)
+      cand.join(need, Seq("ta", "tb"), "left")
+        .select($"doc_i", $"doc_j", $"jaccard",
+          coalesce($"lev", lit(0L)).as("lev"),
+          coalesce($"rel_dist", lit(0.0)).as("rel_dist"))
         .select($"doc_i", $"doc_j", $"jaccard", $"lev", $"rel_dist",
           when($"rel_dist" <= 0.05, 1L).otherwise(0L).as("verified"))
     },
@@ -1927,6 +1949,27 @@ object Dedup extends QueryModule {
     * take this frame instead: cluster membership, keeper election, and
     * pair counts all read off (ids_i, ids_j, hamming) directly.
     */
+  private val simhashGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Pinned group-pair frame shared by d4_simhash_pairs' guard +
+    * expansion and d4_group_stats (round 18, r17 ADVICE): ONE
+    * persist(MEMORY_AND_DISK) per (session, dir) — NOT a fresh
+    * localCheckpoint per invocation, which (a) accumulated
+    * GC-reclaimed-only checkpoint blocks across Bench reps and
+    * plan-only consumers, and (b) broke the pin doctrine: a lost
+    * executor's non-replicated checkpoint blocks fail the query, while
+    * a persisted frame keeps lineage and recomputes (PinRecoverySpec).
+    * Row count is collision-bounded (distinct-hash pairs), so the pin
+    * is small; released via [[evictCaches]].
+    */
+  private[graft] def sharedSimhashGroupPairs(s: SparkSession,
+                                             dir: String): DataFrame =
+    simhashGroupCache.computeIfAbsent((s, dir), { key =>
+      simhashGroupPairs(key._1, key._2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private[graft] def simhashGroupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val groups = Tables.documents(s, dir)

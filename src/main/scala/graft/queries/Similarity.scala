@@ -510,14 +510,29 @@ object Similarity extends QueryModule {
         math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toLong
       val B = Seq(2L, gridFloor,
         math.ceil(n.toDouble * perVec / blockBytes).toLong).max
-      // localCheckpoint materializes the B-row block frame ONCE: the
-      // grid self-join duplicates its plan subtree, which would run the
-      // full-corpus scan + collect_list shuffle twice (unlike the cheap
-      // fused-hash recomputes elsewhere, this recompute IS a corpus pass).
-      val blocks = corpus
+      // persist + eager count materializes the B-row block frame ONCE
+      // (the grid self-join duplicates its plan subtree, which would run
+      // the full-corpus scan + collect_list shuffle twice — unlike the
+      // cheap fused-hash recomputes elsewhere, this recompute IS a
+      // corpus pass). Round 18 (r17 verdict item 3): persist, NOT
+      // localCheckpoint — the pin doctrine. localCheckpoint blocks are
+      // non-replicated and lineage-free, so one lost executor failed
+      // the query; the persisted frame recomputes lost blocks, and
+      // loosePin registers it for evictCaches release.
+      val blocks = loosePin(corpus
         .groupBy(pmod($"vec_id", lit(B)).as("blk"))
-        .agg(collect_list(struct($"vec_id", $"embedding")).as("vecs"))
-        .localCheckpoint()
+        .agg(collect_list(struct($"vec_id", $"embedding")).as("vecs")))
+      blocks.count()
+      // Grid-size sanity: B is derived from blockBytes, so a
+      // misconfigured graft.d5.blockBytes (bytes-vs-MB slip) must fail
+      // loudly here, not overflow Int in the repartition below or
+      // launch a million-task grid.
+      val gridCells = B * (B + 1) / 2
+      require(gridCells <= 1000000L,
+        s"d5_embed_neardup block grid would be $gridCells cells (B=$B): " +
+          "graft.d5.blockBytes is likely misconfigured — a block should " +
+          "hold corpusBytes/B ≈ tens of MB, giving a grid within ~1e6 " +
+          "cells even on a large cluster.")
       blocks.toDF("blk_a", "vecs_a")
         .join(blocks.toDF("blk_b", "vecs_b"), $"blk_a" <= $"blk_b")
         // ONE GRID CELL PER TASK (round 17): the grid frame is
@@ -528,8 +543,12 @@ object Similarity extends QueryModule {
         // explains d5's 200s-class in-suite time). An explicit
         // numPartitions repartition is REPARTITION_BY_NUM, which AQE
         // never coalesces, so every cell's cosine loop runs as its own
-        // task — the exchange itself moves only the B block payloads.
-        .repartition((B * (B + 1) / 2).toInt)
+        // task. The exchange moves the JOINED grid rows — each carries
+        // two block payloads, so total traffic is ≈ (B+1) copies of the
+        // corpus. That replication is inherent to exact block all-pairs
+        // (every block must meet every block) and is what blockBytes
+        // sizes; it is NOT "only the B block payloads".
+        .repartition(math.toIntExact(gridCells))
         .as[(Long, Seq[(Long, Array[Float])], Long, Seq[(Long, Array[Float])])]
         .flatMap { case (ba, va, bb, vb) =>
           // Hot-loop shape (round 17, measured 82 → ~8 s at the 10×

@@ -693,10 +693,24 @@ object TextAnalytics extends QueryModule {
       .map(_.toLong).getOrElse(1L)
     val counts =
       if (minDf > 1L) {
+        // broadcast(head) is EXPLICIT (round 18, r17 ADVICE): the
+        // pruned path exists to replace the (w1,w2)-keyed shuffle, but
+        // nothing guaranteed Catalyst picked a broadcast — a small
+        // minDf on a skewed corpus would silently reinstate the
+        // hot-key shuffle the salted fallback absorbs. The hint makes
+        // the contract real: the Zipf head ships to every executor and
+        // the db side never shuffles for this join. The c1-context
+        // join on w1 is unigram-vocab-sized (NOT head-pruned — the
+        // cutoff must not change context mass), so it keeps the salted
+        // machinery when the corpus profile demanded it.
         val head = stats.filter($"c12" >= minDf)
           .select($"w1", $"w2", $"c12")
-        db.join(head, Seq("w1", "w2"), "left")
-          .join(sharedBigramCtx(docs), "w1")
+        val withHead = db.join(broadcast(head), Seq("w1", "w2"), "left")
+        if (salted)
+          graft.operators.KeyedOps.saltedStatsJoin(withHead,
+            sharedBigramCtx(docs), Seq("w1"), saltBuckets(sess),
+            col("doc_id"))
+        else withHead.join(sharedBigramCtx(docs), "w1")
       } else if (salted)
         graft.operators.KeyedOps.saltedStatsJoin(db, stats,
           Seq("w1", "w2"), saltBuckets(sess), col("doc_id"))

@@ -44,6 +44,13 @@ object D4SliceProof {
         pmod(col("doc_j"), lit(mod)) === 0)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/engine")
     val sliceCount = spark.read.parquet(s"$outDir/engine").count()
+    // write the registry oracle SQL alongside the engine dump so
+    // d4_slice_check.py's default <proofDir>/oracle_sql.json path works
+    // without a separate Verify dump (round 18, r17 ADVICE: the
+    // documented two-step flow failed with FileNotFoundError otherwise)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+      graft.Verify.oracleJson(_ == "d4_simhash_pairs"))
     println(f"D4SLICE full=$fullCount%d full_sec=$fullSec%.1f " +
       s"slice=$sliceCount mod=$mod")
     spark.stop()

@@ -393,6 +393,60 @@ class DedupDifferentialSpec extends SparkSpec {
       "fixture lost its same-side verbatim copies")
   }
 
+  test("edit verify (d17): lev is per TEXT pair — equal shingle sets do NOT imply lev 0") {
+    import spark.implicits._
+    // r17 ADVICE (high): the r17 form collapsed lev on the hashed
+    // shingle SET and hard-coded lev=0 within a group — but whitespace
+    // variants tokenize identically (same arr) while their raw texts
+    // differ, so the true per-doc-pair edit distance is nonzero.
+    // Fixture: docs 0/1/2 share ONE shingle set (1 = double-space
+    // variant, 2 = byte copy of 0); docs 3/4 are a second set-identical
+    // group (one word mutated vs 0, so cross-group jaccard ≈ 0.33
+    // qualifies at base 0.3; 4 = whitespace variant of 3). Expected =
+    // brute-force all-pairs with REAL character-level levenshtein.
+    val t0 = "alpha beta gamma delta eps zeta eta theta"
+    val t1 = "alpha  beta gamma delta eps zeta eta theta"
+    val t3 = "alpha beta gamma OMEGA eps zeta eta theta"
+    val t4 = "alpha beta gamma OMEGA eps zeta eta  theta"
+    val docs = Seq((0L, t0), (1L, t1), (2L, t0), (3L, t3), (4L, t4))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (i, ti) <- docs
+      (j, tj) <- docs if i < j
+      si = shingleSet(ti); sj = shingleSet(tj)
+      inter = (si & sj).size
+      if inter > 0
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= graft.queries.Dedup.BasePairThreshold
+      l = lev(ti, tj)
+      rd = l.toDouble / math.max(ti.length, tj.length)
+    } yield (i, j, jac, l.toLong, rd, if (rd <= 0.05) 1L else 0L)).toSet
+    // non-vacuity: the exact bug class — a jaccard-1 (set-identical)
+    // pair with nonzero true edit distance — must be present
+    assert(expected.exists(p => p._3 == 1.0 && p._4 > 0L),
+      "fixture regressed: no arr-identical-but-text-different pair")
+    assert(expected.exists(p => p._4 == 0L), "want a byte-identical pair too")
+    assert(expected.exists(p => p._3 < 1.0), "want a cross-group pair too")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d17").toString
+    docs.map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    try {
+      val got = graft.SparkEntry.queries("d17_edit_verify")(spark, dir)
+        .as[(Long, Long, Double, Long, Double, Long)].collect().toSet
+      assert(got == expected,
+        s"missing=${expected -- got}\nspurious=${got -- expected}")
+    } finally graft.queries.Dedup.evictCaches(spark, Some(dir))
+  }
+
   test("CDC chunks (x19) realign after an insertion; fixed-stride chunks don't") {
     import spark.implicits._
     // base = 200 distinct tokens; shifted = one token INSERTED at the

@@ -246,12 +246,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d5_embed_neardup: block grid join — no corpus-sized broadcast or collect") {
-    // The block frames aggregate to B=16 rows each; the grid join of two
-    // 16-row frames is the ONLY join. Corpus-sized data moves through one
-    // hash-agg exchange (groupBy blk), never to the driver.
+    // The block frames aggregate to B rows each; the grid join of two
+    // B-row frames is the ONLY join. Corpus-sized data moves through one
+    // hash-agg exchange (groupBy blk) INTO the persisted pin (round 18:
+    // persist, not localCheckpoint — the pin doctrine, so the cached
+    // build subtree now prints inside InMemoryRelation), never to the
+    // driver. Above the pin read the grid must not shuffle corpus rows
+    // by key at all — only the round-robin cell spread.
     val p = plan("d5_embed_neardup")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      s"corpus should move through the blk hash-agg only:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"grid sides must read the persisted block pin:\n$p")
+    val aboveCache = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!aboveCache.contains("Exchange hashpartitioning"),
+      s"no key-shuffle above the block pin — grid rows spread " +
+        s"round-robin only:\n$p")
+    assert("Exchange hashpartitioning".r
+        .findAllIn(p.substring(p.indexOf("InMemoryRelation"))).size <= 4,
+      s"the pin build is ONE blk hash-agg exchange (printed once per " +
+        s"grid side x initial+final AQE display):\n$p")
     assert(p.contains("SerializeFromObject"), "JIT flatMap stage expected")
     // round 17: the grid frame is tiny in bytes but enormous in
     // compute, and AQE coalesces by bytes — without the explicit
