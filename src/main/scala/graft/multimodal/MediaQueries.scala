@@ -110,6 +110,65 @@ object MediaQueries extends QueryModule {
     }
   }
 
+  /** Video fixture: 12 distinct noise clips (ids 0-11, 3-5 frames of
+    * 16×12 pixels), 6 pixel-exact re-encodes (ids 100-105 copy bases
+    * 0-5 → hash-identical), and 2 near variants (ids 200-201 copy
+    * bases 0-1 with one 4×3 block of ONE frame whitened → a small,
+    * fixed Hamming delta on the temporal-mean plane). Pixels are
+    * 8-level grays from splitmix64 of (baseId, frame, y, x), drawn as
+    * TYPE_BYTE_INDEXED against an EXPLICIT 9-entry palette (8 grays +
+    * white) — the GIF writer preserves explicit palette indices
+    * verbatim (no quantizer in the loop), so decode(encode(frames)) is
+    * bit-exact and the whole m3 pipeline is a pure integer/IEEE-double
+    * function the Python oracle replays. Gray pixels make the BT.601
+    * luma EXACTLY the gray value (299+587+114 = 1000).
+    */
+  private[graft] def fixtureVideos(s: SparkSession): Dataset[MediaRecord] = {
+    import s.implicits._
+    val ids = (0L until 12L) ++ (100L until 106L) ++ (200L until 202L)
+    s.createDataset(ids).repartition(8).map { id =>
+      val base = if (id >= 200L) id - 200L else if (id >= 100L) id - 100L else id
+      val variant = id >= 200L
+      val (w, h) = (16, 12)
+      val nFrames = 3 + (base % 3).toInt
+      val entries = ((0 until 8).map(g => (g * 36).toByte) :+ 255.toByte)
+        .toArray
+      val cm = new java.awt.image.IndexColorModel(
+        8, entries.length, entries, entries, entries)
+      import javax.imageio.{IIOImage, ImageIO}
+      import javax.imageio.stream.MemoryCacheImageOutputStream
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new MemoryCacheImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val idx =
+                if (variant && f == 1 && y >= 4 && y < 7 && x >= 6 && x < 10) 8
+                else (mix(base * 524287L + f * 8191L + y * 131L + x) & 0x7L)
+                  .toInt
+              img.getRaster.setSample(x, y, 0, idx)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); out.close() }
+      MediaRecord(id, "video", bos.toByteArray, w, h, nFrames * 100L)
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     // M1: image near-dedup over the pinned PNG fixture — real ImageIO
     // decode per row (map-only, partition-local), 64-bit luma-gradient
@@ -123,10 +182,17 @@ object MediaQueries extends QueryModule {
     "m2_audio_neardup" -> { (s, _) =>
       Multimodal.audioNearDupPairs(fixtureAudio(s), maxBits = 3)
     },
+    // M3: video near-dedup over the pinned animated-GIF fixture — real
+    // ImageIO GIF demux per row (map-only, partition-local),
+    // temporal-mean-luma dHash, same banded-Hamming stage.
+    "m3_video_neardup" -> { (s, _) =>
+      Multimodal.videoNearDupPairs(fixtureVideos(s), maxBits = 3)
+    },
   )
 
   override def oracle: Map[String, String] = Map(
     "m1_image_neardup" -> MediaOracle.m1Sql,
     "m2_audio_neardup" -> MediaOracle.m2Sql,
+    "m3_video_neardup" -> MediaOracle.m3Sql,
   )
 }

@@ -143,29 +143,89 @@ object Multimodal {
       * bit 8y+x set iff luma(x,y) > luma(x+1,y). Stable under re-encode
       * and mild rescale, which is exactly what a crawl's duplicate
       * images differ by; the blocking key for image near-dedup.
+      *
+      * The downscale is an EXPLICITLY-SPECIFIED bilinear sample (round
+      * 18, r17 verdict item 1): integer luma per SOURCE pixel first,
+      * then for destination cell (dx, dy) sample the luma plane at
+      * u = (dx+0.5)·W/9 − 0.5, v = (dy+0.5)·H/8 − 0.5 (clamped) with
+      * the canonical two-lerp form. Java2D's `drawImage` bilinear is
+      * an implementation detail of the JVM's rendering pipeline — not
+      * a published formula — so it can neither be replayed outside the
+      * JVM nor relied on bit-for-bit across Java2D implementations.
+      * This form is plain IEEE-double arithmetic, replayed verbatim by
+      * the independent Python oracle (tools/media_oracle_check.py).
       */
     def dHash(payload: Array[Byte]): Long = dHashOf(decodeOrThrow(payload))
 
     private[graft] def dHashOf(img: BufferedImage): Long = {
-      val out = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, 9, 8, null)
-      } finally g.dispose()
-      var h = 0L
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = new Array[Int](w * h)
       var y = 0
-      while (y < 8) {
+      while (y < h) {
         var x = 0
-        while (x < 8) {
-          if (lumaOf(out.getRGB(x, y)) > lumaOf(out.getRGB(x + 1, y)))
-            h |= 1L << (y * 8 + x)
+        while (x < w) {
+          luma(y * w + x) = lumaOf(img.getRGB(x, y))
           x += 1
         }
         y += 1
       }
-      h
+      dHashOfLuma(luma, w, h)
+    }
+
+    /** dHash over a luma plane — the shared downscale+compare core
+      * (VideoCodec's temporal-mean hash reuses it on a double plane).
+      */
+    private[multimodal] def dHashOfLuma(luma: Array[Int], w: Int,
+                                        h: Int): Long = {
+      val d = new Array[Double](luma.length)
+      var i = 0
+      while (i < luma.length) { d(i) = luma(i).toDouble; i += 1 }
+      dHashOfLumaD(d, w, h)
+    }
+
+    private[multimodal] def dHashOfLumaD(luma: Array[Double], w: Int,
+                                         h: Int): Long = {
+      // 9×8 bilinear sample of the luma plane. Canonical form — the
+      // Python oracle replays these exact expressions in the same
+      // order (IEEE doubles, no FMA): top/bottom lerp in x, then lerp
+      // in y.
+      val g = new Array[Double](9 * 8)
+      var dy = 0
+      while (dy < 8) {
+        var dx = 0
+        while (dx < 9) {
+          var u = (dx + 0.5) * w / 9.0 - 0.5
+          var v = (dy + 0.5) * h / 8.0 - 0.5
+          if (u < 0.0) u = 0.0
+          if (v < 0.0) v = 0.0
+          if (u > w - 1.0) u = w - 1.0
+          if (v > h - 1.0) v = h - 1.0
+          val x0 = u.toInt
+          val y0 = v.toInt
+          val x1 = math.min(x0 + 1, w - 1)
+          val y1 = math.min(y0 + 1, h - 1)
+          val fu = u - x0
+          val fv = v - y0
+          val top = luma(y0 * w + x0) * (1.0 - fu) + luma(y0 * w + x1) * fu
+          val bot = luma(y1 * w + x0) * (1.0 - fu) + luma(y1 * w + x1) * fu
+          g(dy * 9 + dx) = top * (1.0 - fv) + bot * fv
+          dx += 1
+        }
+        dy += 1
+      }
+      var hash = 0L
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          if (g(yy * 9 + xx) > g(yy * 9 + xx + 1))
+            hash |= 1L << (yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      hash
     }
 
     /** Real resize: decode, scale to n×n (area-preserving smooth scale),
@@ -442,6 +502,48 @@ object Multimodal {
       seg.map(v => (v / total).toFloat)
     }
 
+    /** 64-bit TEMPORAL-MEAN-LUMA dHash — the video twin of
+      * [[ImageCodec.dHash]]: integer BT.601 luma per pixel per frame,
+      * averaged pixel-wise across frames (exact: integer sums in
+      * doubles, one division), then the SAME explicit 9×8 bilinear
+      * downscale + gradient compare. Re-encodes hash identically; a
+      * block edit in one frame shifts the mean plane by delta/nFrames
+      * — a small, fixed Hamming delta. Pixel-XOR or per-frame folds
+      * would be re-encode-stable too, but the mean plane keeps the
+      * perceptual property: visually-near clips land within a few
+      * bits. Frame order deliberately does not matter (a mean), so
+      * reordered cuts collide — the temporal ENVELOPE (feature()) is
+      * the ordering-sensitive signal; this hash is the blocking key.
+      * Assumes equal frame dims (full-frame GIFs — the codec's
+      * documented scope; disposal compositing is out of scope).
+      */
+    private[graft] def dHash(payload: Array[Byte]): Long =
+      dHashOf(decodeOrThrow(payload))
+
+    private[graft] def dHashOf(frames: IndexedSeq[BufferedImage]): Long = {
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val acc = new Array[Double](w * h)
+      frames.foreach { img =>
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            acc(y * w + x) +=
+              ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000).toDouble
+            x += 1
+          }
+          y += 1
+        }
+      }
+      val n = frames.length.toDouble
+      var i = 0
+      while (i < acc.length) { acc(i) = acc(i) / n; i += 1 }
+      ImageCodec.dHashOfLumaD(acc, w, h)
+    }
+
     /** Thumbnail: frame 0 scaled to n×n, PNG-encoded. */
     def resize(payload: Array[Byte], n: Int): Array[Byte] =
       encodeThumb(decodeOrThrow(payload).head, n)
@@ -661,6 +763,25 @@ object Multimodal {
         if (m.kind != "audio") None
         else AudioCodec.decode(m.payload).map { case (_, samples) =>
           (m.media_id, AudioCodec.dHashOf(samples)) })
+    }.toDF("media_id", "dhash")
+    bandedHammingPairs(hashes, maxBits)
+  }
+
+  /** Video NEAR-DEDUP — the same two-stage pipeline over the
+    * temporal-mean-luma hash: [[VideoCodec.dHashOf]] every decodable
+    * clip (ONE demux+decode per row, map-only; undecodable payloads
+    * drop, the P13 tolerant shape), then the shared banded-Hamming
+    * stage. Re-encodes land at Hamming 0; recall is EXACT at
+    * maxBits ≤ 3 by the same 4-band pigeonhole. FRAMES NEVER SHUFFLE —
+    * the exchange carries (band, value, hash, id) only.
+    */
+  def videoNearDupPairs(media: Dataset[MediaRecord], maxBits: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.mapPartitions { it =>
+      it.flatMap(m =>
+        if (m.kind != "video") None
+        else VideoCodec.decodeFrames(m.payload)
+          .map(fs => (m.media_id, VideoCodec.dHashOf(fs))))
     }.toDF("media_id", "dhash")
     bandedHammingPairs(hashes, maxBits)
   }

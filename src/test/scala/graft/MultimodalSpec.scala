@@ -295,10 +295,13 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.size < 36 * 35 / 8, s"pair explosion: ${pairs.size}")
   }
 
-  test("m1/m2 registry entries reproduce the pinned golden rows (oracle drift guard)") {
-    // the driver's DuckDB oracle for m1/m2 is the pinned VALUES table in
-    // MediaOracle; this spec fails FIRST (in sbt test) if the fixture,
-    // a codec, or the dHash pipeline drifts from the pinned output
+  test("m1/m2/m3 registry entries reproduce the pinned golden rows (oracle drift guard)") {
+    // the driver's DuckDB oracle for m1/m2/m3 is the pinned VALUES
+    // table in MediaOracle — computed INDEPENDENTLY by
+    // tools/media_oracle_check.py (first-principles Python replay of
+    // the pre-codec fixture; round 18). This spec fails FIRST (in sbt
+    // test) if the fixture, a codec, or a hash pipeline drifts from
+    // that pinned output.
     import spark.implicits._
     val m1 = graft.SparkEntry.queries("m1_image_neardup")(spark, "unused")
       .as[(Long, Long, Int)].collect().toSet
@@ -310,8 +313,18 @@ class MultimodalSpec extends SparkSpec {
     assert(m2 == graft.multimodal.MediaOracle.m2Rows.toSet,
       s"m2 drift: extra=${m2 -- graft.multimodal.MediaOracle.m2Rows.toSet} " +
         s"missing=${graft.multimodal.MediaOracle.m2Rows.toSet -- m2}")
+    val m3 = graft.SparkEntry.queries("m3_video_neardup")(spark, "unused")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(m3 == graft.multimodal.MediaOracle.m3Rows.toSet,
+      s"m3 drift: extra=${m3 -- graft.multimodal.MediaOracle.m3Rows.toSet} " +
+        s"missing=${graft.multimodal.MediaOracle.m3Rows.toSet -- m3}")
     // planted structure: every 100-block copy pairs with its base at 0
     assert((0L until 8L).forall(i => m1.contains((i, i + 100L, 0))))
     assert((0L until 6L).forall(i => m2.contains((i, i + 100L, 0))))
+    assert((0L until 6L).forall(i => m3.contains((i, i + 100L, 0))))
+    // threshold boundary: base 0's 4-bit variant must NOT pair (the
+    // ≤3 filter is load-bearing, not vacuous)
+    assert(!m3.exists(p => p._1 == 0L && p._2 == 200L),
+      "the Hamming-4 variant (0,200) leaked through the ≤3 filter")
   }
 }
