@@ -39,7 +39,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1) (round 18): coalesce folds the
+      // ENTIRE upstream compute into the single writer task — at the
+      // 100x fixture that serialized per-doc map pipelines and the d5
+      // grid onto one core for tens of minutes each. The explicit
+      // shuffle keeps compute parallel and only the final write
+      // single-tasked (the dump stays one file per query for DuckDB).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -40,9 +40,12 @@ object D4SliceProof {
     val t0 = System.nanoTime()
     val fullCount = full.count()
     val fullSec = (System.nanoTime() - t0) / 1e9
+    // repartition(1), not coalesce(1): coalesce would fold the whole
+    // expansion recompute into the single writer task (the round-18
+    // Verify lesson); the shuffle keeps the pair emission parallel
     full.filter(pmod(col("doc_i"), lit(mod)) === 0 &&
         pmod(col("doc_j"), lit(mod)) === 0)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/engine")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/engine")
     val sliceCount = spark.read.parquet(s"$outDir/engine").count()
     // write the registry oracle SQL alongside the engine dump so
     // d4_slice_check.py's default <proofDir>/oracle_sql.json path works
