@@ -455,6 +455,21 @@ object StreamOps {
       payload => graft.multimodal.Multimodal.AudioCodec.decode(payload)
         .map(d => graft.multimodal.Multimodal.AudioCodec.dHashOf(d._2)))
 
+  /** STREAMING VIDEO near-dedup — same machine, hash = the
+    * temporal-mean-luma dHash (`Multimodal.VideoCodec.dHashOf`, the
+    * batch `videoNearDupPairs` blocking key bit-identical), so a
+    * re-encoded clip hits all 4 owned bands at ingest time. One demux +
+    * decode per clip in the flatMap; frames never enter the state
+    * store — only the 20-byte band rows do.
+    */
+  def streamingVideoDedup(media: DataFrame, tsCol: String, idCol: String,
+                          payloadCol: String, horizonMs: Long)
+                         (implicit spark: org.apache.spark.sql.SparkSession)
+      : DataFrame =
+    streamingPerceptualDedup(media, tsCol, idCol, payloadCol, horizonMs,
+      payload => graft.multimodal.Multimodal.VideoCodec.decodeFrames(payload)
+        .map(graft.multimodal.Multimodal.VideoCodec.dHashOf))
+
   /** STREAMING IVF INGEST — the streaming side of the v19/v20 index
     * maintenance loop: arriving vectors are assigned to the FROZEN
     * centroids in a stateless typed map (the kmeansAssign JIT argmax —

@@ -732,6 +732,72 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming video dedup: re-upload hits all 4 temporal-mean bands, " +
+      "distinct clips are novel, corrupt payloads drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // tiny indexed-palette animated GIFs, the MediaQueries.fixtureVideos
+    // shape (explicit palette => lossless round-trip)
+    def gif(seed: Long): Array[Byte] = {
+      val (w, h, nFrames) = (16, 12, 3)
+      val entries = ((0 until 8).map(g => (g * 36).toByte) :+ 255.toByte)
+        .toArray
+      val cm = new java.awt.image.IndexColorModel(
+        8, entries.length, entries, entries, entries)
+      import javax.imageio.{IIOImage, ImageIO}
+      import javax.imageio.stream.MemoryCacheImageOutputStream
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new MemoryCacheImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          for (y <- 0 until h; x <- 0 until w)
+            img.getRaster.setSample(x, y, 0,
+              (((seed * 7907 + f * 8191 + y * 131 + x) * 2654435761L >>> 13)
+                & 0x7).toInt)
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); out.close() }
+      bos.toByteArray
+    }
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val out = graft.streaming.StreamOps.streamingVideoDedup(
+      in.toDF().toDF("ts", "media_id", "payload"),
+      "ts", "media_id", "payload", horizonMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("svid_test")
+      .outputMode("append").start()
+    try {
+      // A, a byte-identical re-upload of A, a distinct clip, garbage
+      in.addData((ts(0), 0L, gif(1)), (ts(0, 20), 1L, gif(1)),
+        (ts(0, 40), 2L, gif(2)), (ts(0, 50), 3L, Array[Byte](4, 5, 6)))
+      q.processAllAvailable()
+      in.addData((ts(5), 9L, gif(3))) // advance the watermark
+      q.processAllAvailable()
+      in.addData((ts(10), 10L, gif(4)))
+      q.processAllAvailable()
+      val got = spark.table("svid_test")
+        .select($"doc_id", $"n_band_hits",
+          coalesce($"dup_of", lit(-1L)).as("dup_of"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got(0L) == ((0L, -1L)), s"first upload is novel: $got")
+      assert(got(1L) == ((4L, 0L)),
+        s"re-upload must hit all 4 bands with dup_of=0: $got")
+      assert(got(2L) == ((0L, -1L)), s"distinct clip is novel: $got")
+      assert(!got.contains(3L), s"corrupt payload must produce no row: $got")
+      // batch-key identity: the stream's blocking hash IS the batch one
+      val hs = Seq(1L, 2L).map(s =>
+        graft.multimodal.Multimodal.VideoCodec.dHashOf(
+          graft.multimodal.Multimodal.VideoCodec.decodeFrames(gif(s)).get))
+      assert(hs.distinct.size == 2, "fixture clips must hash apart")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest: frozen-centroid assignment matches the JVM " +
       "argmax, windowed per-cell stats replay exactly") {
     import spark.implicits._
