@@ -128,7 +128,9 @@ object Bench {
 
     // the near-dup sibling: rowwise MinHash banding + band-keyed state,
     // same planted ~25% duplicate rate (copies collide on all 4 bands)
-    def nearDedupRps(): Double = {
+    def nearDedupRps(rows: Int = n): Double = {
+      val perC = rows / chunks
+      val fedC = chunks * perC
       val in = MemoryStream[(Timestamp, Long, String)]
       val out = StreamOps.streamingNearDedup(
         in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
@@ -136,15 +138,15 @@ object Bench {
       val q = out.writeStream.format("noop").outputMode("append").start()
       try {
         val sec = timed((0 until chunks).foreach { c =>
-          in.addData((0 until per).map { i =>
-            val j = c * per + i
+          in.addData((0 until perC).map { i =>
+            val j = c * perC + i
             val k = if (j % 4 == 3) j - 1 else j
             (new Timestamp(base + j * 10L), j.toLong,
               s"tok${k % 7919} tok${k % 6101} tok${k % 4201} body $k")
           })
           q.processAllAvailable()
         })
-        fed / sec
+        fedC / sec
       } finally q.stop()
     }
 
@@ -172,7 +174,9 @@ object Bench {
 
     // stream-stream attribution join: both sides unbounded, watermark +
     // range bound GC the buffered views; ~1 purchase per 4 views
-    def attributionRps(): Double = {
+    def attributionRps(rows: Int = n): Double = {
+      val perC = rows / chunks
+      val fedC = chunks * perC
       val views = MemoryStream[(Long, Timestamp)]
       val purchases = MemoryStream[(Long, Timestamp, Double)]
       val out = StreamOps.attributionJoin(
@@ -182,26 +186,26 @@ object Bench {
       val q = out.writeStream.format("noop").outputMode("append").start()
       try {
         val sec = timed((0 until chunks).foreach { c =>
-          views.addData((0 until per).map { i =>
-            val j = c * per + i
+          views.addData((0 until perC).map { i =>
+            val j = c * perC + i
             ((j % 1000).toLong, new Timestamp(base + j * 10L))
           })
-          purchases.addData((0 until per / 4).map { i =>
-            val j = (c * per / 4 + i) * 4
+          purchases.addData((0 until perC / 4).map { i =>
+            val j = (c * perC / 4 + i) * 4
             ((j % 1000).toLong, new Timestamp(base + j * 10L + 5000L),
               (j % 97).toDouble)
           })
           q.processAllAvailable()
         })
         // total rows pumped through both sides, as actually fed
-        (fed + chunks * (per / 4)) / sec
+        (fedC + chunks * (perC / 4)) / sec
       } finally q.stop()
     }
 
     // streaming IVF ingest (the v19/v20 loop's live side): stateless
     // JIT assignment + one windowed per-cell agg — the embedding rows
     // are the heaviest per-row payload in the probe set (64 floats)
-    def ivfIngestRps(): Double = {
+    def ivfIngestRps(rows: Int = n): Double = {
       val cents = Array.tabulate(8)(k =>
         (k.toLong, Array.tabulate(64)(j =>
           if (j % 8 == k) 1.0f else 0.01f * ((j + k) % 5))))
@@ -211,7 +215,7 @@ object Bench {
         "ts", "vec_id", "embedding", cents, "10 minutes", "1 minute")
       val q = out.writeStream.format("noop").outputMode("append").start()
       try {
-        val nv = n / 4 // embedding rows are ~64x heavier than words
+        val nv = rows / 4 // embedding rows are ~64x heavier than words
         // rate over rows actually fed: chunks·⌊nv/chunks⌋ (dividing nv
         // by the elapsed time overstates whenever chunks ∤ nv)
         val fed = chunks * (nv / chunks)
@@ -240,18 +244,39 @@ object Bench {
 
     // 10x-batch rows (r17 verdict item 6): the default per-microbatch
     // row count documents the LOWER BOUND (fixed per-batch cost
-    // dominates); these two show throughput rising once the batch
-    // amortizes it — the regime a production trigger interval targets.
-    // Default backend only: the batch-size effect is backend-independent
-    // plumbing, and 2 extra probes keep the bench line's cost bounded.
+    // dominates); these show throughput rising once the batch amortizes
+    // it — the regime a production trigger interval targets. Round 19
+    // (r18 verdict item 6) adds the three SLOWEST probes — neardup,
+    // attribution, ivfingest, the ones a capacity planner actually asks
+    // about — alongside the original windowed/dedup pair. Default
+    // backend only: the batch-size effect is backend-independent
+    // plumbing, and 5 probes keep the bench line's cost bounded.
+    // The 10x row count computes in Long (r18 ADVICE): n * 10 as Int
+    // overflows for SPARK_GRAFT_STREAM_ROWS >= ~215M — fail loudly
+    // (recorded under streaming_errors) rather than feed garbage.
+    def rows10x: Int = {
+      val v = n.toLong * 10
+      require(v <= Int.MaxValue,
+        s"SPARK_GRAFT_STREAM_ROWS=$n: the 10x batch row count $v " +
+          "overflows Int — lower the row count for the batch10x probes")
+      v.toInt
+    }
     val batch10x: Seq[(String, () => Double)] = Seq(
-      "windowed_batch10x" -> (() => windowedRps(rows = n * 10)),
-      "dedup_batch10x" -> (() => dedupRps(curate = false, rows = n * 10)))
+      "windowed_batch10x" -> (() => windowedRps(rows = rows10x)),
+      "dedup_batch10x" -> (() => dedupRps(curate = false, rows = rows10x)),
+      "neardup_batch10x" -> (() => nearDedupRps(rows = rows10x)),
+      "attribution_batch10x" -> (() => attributionRps(rows = rows10x)),
+      "ivfingest_batch10x" -> (() => ivfIngestRps(rows = rows10x)))
 
     val allProbes =
       (for ((bName, cls) <- backends; (oName, run) <- ops)
         yield (s"${oName}_$bName", cls, run)) ++
-      batch10x.map { case (nm, run) => (s"${nm}_hdfs", backends.head._2, run) }
+      // suffix derives from the backend row actually used (r18 ADVICE:
+      // the hardcoded "_hdfs" label would silently mislabel the record
+      // if the backends Seq were ever reordered)
+      batch10x.map { case (nm, run) =>
+        (s"${nm}_${backends.head._1}", backends.head._2, run)
+      }
 
     for ((name, cls, run) <- allProbes) yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
@@ -295,22 +320,30 @@ object Bench {
     * Thresholds: canary ratios ≥ 2.5 (the suite re-timed a trivial query
     * 2.5× slower than its in-suite run — the machine degraded mid-suite;
     * quiet runs sit at 0.9-1.4, the poisoned r17 families at 3.8+) and
-    * a 1-minute loadavg ≥ 2.5 BEFORE the suite starts (an idle machine
-    * reads ≲ 1.5; 2.5+ means another workload owns cores the timings
-    * assume). Returns the reasons, empty = clean. Pure function —
-    * spec-covered in BenchContaminationSpec.
+    * a CPU-NORMALIZED 1-minute loadavg before the suite starts:
+    * load1/cpus ≥ 0.5 — half the machine's cores already owned by other
+    * work. Round 19 (r18 verdict item 4): the former ABSOLUTE ≥ 2.5 bar
+    * false-positived the driver's r18 record (loadavg 3.47 on 32 cores
+    * ≈ 11% utilization, measured within 2.5% of the quiet number) while
+    * a genuinely-contended 4-core box at 2.4 would have passed. The
+    * canary ratios stay un-normalized — they measure the run itself.
+    * Returns the reasons, empty = clean. Pure function — spec-covered
+    * in BenchContaminationSpec.
     */
   private[graft] def contaminationOf(canaryRatio: Double,
                                      canaryFamilyMax: Double,
-                                     loadavgStart: String): Seq[String] = {
+                                     loadavgStart: String,
+                                     cpus: Int): Seq[String] = {
     val load1 = loadavgStart.split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val nCpu = math.max(1, cpus)
     Seq(
       if (canaryRatio >= 2.5)
         Some(f"canary_ratio $canaryRatio%.2f >= 2.5") else None,
       if (canaryFamilyMax >= 2.5)
         Some(f"canary_family_max $canaryFamilyMax%.2f >= 2.5") else None,
-      load1.filter(_ >= 2.5).map(l => f"loadavg_start $l%.2f >= 2.5"),
+      load1.filter(_ / nCpu >= 0.5).map(l =>
+        f"loadavg_start $l%.2f / $nCpu cpus = ${l / nCpu}%.2f >= 0.5"),
     ).flatten
   }
 
@@ -386,21 +419,33 @@ object Bench {
     val startMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        reps: Int): (Double, Boolean) = {
+        reps: Int): (Double, Boolean, Option[String]) = {
       // report the LAST rep's time (steady-state) but AND the ok flags
       // across ALL reps (round-16 ADVICE): with reps=2 canary calls, a
       // rep-1 failure must not be masked by a passing rep 2, and a
       // rep-1 success must not be discarded when rep 2 fails.
+      // Third element: a capacity guard's refusal message (round 19,
+      // r18 verdict item 1) — a GuardRefusal anywhere in the cause
+      // chain means the query DECLINED by design (d4's pair cap, d5's
+      // vector cap), which the record must report under "refused", not
+      // "failed": BENCH_100X.json listed d4_simhash_pairs' designed
+      // 2B-pair guard trip under "failed" and driver tooling had no way
+      // to tell it from a crash.
       var lastSec = 0.0
       var allOk = true
+      var refused: Option[String] = None
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch {
+                   case graft.core.GuardRefusal(msg) =>
+                     refused = Some(msg); false
+                   case _: Throwable => false
+                 }
         lastSec = (System.nanoTime() - t0) / 1e9
         allOk &&= ok
       }
-      (lastSec, allOk)
+      (lastSec, allOk, refused)
     }
     // Per-family canary (round-15 verdict item 3): the end-of-suite canary
     // only catches TAIL poisoning — the driver's r15 record had the
@@ -421,13 +466,14 @@ object Bench {
     val famCanary = scala.collection.mutable.LinkedHashMap[Char, Double]()
     val canaryBase: Double =
       if (only.isEmpty) {
-        val (sec, ok) =
+        val (sec, ok, _) =
           timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 2)
         if (ok) sec else -1.0
       } else -1.0
     def familyCanary(fam: Char): Unit =
       if (fam != ' ' && only.isEmpty && canaryBase > 0) {
-        val (sec, ok) = timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)
+        val (sec, ok, _) =
+          timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)
         if (ok) famCanary(fam) = sec / canaryBase
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -436,8 +482,8 @@ object Bench {
         evictAll(); familyCanary(family); family = name.head
       }
       startMs(name) = System.currentTimeMillis()
-      val (sec, ok) = timeQuery(name, fn, repeat)
-      (name, sec, ok)
+      val (sec, ok, refusal) = timeQuery(name, fn, repeat)
+      (name, sec, ok, refusal)
     }
     evictAll() // release the last family's pins before the streaming probes
     familyCanary(family) // close the LAST family's window
@@ -453,7 +499,7 @@ object Bench {
     // inflates it (both reps run under the same contention).
     val canary = (if (only.isEmpty) Seq("p1_wordcount", "p12_upper")
                   else Seq.empty).flatMap { q =>
-      val (sec, ok) = timeQuery(q, SparkEntry.queries(q), 2)
+      val (sec, ok, _) = timeQuery(q, SparkEntry.queries(q), 2)
       if (ok && suiteTimes.get(q).exists(_ > 0)) Some((q, suiteTimes(q), sec))
       else None
     }
@@ -462,12 +508,25 @@ object Bench {
       else canary.map { case (_, s, r) => r / s }.max
     val loadEnd = loadavg()
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // guard refusals are NOT failures (r18 verdict item 1): "failed"
+    // keeps real errors only; "refused" carries name → guard message so
+    // driver tooling can tell a designed capacity refusal from a crash
+    val failed = results.collect { case (k, _, false, None) =>
+      "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val refused = results.collect { case (k, _, false, Some(msg)) =>
+      "\"" + k + "\":" + jstr(msg.take(300))
+    }.mkString("{", ",", "}")
+    val refusedNames = results.collect { case (k, _, false, Some(_)) =>
+      "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     // streaming rows/s probe rides the SAME single JSON line (the driver
     // parses one line; a second line would break it)
     val streaming = (if (only.isEmpty) probeStreaming(spark)
@@ -517,17 +576,18 @@ object Bench {
     val selfField = if (willWriteSelf) "\"" + selfName + "\"" else "null"
     // machine-readable rejection flag (r17 verdict item 4): true means
     // the timings are load-poisoned and tooling must not compare them
-    val contamination = contaminationOf(canaryRatio, famCanaryMax, loadStart)
+    val contamination = contaminationOf(canaryRatio, famCanaryMax, loadStart,
+      Runtime.getRuntime.availableProcessors())
     val contaminatedField =
       s""""contaminated":${contamination.nonEmpty},"contamination_reasons":${
         contamination.map(r => "\"" + r + "\"").mkString("[", ",", "]")}"""
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,$contaminatedField,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,$contaminatedField,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
     // compact line: totals + the 5 slowest queries (the per-query signal a
     // reader needs first) + the rejection signals (canary ratios, loadavg)
     val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
-      case (k, v, _) => "\"" + k + "\":" + f3(v)
+      case (k, v, _, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedNames,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would

@@ -53,14 +53,21 @@ object KeyedOps {
     * stays size-selected (broadcast while the stats side fits, shuffle
     * on the salted keys past that). `saltBy` must be a column of the
     * BIG side that spreads rows within a key (a doc/row id).
+    *
+    * `joinType` extends the salting to LEFT joins (round 19 — x16's
+    * pruned-head fallback keeps missing-as-null semantics): unmatched
+    * big rows survive with nulls, and salting stays correct because
+    * every stats row exists under EVERY salt value, so a big row
+    * misses iff its key tuple is absent from the stats frame.
     */
   def saltedStatsJoin(big: DataFrame, stats: DataFrame, terms: Seq[String],
-                      buckets: Int, saltBy: Column): DataFrame = {
+                      buckets: Int, saltBy: Column,
+                      joinType: String = "inner"): DataFrame = {
     val statsS = stats.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     big.withColumn("__salt",
         pmod(xxhash64(saltBy), lit(buckets.toLong)).cast("int"))
-      .join(statsS, terms :+ "__salt")
+      .join(statsS, terms :+ "__salt", joinType)
       .drop("__salt")
   }
 

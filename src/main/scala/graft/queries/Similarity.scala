@@ -496,7 +496,7 @@ object Similarity extends QueryModule {
       // not a plan) and config-overridable for a deliberate run.
       val maxVectors = s.conf.getOption("graft.d5.maxVectors")
         .map(_.toLong).getOrElse(5000000L)
-      require(n <= maxVectors,
+      graft.core.GuardRefusal.check(n <= maxVectors,
         s"d5_embed_neardup is EXACT all-pairs (O(n²) compute by " +
           s"contract): corpus has $n vectors, cap is $maxVectors " +
           "(graft.d5.maxVectors). For corpora past the cap use the " +

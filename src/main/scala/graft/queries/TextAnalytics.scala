@@ -705,7 +705,27 @@ object TextAnalytics extends QueryModule {
         // machinery when the corpus profile demanded it.
         val head = stats.filter($"c12" >= minDf)
           .select($"w1", $"w2", $"c12")
-        val withHead = db.join(broadcast(head), Seq("w1", "w2"), "left")
+        // …but the hint is SIZE-GATED (round 19, r18 ADVICE medium):
+        // an explicit broadcast bypasses autoBroadcastJoinThreshold,
+        // so minDf barely above 1 on a large corpus — where the "head"
+        // is nearly the full bigram vocab — would fail the job with a
+        // broadcast-size error or driver OOM where the size-selected
+        // plan degraded gracefully. One exact count of the pruned head
+        // (an agg over the stats frame, paid only on the minDf>1 path)
+        // gates the hint at `graft.x16.broadcastMaxRows` (default 2M
+        // rows ≈ low hundreds of MB of bigram strings); past the
+        // ceiling the join falls back to the salted / size-selected
+        // (w1,w2) LEFT join — identical missing-as-unseen semantics,
+        // skew absorbed by the same salting the exact path uses.
+        val maxHead = sess.conf.getOption("graft.x16.broadcastMaxRows")
+          .map(_.toLong).getOrElse(2000000L)
+        val withHead =
+          if (head.count() <= maxHead)
+            db.join(broadcast(head), Seq("w1", "w2"), "left")
+          else if (salted)
+            graft.operators.KeyedOps.saltedStatsJoin(db, head,
+              Seq("w1", "w2"), saltBuckets(sess), col("doc_id"), "left")
+          else db.join(head, Seq("w1", "w2"), "left")
         if (salted)
           graft.operators.KeyedOps.saltedStatsJoin(withHead,
             sharedBigramCtx(docs), Seq("w1"), saltBuckets(sess),

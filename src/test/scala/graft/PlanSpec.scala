@@ -256,6 +256,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("d5_embed_neardup")
     assert(p.contains("InMemoryTableScan"),
       s"grid sides must read the persisted block pin:\n$p")
+    // diagnostic failure, not an SIOOBE, when the plan has the table
+    // scan but no relation section (r18 ADVICE: indexOf would read -1)
+    assert(p.contains("InMemoryRelation"),
+      s"plan must print the InMemoryRelation pin section:\n$p")
     val aboveCache = p.substring(0, p.indexOf("InMemoryRelation"))
     assert(!aboveCache.contains("Exchange hashpartitioning"),
       s"no key-shuffle above the block pin — grid rows spread " +
@@ -272,6 +276,20 @@ class PlanSpec extends SparkSpec {
     // refactor can't silently re-serialize the grid.
     assert(p.contains("REPARTITION_BY_NUM"),
       s"grid must spread via an explicit REPARTITION_BY_NUM exchange:\n$p")
+  }
+
+  test("d17_edit_verify: text-group exchange keys on the sha2 digest, never raw text") {
+    // Round 19 (r18 verdict "what's wrong" item 1): the text-identity
+    // collapse groups byte-identical docs, but the corpus-sized group
+    // exchange must partition on the 32-byte sha2(text, 256) digest —
+    // keying it on the multi-KB document body roughly doubles the
+    // exchange bytes at 100 TB for the same answer. The text itself
+    // rides the shuffle once as an aggregate carry, never as a key.
+    val p = plan("d17_edit_verify")
+    assert(p.contains("sha2"),
+      s"text-group collapse must key on the sha2 digest:\n$p")
+    assert(!"hashpartitioning\\(text#".r.findFirstIn(p).isDefined,
+      s"no exchange may partition on the raw text column:\n$p")
   }
 
   test("d5_embed_neardup: corpus-size guard fails fast past the cap") {

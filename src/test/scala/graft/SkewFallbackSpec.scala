@@ -93,6 +93,34 @@ class SkewFallbackSpec extends SparkSpec {
     } finally spark.conf.unset("graft.x16.minDf")
   }
 
+  test("x16 minDf head past the broadcast ceiling: fallback join is result-identical") {
+    // Round 19 (r18 ADVICE medium): the forced broadcast(head) hint is
+    // size-gated — past graft.x16.broadcastMaxRows the pruned path
+    // falls back to the salted / size-selected (w1,w2) LEFT join
+    // instead of bypassing autoBroadcastJoinThreshold with a
+    // near-full-vocab head. Ceiling 0 forces the fallback on any
+    // corpus; results must be identical on both the plain and salted
+    // shapes, including on the skew corpus the salting exists for.
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, salted: Boolean) =
+      sortedRows(TextAnalytics.bigramLogprob(d, salted = salted))
+    spark.conf.set("graft.x16.minDf", "2")
+    try {
+      val viaBroadcast = run(docs, salted = false)
+      val viaBroadcastSkew = run(skewCorpus(), salted = true)
+      spark.conf.set("graft.x16.broadcastMaxRows", "0")
+      try {
+        assert(run(docs, salted = false) == viaBroadcast,
+          "plain fallback must match the broadcast path")
+        assert(run(docs, salted = true) == viaBroadcast,
+          "salted LEFT fallback must match the broadcast path")
+        assert(run(skewCorpus(), salted = true) == viaBroadcastSkew,
+          "salted fallback must match on the skew corpus")
+      } finally spark.conf.unset("graft.x16.broadcastMaxRows")
+    } finally spark.conf.unset("graft.x16.minDf")
+  }
+
   test("x29 salted interpolated-LM shape is result-identical on the skew corpus") {
     val d = TextAnalytics.interpLm(skewCorpus(), salted = false)
     val s = TextAnalytics.interpLm(skewCorpus(), salted = true)
