@@ -2236,6 +2236,92 @@ object Dedup extends QueryModule {
        |      FROM documents)""".stripMargin
   }
 
+  /** DuckDB replay SQL for the CC family's verified PAIR frames at
+    * scales where the doc-level oracle is unaffordable (round 19, r18
+    * verdict item 2 — the engine-independent 100× attestation of the
+    * pair/CC family). The trick that makes the replay affordable is the
+    * same contraction the engine runs, RE-DERIVED independently: rep
+    * collapse keyed on the SORTED DISTINCT shingle set. Jaccard and
+    * every minhash permutation are functions of the set alone, so the
+    * collapse is lossless for the doc-level pair frame — within-group
+    * pairs have jaccard 1 (always over threshold), cross-group pairs
+    * compute once per set pair and expand through membership — and the
+    * DuckDB cost scales with DISTINCT contents, not the 100× verbatim
+    * copy mass. (The engine groups on its arr column — first-occurrence
+    * order — so set-identical docs may sit in different engine groups;
+    * their cross pairs then arrive via a jaccard-1 rep pair instead of
+    * the intra branch. The doc-level pair SET is identical either way.)
+    * `tools/cc_check.py` runs these against the engine's pair dumps
+    * (CCAttestation) — both EXCEPT directions must be zero — then
+    * reproduces the component labels with a pure-Python union-find.
+    */
+  private[graft] def ccReplaySql: Map[String, String] = {
+    val prologue =
+      s"""WITH th AS (
+         |  SELECT doc_id, list_sort(${shingleListSql("hs")}) AS skey
+         |  FROM ($tokenHashDocsSql)),
+         |g AS (
+         |  SELECT skey, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+         |  FROM th GROUP BY skey),
+         |memb AS (
+         |  SELECT rep, unnest(ids) AS doc_id FROM g WHERE len(skey) > 0),
+         |intra AS (
+         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM memb a JOIN memb b ON a.rep = b.rep
+         |    AND a.doc_id < b.doc_id)""".stripMargin
+    val expansion =
+      s"""inter AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j
+         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep)
+         |SELECT doc_i, doc_j FROM inter
+         |UNION ALL SELECT doc_i, doc_j FROM intra""".stripMargin
+    val exact =
+      s"""$prologue,
+         |rsh AS (
+         |  SELECT rep, unnest(skey) AS shingle, len(skey) AS n_sh
+         |  FROM g WHERE len(skey) > 0),
+         |rp AS (
+         |  SELECT a.rep AS ri, b.rep AS rj, count(*) AS n_common,
+         |         min(a.n_sh) AS n_i, min(b.n_sh) AS n_j
+         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.rep < b.rep
+         |  GROUP BY 1, 2),
+         |rpairs AS (
+         |  SELECT ri, rj FROM rp
+         |  WHERE n_common::DOUBLE / (n_i + n_j - n_common) >= 0.5),
+         |$expansion""".stripMargin
+    val perms = (0 until NumPerm).map { j =>
+      s"""list_min(list_transform(skey,
+         |  h -> (h * ${2L * j + 1} + ${12345L * j + 1}) % $P)) AS m$j""".stripMargin
+    }.mkString(",\n  ")
+    val bandRows = (0 until NumPerm / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize)
+        .map(j => s"m$j::VARCHAR").mkString(", ")
+      s"SELECT rep, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM rsig"
+    }.mkString("\n  UNION ALL ")
+    val lsh =
+      s"""$prologue,
+         |rsig AS (
+         |  SELECT rep, $perms
+         |  FROM g WHERE len(skey) > 0),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.rep AS ri, b.rep AS rj
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.rep < b.rep),
+         |rpairs AS (
+         |  SELECT ri, rj FROM cand
+         |  JOIN g ga ON ga.rep = cand.ri
+         |  JOIN g gb ON gb.rep = cand.rj
+         |  WHERE len(list_filter(ga.skey, e -> list_contains(gb.skey, e)))::DOUBLE
+         |    / (len(ga.skey) + len(gb.skey)
+         |       - len(list_filter(ga.skey, e -> list_contains(gb.skey, e)))) >= 0.5),
+         |$expansion""".stripMargin
+    Map("pairs_exact" -> exact, "pairs_lsh" -> lsh)
+  }
+
   override def oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keeper,

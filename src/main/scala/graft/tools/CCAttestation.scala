@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine half of the CC family's 100× attestation (round 19, r18
+  * verdict item 2): components are NOT closed under corpus slicing, so
+  * the slice-proof convention that certified d4/d5/x19 at 100× cannot
+  * carry d7/d26/d34. But the VERIFIED PAIR frames those components
+  * close over ARE independently replayable (rep-collapsed DuckDB SQL —
+  * see `Dedup.ccReplaySql`), and the transitive closure itself is
+  * trivial outside the engine: a ~30-line union-find.
+  *
+  * This main dumps, for one fixture dir:
+  *   - `pairs_exact`  — the Jaccard≥0.5 doc-pair edge set (d7/d10's
+  *     component edges, doc-level)
+  *   - `pairs_lsh`    — the banded-candidate, exact-Jaccard-verified
+  *     doc-pair edge set (d26/d27/d34/d35's component edges)
+  *   - `comp_exact` / `comp_lsh` — the engine's pinned (id, component)
+  *     label frames behind d7/d21 and d26/d27/d32/d33/d35
+  *   - `comp_incremental` — d34's incremental CC output (contracted
+  *     incremental fixpoint; must equal a full rebuild, i.e. the
+  *     union-find over `pairs_lsh`)
+  *   - `d7_sizes` / `d26_sizes` — the registry queries' component-size
+  *     outputs
+  *   - `cc_oracle_sql.json` — the DuckDB replay SQL for both pair
+  *     frames.
+  * `tools/cc_check.py` then (1) replays both pair frames in DuckDB
+  * from the raw corpus (both EXCEPT directions zero), (2) union-finds
+  * the dumped pairs in pure Python and compares the min-id component
+  * labels and size histograms against every engine frame above.
+  *
+  * Usage: runMain graft.tools.CCAttestation <sfDir> <outDir>
+  */
+object CCAttestation {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.queries.Dedup
+    def dump(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      // repartition(1), not coalesce(1): the round-18 Verify lesson —
+      // coalesce folds the whole upstream compute into the writer task
+      df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val n = spark.read.parquet(s"$outDir/$name").count()
+      println(f"CCATTEST $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+
+    dump("pairs_exact", Dedup.sharedJaccardPairs(spark, sfDir, 0.5)
+      .select(col("doc_i"), col("doc_j")))
+    dump("pairs_lsh", Dedup.lshVerifiedPairs(spark, sfDir)
+      .select(col("src").as("doc_i"), col("dst").as("doc_j")))
+    dump("comp_exact", Dedup.dupComponents(spark, sfDir))
+    dump("comp_lsh", Dedup.lshDupComponents(spark, sfDir))
+    dump("comp_incremental",
+      graft.SparkEntry.queries("d34_incremental_components")(spark, sfDir))
+    dump("d7_sizes", graft.SparkEntry.queries("d7_dup_components")(spark, sfDir))
+    dump("d26_sizes",
+      graft.SparkEntry.queries("d26_lsh_dedup_components")(spark, sfDir))
+
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "cc_oracle_sql.json"),
+      Dedup.ccReplaySql.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+        .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

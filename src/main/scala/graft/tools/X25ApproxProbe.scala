@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the x25 approx-boundaries swap at fixture scale (round 19,
+  * r18 verdict item 5): the `percentile_approx` octile path behind
+  * `spark.graft.export.approxBoundaries` is the 100 TB form — exact
+  * `percentile` keeps a value map ∝ distinct quality doubles for
+  * DuckDB bit-parity — and until now the swap had a spec bound
+  * (ApproxBoundariesSpec) but no at-scale number. Prints one line:
+  * wall for the exact vs approx manifest (warm, best of `reps`), the
+  * measured shard-disagreement count between the two curriculum
+  * frames, the spec's rank-error bound 7·(n/accuracy + 1) for that n,
+  * and whether every mover landed in an adjacent shard.
+  *
+  * Usage: runMain graft.tools.X25ApproxProbe <sfDir> [reps]
+  */
+object X25ApproxProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.TextAnalytics
+
+    def best(flag: Option[String]): Double = {
+      flag match {
+        case Some(v) => spark.conf.set(TextAnalytics.ApproxBoundariesKey, v)
+        case None => spark.conf.unset(TextAnalytics.ApproxBoundariesKey)
+      }
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries("x25_shard_manifest")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val exactSec = best(None)
+    val approxSec = best(Some("true"))
+    spark.conf.unset(TextAnalytics.ApproxBoundariesKey)
+
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val e = TextAnalytics.curriculumFrameOf(docs, approx = false)
+      .select(col("doc_id"), col("shard").as("shard_e"))
+    val a = TextAnalytics.curriculumFrameOf(docs, approx = true)
+      .select(col("doc_id"), col("shard").as("shard_a"))
+    val diff = e.join(a, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("shard_e") =!= col("shard_a"), 1L).otherwise(0L))
+          .as("moved"),
+        max(abs(col("shard_e") - col("shard_a"))).as("max_jump"))
+      .head()
+    val (n, moved, maxJump) =
+      (diff.getLong(0), diff.getLong(1), diff.getLong(2))
+    val bound = 7.0 * (n.toDouble / 10000.0 + 1.0)
+    println(f"X25APPROX exact_sec=$exactSec%.1f approx_sec=$approxSec%.1f " +
+      f"n=$n%d moved=$moved%d bound=$bound%.0f max_jump=$maxJump%d " +
+      s"within_bound=${moved <= bound} adjacent_only=${maxJump <= 1}")
+    spark.stop()
+  }
+}
