@@ -35,6 +35,14 @@ object X25ApproxProbe {
         case Some(v) => spark.conf.set(TextAnalytics.ApproxBoundariesKey, v)
         case None => spark.conf.unset(TextAnalytics.ApproxBoundariesKey)
       }
+      // evidence the flag routed the plan (the wall numbers are only
+      // meaningful if the two runs actually took different paths)
+      val p = graft.SparkEntry.queries("x25_shard_manifest")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val approxPlanned =
+        p.contains("approx_percentile") || p.contains("percentile_approx")
+      println(s"X25PLAN flag=${flag.getOrElse("unset")} " +
+        s"approx_in_plan=$approxPlanned")
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries("x25_shard_manifest")(spark, sfDir).count()
