@@ -2255,41 +2255,47 @@ object Dedup extends QueryModule {
     * (CCAttestation) — both EXCEPT directions must be zero — then
     * reproduces the component labels with a pure-Python union-find.
     */
-  private[graft] def ccReplaySql: Map[String, String] = {
-    val prologue =
-      s"""WITH th AS (
-         |  SELECT doc_id, list_sort(${shingleListSql("hs")}) AS skey
-         |  FROM ($tokenHashDocsSql)),
-         |g AS (
-         |  SELECT skey, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
-         |  FROM th GROUP BY skey),
-         |memb AS (
-         |  SELECT rep, unnest(ids) AS doc_id FROM g WHERE len(skey) > 0),
-         |intra AS (
-         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-         |  FROM memb a JOIN memb b ON a.rep = b.rep
-         |    AND a.doc_id < b.doc_id)""".stripMargin
-    val expansion =
-      s"""inter AS (
-         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
-         |         greatest(x.doc_id, y.doc_id) AS doc_j
-         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep)
-         |SELECT doc_i, doc_j FROM inter
-         |UNION ALL SELECT doc_i, doc_j FROM intra""".stripMargin
-    val exact =
-      s"""$prologue,
-         |rsh AS (
-         |  SELECT rep, unnest(skey) AS shingle, len(skey) AS n_sh
-         |  FROM g WHERE len(skey) > 0),
-         |rp AS (
-         |  SELECT a.rep AS ri, b.rep AS rj, count(*) AS n_common,
-         |         min(a.n_sh) AS n_i, min(b.n_sh) AS n_j
-         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.rep < b.rep
-         |  GROUP BY 1, 2),
-         |rpairs AS (
-         |  SELECT ri, rj FROM rp
-         |  WHERE n_common::DOUBLE / (n_i + n_j - n_common) >= 0.5),
-         |$expansion""".stripMargin
+  /** Shared contraction CTEs for every rep-level DuckDB replay: text →
+    * sorted distinct shingle set → groups (rep = min doc_id, ids),
+    * membership, and within-group ordered pairs.
+    */
+  private def repContractionCtes: String =
+    s"""th AS (
+       |  SELECT doc_id, list_sort(${shingleListSql("hs")}) AS skey
+       |  FROM ($tokenHashDocsSql)),
+       |g AS (
+       |  SELECT skey, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+       |  FROM th GROUP BY skey),
+       |memb AS (
+       |  SELECT rep, len(skey) AS n_sh, unnest(ids) AS doc_id
+       |  FROM g WHERE len(skey) > 0),
+       |intra AS (
+       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n_sh
+       |  FROM memb a JOIN memb b ON a.rep = b.rep
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Rep-level per-pair set statistics (= repPairStats): one row per
+    * distinct-set pair sharing >= 1 shingle, ending in `rps`.
+    */
+  private def repStatsCtes: String =
+    s"""rsh AS (
+       |  SELECT rep, unnest(skey) AS shingle, len(skey) AS n_sh
+       |  FROM g WHERE len(skey) > 0),
+       |rp AS (
+       |  SELECT a.rep AS ri, b.rep AS rj, count(*) AS n_common,
+       |         min(a.n_sh) AS n_i, min(b.n_sh) AS n_j
+       |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.rep < b.rep
+       |  GROUP BY 1, 2),
+       |rps AS (
+       |  SELECT ri, rj, n_common, n_i, n_j,
+       |         n_common::DOUBLE / (n_i + n_j - n_common) AS jaccard,
+       |         n_common::DOUBLE / least(n_i, n_j) AS containment
+       |  FROM rp)""".stripMargin
+
+  /** Rep-level minhash sigs + banding + distinct candidate rep pairs,
+    * ending in `cand(ri, rj)`.
+    */
+  private def repBandingCtes: String = {
     val perms = (0 until NumPerm).map { j =>
       s"""list_min(list_transform(skey,
          |  h -> (h * ${2L * j + 1} + ${12345L * j + 1}) % $P)) AS m$j""".stripMargin
@@ -2299,27 +2305,174 @@ object Dedup extends QueryModule {
         .map(j => s"m$j::VARCHAR").mkString(", ")
       s"SELECT rep, $b AS band_idx, concat_ws(',', $cols) AS band_key FROM rsig"
     }.mkString("\n  UNION ALL ")
+    s"""rsig AS (
+       |  SELECT rep, $perms
+       |  FROM g WHERE len(skey) > 0),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.rep AS ri, b.rep AS rj
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.rep < b.rep)""".stripMargin
+  }
+
+  /** Exact set Jaccard of two joined `g` rows aliased ga/gb. */
+  private def repJaccardExpr: String =
+    """len(list_filter(ga.skey, e -> list_contains(gb.skey, e)))::DOUBLE
+      |    / (len(ga.skey) + len(gb.skey)
+      |       - len(list_filter(ga.skey, e -> list_contains(gb.skey, e))))""".stripMargin
+
+  /** Verified rep pairs from the banded candidates, ending in
+    * `rpairs(ri, rj)` — the LSH family's edge contract.
+    */
+  private def repLshVerifiedCtes: String =
+    s"""$repBandingCtes,
+       |rpairs AS (
+       |  SELECT ri, rj FROM cand
+       |  JOIN g ga ON ga.rep = cand.ri
+       |  JOIN g gb ON gb.rep = cand.rj
+       |  WHERE $repJaccardExpr >= 0.5)""".stripMargin
+
+  /** Contracted drop-in for [[componentsCteSql]]/[[lshComponentsCteSql]]:
+    * the SAME ending relation `comp(id, component)`, but the recursive
+    * closure runs over the ~distinct-content rep graph and members
+    * inherit their rep's label — affordable at fixtures where the
+    * doc-level closure is not. Min-label equivalence: every rep is its
+    * group's min doc_id, and a doc-level component's min doc is the min
+    * over its member groups' reps (the engine's contractedComponents
+    * argument, re-derived in SQL). Docs outside `memb` (empty shingle
+    * set — each its own group in doc-level semantics since they never
+    * pair) and singleton-content docs with no edges label themselves.
+    */
+  private def contractedCompCte(edgeCtes: String): String =
+    s"""WITH RECURSIVE $repContractionCtes,
+       |$edgeCtes,
+       |redges AS (
+       |  SELECT ri AS src, rj AS dst FROM rpairs
+       |  UNION SELECT rj, ri FROM rpairs),
+       |rreach AS (
+       |  SELECT rep AS id, rep AS label FROM g WHERE len(skey) > 0
+       |  UNION
+       |  SELECT e.dst AS id, r.label
+       |  FROM rreach r JOIN redges e ON r.id = e.src),
+       |rcomp AS (
+       |  SELECT id AS rep, min(label) AS component FROM rreach GROUP BY id),
+       |lab AS (
+       |  SELECT m.doc_id AS id, rc.component
+       |  FROM memb m JOIN rcomp rc ON m.rep = rc.rep),
+       |comp AS (
+       |  SELECT d.doc_id AS id, coalesce(l.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)""".stripMargin
+
+  private def contractedComponentsCteSql: String = contractedCompCte(
+    s"""$repStatsCtes,
+       |rpairs AS (SELECT ri, rj FROM rps WHERE jaccard >= 0.5)""".stripMargin)
+
+  private def contractedLshComponentsCteSql: String =
+    contractedCompCte(repLshVerifiedCtes)
+
+  /** The nine component-consuming registry oracles with their recursive
+    * doc-level `comp` prologue swapped for the contracted rep-level one
+    * — the downstream SQL (quality election, weights, splits, audits)
+    * is reused VERBATIM, so the replay differs from the certified
+    * oracle only in the closure's contraction, which the union-find
+    * check attests independently. Throws if an oracle's text stops
+    * embedding the prologue (the swap must never silently no-op).
+    */
+  private[graft] def contractedOracleSql: Map[String, String] = {
+    val swaps = Seq(
+      componentsCteSql -> contractedComponentsCteSql,
+      lshComponentsCteSql -> contractedLshComponentsCteSql)
+    Seq("d7_dup_components", "d10_best_keeper", "d21_leakage_split",
+      "d26_lsh_dedup_components", "d27_lsh_keeper", "d32_dup_weights",
+      "d33_effective_tokens", "d34_incremental_components",
+      "d35_dedup_audit").map { n =>
+      val sql = oracle(n)
+      val swapped = swaps.foldLeft(sql) { case (s, (from, to)) =>
+        s.replace(from, to)
+      }
+      require(swapped != sql, s"$n: no comp prologue found to contract")
+      n -> swapped
+    }.toMap
+  }
+
+  private[graft] def ccReplaySql: Map[String, String] = {
+    val prologue = s"WITH ${repContractionCtes}"
+    val repStats = repStatsCtes
+    def expansion(repCols: String, docCols: String,
+                  intraCols: String): String =
+      s"""inter AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j$repCols
+         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep)
+         |SELECT doc_i, doc_j$docCols FROM inter
+         |UNION ALL SELECT doc_i, doc_j$intraCols FROM intra""".stripMargin
+    val exact =
+      s"""$prologue,
+         |$repStats,
+         |rpairs AS (SELECT ri, rj FROM rps WHERE jaccard >= 0.5),
+         |${expansion("", "", "")}""".stripMargin
+    // d2's registry output: the shared pair frame at base threshold 0.3
+    val d2 =
+      s"""$prologue,
+         |$repStats,
+         |rpairs AS (SELECT ri, rj, jaccard FROM rps WHERE jaccard >= 0.3),
+         |${expansion(", jaccard", ", jaccard", ", 1.0::DOUBLE AS jaccard")}""".stripMargin
+    // d16's registry output: containment >= 0.9 with full stats; n_i/n_j
+    // swap with the doc order exactly as expandStats does
+    val d16 =
+      s"""$prologue,
+         |$repStats,
+         |rpairs AS (SELECT * FROM rps WHERE containment >= 0.9),
+         |inter AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j,
+         |         n_common,
+         |         CASE WHEN x.doc_id < y.doc_id THEN n_i ELSE n_j END AS n_i,
+         |         CASE WHEN x.doc_id < y.doc_id THEN n_j ELSE n_i END AS n_j,
+         |         containment, jaccard
+         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep)
+         |SELECT doc_i, doc_j, n_common, n_i, n_j, containment, jaccard
+         |FROM inter
+         |UNION ALL
+         |SELECT doc_i, doc_j, n_sh AS n_common, n_sh AS n_i, n_sh AS n_j,
+         |  1.0::DOUBLE AS containment, 1.0::DOUBLE AS jaccard
+         |FROM intra""".stripMargin
+    val banding = repBandingCtes
+    val repJaccard = repJaccardExpr
     val lsh =
       s"""$prologue,
-         |rsig AS (
-         |  SELECT rep, $perms
-         |  FROM g WHERE len(skey) > 0),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT a.rep AS ri, b.rep AS rj
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND a.rep < b.rep),
+         |$repLshVerifiedCtes,
+         |${expansion("", "", "")}""".stripMargin
+    // d3's registry output: the UNVERIFIED banded candidate doc pairs
+    val d3 =
+      s"""$prologue,
+         |$banding,
+         |rpairs AS (SELECT ri, rj FROM cand),
+         |${expansion("", "", "")}""".stripMargin
+    // d11's registry output: candidates scored with the minhash
+    // agreement estimate AND the exact set Jaccard
+    val est = (0 until NumPerm)
+      .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val d11 =
+      s"""$prologue,
+         |$banding,
          |rpairs AS (
-         |  SELECT ri, rj FROM cand
+         |  SELECT ri, rj,
+         |    ($est)::DOUBLE / $NumPerm AS jaccard_est,
+         |    $repJaccard AS jaccard
+         |  FROM cand
+         |  JOIN rsig sa ON sa.rep = cand.ri
+         |  JOIN rsig sb ON sb.rep = cand.rj
          |  JOIN g ga ON ga.rep = cand.ri
-         |  JOIN g gb ON gb.rep = cand.rj
-         |  WHERE len(list_filter(ga.skey, e -> list_contains(gb.skey, e)))::DOUBLE
-         |    / (len(ga.skey) + len(gb.skey)
-         |       - len(list_filter(ga.skey, e -> list_contains(gb.skey, e)))) >= 0.5),
-         |$expansion""".stripMargin
-    Map("pairs_exact" -> exact, "pairs_lsh" -> lsh)
+         |  JOIN g gb ON gb.rep = cand.rj),
+         |${expansion(", jaccard_est, jaccard", ", jaccard_est, jaccard",
+                      ", 1.0::DOUBLE AS jaccard_est, 1.0::DOUBLE AS jaccard")}""".stripMargin
+    Map("pairs_exact" -> exact, "pairs_lsh" -> lsh,
+      "d2_jaccard_pairs" -> d2, "d16_containment" -> d16,
+      "d3_lsh_pairs" -> d3, "d11_lsh_verify" -> d11) ++ contractedOracleSql
   }
 
   override def oracle: Map[String, String] = Map(

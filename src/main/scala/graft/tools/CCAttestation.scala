@@ -58,13 +58,24 @@ object CCAttestation {
       .select(col("doc_i"), col("doc_j")))
     dump("pairs_lsh", Dedup.lshVerifiedPairs(spark, sfDir)
       .select(col("src").as("doc_i"), col("dst").as("doc_j")))
+    // full registry outputs whose oracles are pair-quadratic or
+    // CC-recursive at doc level but affordable rep-level (round 19
+    // extension): the pair family (d2/d3/d11/d16 — rep-collapsed
+    // pair-gen) and the component family (d7/d10/d21/d26/d27/d32/d33/
+    // d34/d35 — the certified oracle SQL with its recursive comp
+    // prologue swapped for the contracted one, downstream verbatim).
+    // All thirteen move from "carried by the 20x gate" to DIRECT
+    // DuckDB parity at 100x.
+    for (q <- Seq("d2_jaccard_pairs", "d3_lsh_pairs", "d11_lsh_verify",
+        "d16_containment", "d7_dup_components", "d10_best_keeper",
+        "d21_leakage_split", "d26_lsh_dedup_components", "d27_lsh_keeper",
+        "d32_dup_weights", "d33_effective_tokens",
+        "d34_incremental_components", "d35_dedup_audit"))
+      dump(q, graft.SparkEntry.queries(q)(spark, sfDir))
+    // the pinned label frames, for the union-find's second (non-SQL)
+    // reproduction path
     dump("comp_exact", Dedup.dupComponents(spark, sfDir))
     dump("comp_lsh", Dedup.lshDupComponents(spark, sfDir))
-    dump("comp_incremental",
-      graft.SparkEntry.queries("d34_incremental_components")(spark, sfDir))
-    dump("d7_sizes", graft.SparkEntry.queries("d7_dup_components")(spark, sfDir))
-    dump("d26_sizes",
-      graft.SparkEntry.queries("d26_lsh_dedup_components")(spark, sfDir))
 
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -110,9 +110,11 @@ def main():
     oracle_sql = json.loads(
         Path(dump, "cc_oracle_sql.json").read_text())
 
-    # 1. pair parity: DuckDB re-derives both edge sets from the corpus
-    for name in ("pairs_exact", "pairs_lsh"):
-        pair_parity(con, dump, name, oracle_sql[name])
+    # 1. pair parity: DuckDB re-derives every dumped frame from the
+    # corpus — the two edge sets plus any full registry outputs the
+    # dump ships SQL for (d2/d3/d11/d16)
+    for name, sql in sorted(oracle_sql.items()):
+        pair_parity(con, dump, name, sql)
 
     nodes = []
     for f in sorted(glob.glob(docs_pattern(fixture))) or \
@@ -122,13 +124,16 @@ def main():
 
     # 2. union-find over the engine's own pair dumps reproduces every
     # component frame (the pair dumps are DuckDB-attested above, so the
-    # closure below is grounded in engine-independent edges)
+    # closure below is grounded in engine-independent edges) — a SECOND
+    # reproduction path that shares nothing with the contracted
+    # recursive-CTE replay the SQL side runs
     for pairs_name, frames in (
             ("pairs_exact", [("comp_exact", "id", "component"),
-                             ("d7_sizes", None, None)]),
+                             ("d7_dup_components", None, None)]),
             ("pairs_lsh", [("comp_lsh", "id", "component"),
-                           ("comp_incremental", "doc_id", "component"),
-                           ("d26_sizes", None, None)])):
+                           ("d34_incremental_components",
+                            "doc_id", "component"),
+                           ("d26_lsh_dedup_components", None, None)])):
         ei, ej = read_pairs(dump, pairs_name)
         labels = union_find_labels(nodes, ei, ej)
         sizes = sorted((c, n) for c, n in
