@@ -2470,9 +2470,200 @@ object Dedup extends QueryModule {
          |  JOIN g gb ON gb.rep = cand.rj),
          |${expansion(", jaccard_est, jaccard", ", jaccard_est, jaccard",
                       ", 1.0::DOUBLE AS jaccard_est, 1.0::DOUBLE AS jaccard")}""".stripMargin
+    // the remaining pair-consuming oracles, contracted bespoke: each
+    // reuses the certified oracle's FINAL select verbatim over a
+    // rep-expanded stand-in for its doc-level pair/chunk CTE
+    val d6 =
+      s"""$prologue,
+         |$repStats,
+         |rpairs AS (SELECT ri, rj FROM rps WHERE jaccard >= 0.5),
+         |inter AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j
+         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep),
+         |losers AS (
+         |  SELECT DISTINCT doc_j AS doc_id FROM (
+         |    SELECT doc_i, doc_j FROM inter
+         |    UNION ALL SELECT doc_i, doc_j FROM intra))
+         |SELECT lang, count(*) AS n_kept FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY lang""".stripMargin
+    val d14 =
+      s"""$prologue,
+         |$repStats,
+         |rpe AS (SELECT ri, rj FROM rps WHERE jaccard >= 0.5),
+         |tp AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j
+         |  FROM rpe JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep
+         |  UNION ALL SELECT doc_i, doc_j FROM intra),
+         |$banding,
+         |candd AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j
+         |  FROM cand JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep
+         |  UNION ALL SELECT doc_i, doc_j FROM intra)
+         |SELECT count(*) AS n_true_pairs,
+         |  sum(CASE WHEN c.doc_i IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_caught,
+         |  sum(CASE WHEN c.doc_i IS NOT NULL THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*) AS recall
+         |FROM tp LEFT JOIN candd c USING (doc_i, doc_j)""".stripMargin
+    // d17: pairs at base 0.3; the O(len²) levenshtein runs once per
+    // DISTINCT unordered TEXT pair (keyed on text groups, NOT shingle
+    // groups — the engine's round-18 correctness key, re-derived here)
+    // with identical texts short-circuited to 0, then joins back onto
+    // the expanded pair rows
+    val d17 =
+      s"""$prologue,
+         |$repStats,
+         |rpairs AS (SELECT ri, rj, jaccard FROM rps
+         |           WHERE jaccard >= $BasePairThreshold),
+         |allp AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j, jaccard
+         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep
+         |  UNION ALL
+         |  SELECT doc_i, doc_j, 1.0::DOUBLE AS jaccard FROM intra),
+         |tgrp AS (SELECT text, min(doc_id) AS trep FROM documents
+         |         GROUP BY text),
+         |tmap AS (SELECT d.doc_id, t.trep FROM documents d
+         |         JOIN tgrp t ON d.text = t.text),
+         |tkey AS (
+         |  SELECT p.doc_i, p.doc_j, p.jaccard,
+         |         least(x.trep, y.trep) AS ta, greatest(x.trep, y.trep) AS tb
+         |  FROM allp p JOIN tmap x ON p.doc_i = x.doc_id
+         |              JOIN tmap y ON p.doc_j = y.doc_id),
+         |lv AS (
+         |  SELECT ta, tb,
+         |    CASE WHEN ta = tb THEN 0::BIGINT
+         |         ELSE levenshtein(a.text, b.text)::BIGINT END AS lev,
+         |    CASE WHEN ta = tb THEN 0.0::DOUBLE
+         |         ELSE levenshtein(a.text, b.text)::DOUBLE
+         |           / greatest(len(a.text), len(b.text)) END AS rel_dist
+         |  FROM (SELECT DISTINCT ta, tb FROM tkey) t
+         |  JOIN documents a ON t.ta = a.doc_id
+         |  JOIN documents b ON t.tb = b.doc_id)
+         |SELECT k.doc_i, k.doc_j, k.jaccard, lv.lev, lv.rel_dist,
+         |  CASE WHEN lv.rel_dist <= 0.05 THEN 1::BIGINT ELSE 0::BIGINT END
+         |    AS verified
+         |FROM tkey k JOIN lv USING (ta, tb)""".stripMargin
+    // d18: the new-vs-ref split is a DOC-level predicate (contraction
+    // does not commute with it), so it applies AFTER expansion; the
+    // jaccard >= 0.5 final filter pushes onto the rep pairs (monotone)
+    val d18 =
+      s"""$prologue,
+         |$repStats,
+         |rpairs AS (SELECT ri, rj, jaccard FROM rps WHERE jaccard >= 0.5),
+         |allp AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j, jaccard
+         |  FROM rpairs JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep
+         |  UNION ALL
+         |  SELECT doc_i, doc_j, 1.0::DOUBLE AS jaccard FROM intra),
+         |dir AS (
+         |  SELECT doc_i AS a, doc_j AS b, jaccard FROM allp
+         |  UNION ALL SELECT doc_j AS a, doc_i AS b, jaccard FROM allp),
+         |pairs AS (
+         |  SELECT a AS doc_id, b AS ref_id, jaccard FROM dir
+         |  WHERE NOT ((${OracleFragments.knuthU32("a")}) < 2147483648)
+         |    AND (${OracleFragments.knuthU32("b")}) < 2147483648)
+         |SELECT doc_id, count(*) AS n_dup_partners,
+         |  max(jaccard) AS best_jaccard,
+         |  first(ref_id ORDER BY jaccard DESC, ref_id) AS best_ref
+         |FROM pairs WHERE jaccard >= 0.5
+         |GROUP BY doc_id""".stripMargin
+    // d20: PageRank over the UNVERIFIED banded candidate graph — the
+    // doc-level pairs CTE swaps for the contracted candidate expansion,
+    // downstream (edges/deg/2 unrolled damped iterations with round-9
+    // decimal accumulation) verbatim from the certified oracle
+    def contrib(pr: String): String =
+      s"""SELECT dst AS doc_id,
+         |    CAST(sum(CAST(round(p.pr / deg.deg, 9) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS m
+         |  FROM edges JOIN deg ON edges.src = deg.src
+         |    JOIN $pr p ON edges.src = p.doc_id
+         |  GROUP BY 1""".stripMargin
+    def rankOf(c: String, scale: Int): String =
+      s"""SELECT d.doc_id,
+         |    round(0.15 / n + 0.85 * coalesce($c.m, 0.0), $scale) AS pr
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN $c ON d.doc_id = $c.doc_id, n""".stripMargin
+    val d20 =
+      s"""$prologue,
+         |$banding,
+         |pairs AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_i,
+         |         greatest(x.doc_id, y.doc_id) AS doc_j
+         |  FROM cand JOIN memb x ON ri = x.rep JOIN memb y ON rj = y.rep
+         |  UNION ALL SELECT doc_i, doc_j FROM intra),
+         |edges AS (
+         |  SELECT doc_i AS src, doc_j AS dst FROM pairs
+         |  UNION ALL SELECT doc_j AS src, doc_i AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |pr0 AS (SELECT doc_id, 1.0 / n AS pr FROM documents, n),
+         |c1 AS (
+         |  ${contrib("pr0")}),
+         |pr1 AS (
+         |  ${rankOf("c1", 9)}),
+         |c2 AS (
+         |  ${contrib("pr1")})
+         |${rankOf("c2", 6)}""".stripMargin
+    // d23: source-level 8-gram overlap — the per-doc explode collapses
+    // to DISTINCT (source, text) before sharding into shingles (the
+    // downstream DISTINCT (source, shingle) makes this lossless)
+    val d23 =
+      s"""WITH sh AS (
+         |  SELECT source, unnest(${shingleListSqlN("hs", 8)}) AS shingle
+         |  FROM (SELECT source, list_transform(${OracleFragments.wsTokens("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs
+         |    FROM (SELECT DISTINCT source, text FROM documents))),
+         |ss AS (SELECT DISTINCT source, shingle FROM sh),
+         |sz AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1)
+         |SELECT a.source AS src_i, b.source AS src_j,
+         |  count(*)::BIGINT AS n_common,
+         |  round(count(*)::DOUBLE / (si.n + sj.n - count(*))::DOUBLE, 6)
+         |    AS jaccard
+         |FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |JOIN sz si ON si.source = a.source
+         |JOIN sz sj ON sj.source = b.source
+         |GROUP BY a.source, b.source, si.n, sj.n""".stripMargin
+    // d13: CDC chunks are a pure function of the text, so the chunk
+    // pipeline runs once per DISTINCT text; nd (docs sharing a fp)
+    // re-weights by group size, and the per-rep stats row replicates
+    // to every member
+    val d13 =
+      s"""WITH tgrp AS (
+         |  SELECT text, min(doc_id) AS trep, count(*)::BIGINT AS k,
+         |         list_sort(list(doc_id)) AS ids
+         |  FROM documents GROUP BY text),
+         |repdocs AS (SELECT trep AS doc_id, text FROM tgrp),
+         |chunks AS (${TextAnalytics.chunksSql
+                        .replace("FROM documents", "FROM repdocs")}),
+         |f AS (SELECT doc_id AS trep, fp FROM chunks WHERE chunk_len = 64),
+         |fpdocs AS (
+         |  SELECT fp, sum(k)::BIGINT AS nd
+         |  FROM (SELECT DISTINCT trep, fp FROM f)
+         |  JOIN tgrp USING (trep) GROUP BY fp),
+         |repstats AS (
+         |  SELECT trep, count(*) AS n_chunks,
+         |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |      / count(*) AS dup_frac
+         |  FROM f JOIN fpdocs USING (fp)
+         |  GROUP BY trep)
+         |SELECT m.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_frac
+         |FROM repstats r
+         |JOIN (SELECT trep, unnest(ids) AS doc_id FROM tgrp) m
+         |  USING (trep)""".stripMargin
     Map("pairs_exact" -> exact, "pairs_lsh" -> lsh,
       "d2_jaccard_pairs" -> d2, "d16_containment" -> d16,
-      "d3_lsh_pairs" -> d3, "d11_lsh_verify" -> d11) ++ contractedOracleSql
+      "d3_lsh_pairs" -> d3, "d11_lsh_verify" -> d11,
+      "d6_dedup_corpus" -> d6, "d14_lsh_recall" -> d14,
+      "d17_edit_verify" -> d17, "d18_incremental_dedup" -> d18,
+      "d20_dup_pagerank" -> d20, "d23_source_overlap" -> d23,
+      "d13_chunk_dedup" -> d13) ++ contractedOracleSql
   }
 
   override def oracle: Map[String, String] = Map(

@@ -70,7 +70,10 @@ object CCAttestation {
         "d16_containment", "d7_dup_components", "d10_best_keeper",
         "d21_leakage_split", "d26_lsh_dedup_components", "d27_lsh_keeper",
         "d32_dup_weights", "d33_effective_tokens",
-        "d34_incremental_components", "d35_dedup_audit"))
+        "d34_incremental_components", "d35_dedup_audit",
+        "d6_dedup_corpus", "d13_chunk_dedup", "d14_lsh_recall",
+        "d17_edit_verify", "d18_incremental_dedup", "d20_dup_pagerank",
+        "d23_source_overlap"))
       dump(q, graft.SparkEntry.queries(q)(spark, sfDir))
     // the pinned label frames, for the union-find's second (non-SQL)
     // reproduction path
