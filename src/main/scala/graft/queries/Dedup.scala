@@ -2657,13 +2657,144 @@ object Dedup extends QueryModule {
          |FROM repstats r
          |JOIN (SELECT trep, unnest(ids) AS doc_id FROM tgrp) m
          |  USING (trep)""".stripMargin
+    // d25/d28: the poly-fp window family. Grams are pure functions of
+    // the text, so gram generation runs once per DISTINCT text; the
+    // cross-doc statistics re-weight by group size. d25's df counts
+    // INSTANCES (sum of group-size x per-text occurrences); d28's
+    // keep-first keeper for a fp is the globally-min doc holding it =
+    // the min TEXT-GROUP rep (every rep is its group's min id), at that
+    // text's first occurrence — so each group needs exactly TWO output
+    // variants: the rep doc (keeps its first occurrences of fps it
+    // globally owns) and every copy (ids > rep, so every one of their
+    // instances has an earlier instance in the rep: all excised).
+    val textGroups =
+      s"""tgrp AS (
+         |  SELECT text, min(doc_id) AS trep, count(*)::BIGINT AS k,
+         |         list_sort(list(doc_id)) AS ids
+         |  FROM documents GROUP BY text),
+         |tmemb AS (SELECT trep, unnest(ids) AS doc_id FROM tgrp)""".stripMargin
+    val d25 =
+      s"""WITH $textGroups,
+         |th AS (
+         |  SELECT trep, list_transform(${OracleFragments.wsTokens("text")},
+         |    w -> ${OracleFragments.javaHashU32("w")}) AS hs FROM tgrp),
+         |g AS (
+         |  SELECT trep, len(hs)::BIGINT AS n_toks, i::BIGINT AS pos,
+         |    list_reduce(list_prepend(0::BIGINT, hs[i+1 : i+8]),
+         |      (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+         |        % 1000000007) AS fp
+         |  FROM (SELECT trep, hs,
+         |          unnest(generate_series(0, len(hs) - 8)) AS i
+         |        FROM th WHERE len(hs) >= 8)),
+         |gc AS (SELECT trep, fp, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+         |dfh AS (
+         |  SELECT fp, sum(k * c)::BIGINT AS df
+         |  FROM gc JOIN tgrp USING (trep) GROUP BY fp),
+         |dup AS (SELECT trep, n_toks, pos FROM g JOIN dfh USING (fp)
+         |        WHERE df >= 2),
+         |marked AS (
+         |  SELECT trep, n_toks, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY trep
+         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS new_span
+         |  FROM dup),
+         |sp AS (
+         |  SELECT trep, n_toks, pos,
+         |    sum(new_span) OVER (PARTITION BY trep ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM marked),
+         |spans AS (
+         |  SELECT trep, n_toks, span_id, count(*)::BIGINT AS n_grams,
+         |    min(pos) AS s, max(pos) AS e
+         |  FROM sp GROUP BY 1, 2, 3),
+         |rep_out AS (
+         |  SELECT trep, sum(n_grams)::BIGINT AS n_dup_grams,
+         |    count(*)::BIGINT AS n_spans,
+         |    sum(e - s + 8)::BIGINT AS dup_tokens,
+         |    round(sum(e - s + 8)::DOUBLE / n_toks, 6) AS dup_frac
+         |  FROM spans GROUP BY trep, n_toks)
+         |SELECT m.doc_id, r.n_dup_grams, r.n_spans, r.dup_tokens,
+         |  r.dup_frac
+         |FROM rep_out r JOIN tmemb m USING (trep)""".stripMargin
+    val d28 =
+      s"""WITH $textGroups,
+         |th AS (
+         |  SELECT trep, ${OracleFragments.wsTokens("text")} AS ts,
+         |    list_transform(${OracleFragments.wsTokens("text")},
+         |      w -> ${OracleFragments.javaHashU32("w")}) AS hs
+         |  FROM tgrp),
+         |g AS (
+         |  SELECT trep, i::BIGINT AS pos,
+         |    list_reduce(list_prepend(0::BIGINT, hs[i+1 : i+8]),
+         |      (a, x) -> ((a * 31 + x) % 1000000007 + 1000000007)
+         |        % 1000000007) AS fp
+         |  FROM (SELECT trep, hs,
+         |          unnest(generate_series(0, len(hs) - 8)) AS i
+         |        FROM th WHERE len(hs) >= 8)),
+         |fpmin AS (SELECT fp, min(trep) AS t0 FROM g GROUP BY 1),
+         |fstp AS (SELECT trep, fp, min(pos) AS p0 FROM g GROUP BY 1, 2),
+         |keeppos AS (
+         |  SELECT f.fp, f.t0 AS trep, s.p0 AS pos
+         |  FROM fpmin f JOIN fstp s ON s.trep = f.t0 AND s.fp = f.fp),
+         |exc_rep AS (
+         |  SELECT g.trep, g.pos FROM g
+         |  ANTI JOIN keeppos kp ON g.trep = kp.trep AND g.fp = kp.fp
+         |    AND g.pos = kp.pos),
+         |cov_rep AS (
+         |  SELECT DISTINCT trep, pos + j AS t
+         |  FROM exc_rep, (SELECT unnest(generate_series(0, 7)) AS j)),
+         |cov_copy AS (
+         |  SELECT DISTINCT trep, pos + j AS t
+         |  FROM g, (SELECT unnest(generate_series(0, 7)) AS j)),
+         |tok AS (
+         |  SELECT trep, i - 1 AS t0, ts[i] AS w
+         |  FROM (SELECT trep, ts, unnest(generate_series(1, len(ts))) AS i
+         |        FROM th)),
+         |ka_rep AS (
+         |  SELECT tok.trep, count(*)::BIGINT AS n_kept,
+         |    string_agg(w, ' ' ORDER BY t0) AS cleaned
+         |  FROM tok ANTI JOIN cov_rep ON tok.trep = cov_rep.trep
+         |    AND tok.t0 = cov_rep.t
+         |  GROUP BY 1),
+         |ka_copy AS (
+         |  SELECT tok.trep, count(*)::BIGINT AS n_kept,
+         |    string_agg(w, ' ' ORDER BY t0) AS cleaned
+         |  FROM tok ANTI JOIN cov_copy ON tok.trep = cov_copy.trep
+         |    AND tok.t0 = cov_copy.t
+         |  GROUP BY 1),
+         |out_rep AS (
+         |  SELECT th.trep, len(th.ts)::BIGINT AS n_toks,
+         |    (len(th.ts) - coalesce(n_kept, 0))::BIGINT AS n_excised,
+         |    coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |    CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+         |         ELSE ${OracleFragments.javaHash("cleaned")} END AS checksum
+         |  FROM th LEFT JOIN ka_rep ON th.trep = ka_rep.trep),
+         |out_copy AS (
+         |  SELECT th.trep, len(th.ts)::BIGINT AS n_toks,
+         |    (len(th.ts) - coalesce(n_kept, 0))::BIGINT AS n_excised,
+         |    coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |    CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+         |         ELSE ${OracleFragments.javaHash("cleaned")} END AS checksum
+         |  FROM th LEFT JOIN ka_copy ON th.trep = ka_copy.trep)
+         |SELECT m.doc_id,
+         |  CASE WHEN m.doc_id = m.trep THEN r.n_toks ELSE c.n_toks END
+         |    AS n_toks,
+         |  CASE WHEN m.doc_id = m.trep THEN r.n_excised ELSE c.n_excised END
+         |    AS n_excised,
+         |  CASE WHEN m.doc_id = m.trep THEN r.n_kept ELSE c.n_kept END
+         |    AS n_kept,
+         |  CASE WHEN m.doc_id = m.trep THEN r.checksum ELSE c.checksum END
+         |    AS checksum
+         |FROM tmemb m
+         |JOIN out_rep r USING (trep)
+         |JOIN out_copy c USING (trep)""".stripMargin
     Map("pairs_exact" -> exact, "pairs_lsh" -> lsh,
       "d2_jaccard_pairs" -> d2, "d16_containment" -> d16,
       "d3_lsh_pairs" -> d3, "d11_lsh_verify" -> d11,
       "d6_dedup_corpus" -> d6, "d14_lsh_recall" -> d14,
       "d17_edit_verify" -> d17, "d18_incremental_dedup" -> d18,
       "d20_dup_pagerank" -> d20, "d23_source_overlap" -> d23,
-      "d13_chunk_dedup" -> d13) ++ contractedOracleSql
+      "d13_chunk_dedup" -> d13, "d25_substring_spans" -> d25,
+      "d28_substring_excision" -> d28) ++ contractedOracleSql
   }
 
   override def oracle: Map[String, String] = Map(

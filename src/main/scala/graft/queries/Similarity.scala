@@ -1506,6 +1506,51 @@ object Similarity extends QueryModule {
        |        ORDER BY sim DESC, vec_id) AS rank FROM scored)
        |WHERE rank <= $K""".stripMargin
 
+  /** Contracted DuckDB replay for d19 at fixtures where the certified
+    * oracle's pairwise `dups` CTE is unaffordable (round 19 — the last
+    * of the 23 formerly-carried oracles). The k-means CTEs stay
+    * doc-level VERBATIM (v6 proved them affordable at 100×; the
+    * DECIMAL(22,8) centroid accumulation is order-independent, so no
+    * contraction risk exists there). Only the O(cluster²) dup count
+    * contracts: `n_dups(b)` counts STRICTLY-SMALLER-ID cluster-mates
+    * with cosine ≥ τ, and since assignment and cosine are pure
+    * functions of the embedding, partners group by distinct embedding —
+    * b's count is its rank among the merged partner-group id lists,
+    * computed by one running sum over (id ASC, members-before-partners
+    * on ties, so a vec never counts itself). Identical embeddings
+    * cosine to ≈1 ≥ τ through the same expression both sides, so
+    * within-group partnership needs no special case.
+    */
+  private[graft] def ccReplaySql: Map[String, String] = Map(
+    "d19_semantic_dedup" ->
+      s"""WITH $kmeansCteSql,
+         |eg AS (
+         |  SELECT cid, min(vec_id) AS erep, any_value(embedding) AS emb,
+         |         list_sort(list(vec_id)) AS ids
+         |  FROM assign1 GROUP BY cid, embedding),
+         |pg AS (
+         |  SELECT a.erep AS ga, b.erep AS gb
+         |  FROM eg a JOIN eg b ON a.cid = b.cid
+         |  WHERE ${cosineSql("a.emb", "b.emb")} >= $SemTau),
+         |members AS (SELECT erep, unnest(ids) AS id FROM eg),
+         |ev AS (
+         |  SELECT p.gb, m.id, 1 AS isp, 0 AS ism
+         |  FROM pg p JOIN members m ON m.erep = p.ga
+         |  UNION ALL
+         |  SELECT erep AS gb, id, 0 AS isp, 1 AS ism FROM members),
+         |rk AS (
+         |  SELECT gb, id, ism,
+         |    sum(isp) OVER (PARTITION BY gb ORDER BY id ASC, ism DESC
+         |      ROWS UNBOUNDED PRECEDING) AS np
+         |  FROM ev),
+         |nd AS (SELECT id AS vec_id, np AS n_dups
+         |       FROM rk WHERE ism = 1 AND np > 0)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+         |  coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+         |  CASE WHEN coalesce(d.n_dups, 0) > 0 THEN 1::BIGINT
+         |    ELSE 0::BIGINT END AS dropped
+         |FROM assign1 a LEFT JOIN nd d ON a.vec_id = d.vec_id""".stripMargin)
+
   override def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
 

@@ -73,7 +73,8 @@ object CCAttestation {
         "d34_incremental_components", "d35_dedup_audit",
         "d6_dedup_corpus", "d13_chunk_dedup", "d14_lsh_recall",
         "d17_edit_verify", "d18_incremental_dedup", "d20_dup_pagerank",
-        "d23_source_overlap"))
+        "d23_source_overlap", "d25_substring_spans",
+        "d28_substring_excision", "d19_semantic_dedup"))
       dump(q, graft.SparkEntry.queries(q)(spark, sfDir))
     // the pinned label frames, for the union-find's second (non-SQL)
     // reproduction path
@@ -89,7 +90,8 @@ object CCAttestation {
     } + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "cc_oracle_sql.json"),
-      Dedup.ccReplaySql.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+      (Dedup.ccReplaySql ++ graft.queries.Similarity.ccReplaySql)
+        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

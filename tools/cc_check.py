@@ -36,9 +36,9 @@ import duckdb
 import pyarrow.parquet as pq
 
 
-def docs_pattern(fixture):
+def table_pattern(fixture, table):
     """Single-file (driver testdata) or Spark-written dir (TenXFixture)."""
-    p = f"{fixture}/documents.parquet"
+    p = f"{fixture}/{table}.parquet"
     return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 failures = []
@@ -105,8 +105,9 @@ def read_labels(dump, name, id_col, comp_col):
 def main():
     fixture, dump = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{docs_pattern(fixture)}')")
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{table_pattern(fixture, t)}')")
     oracle_sql = json.loads(
         Path(dump, "cc_oracle_sql.json").read_text())
 
@@ -117,7 +118,7 @@ def main():
         pair_parity(con, dump, name, sql)
 
     nodes = []
-    for f in sorted(glob.glob(docs_pattern(fixture))) or \
+    for f in sorted(glob.glob(table_pattern(fixture, "documents"))) or \
             [f"{fixture}/documents.parquet"]:
         nodes.extend(pq.read_table(f, columns=["doc_id"])
                      .column("doc_id").to_pylist())
