@@ -2380,10 +2380,17 @@ object Dedup extends QueryModule {
     * check attests independently. Throws if an oracle's text stops
     * embedding the prologue (the swap must never silently no-op).
     */
+  /** The (certified doc-level, contracted rep-level) prologue pairs —
+    * exposed so CcReplaySpec can assert the swap ROUND-TRIPS: undoing
+    * it on a contracted replay reproduces the certified oracle text
+    * byte-for-byte, i.e. the replay differs ONLY in the closure.
+    */
+  private[graft] def contractionSwaps: Seq[(String, String)] = Seq(
+    componentsCteSql -> contractedComponentsCteSql,
+    lshComponentsCteSql -> contractedLshComponentsCteSql)
+
   private[graft] def contractedOracleSql: Map[String, String] = {
-    val swaps = Seq(
-      componentsCteSql -> contractedComponentsCteSql,
-      lshComponentsCteSql -> contractedLshComponentsCteSql)
+    val swaps = contractionSwaps
     Seq("d7_dup_components", "d10_best_keeper", "d21_leakage_split",
       "d26_lsh_dedup_components", "d27_lsh_keeper", "d32_dup_weights",
       "d33_effective_tokens", "d34_incremental_components",
