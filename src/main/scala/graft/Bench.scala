@@ -523,9 +523,13 @@ object Bench {
     val refused = results.collect { case (k, _, false, Some(msg)) =>
       "\"" + k + "\":" + jstr(msg.take(300))
     }.mkString("{", ",", "}")
-    val refusedNames = results.collect { case (k, _, false, Some(_)) =>
-      "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    // the compact line carries the SAME name→message object shape
+    // (round-19 review: one field name must not mean object in the
+    // full record but array in the compact line), with messages
+    // truncated harder to respect the <=1 KB tail-capture budget
+    val refusedCompact = results.collect { case (k, _, false, Some(msg)) =>
+      "\"" + k + "\":" + jstr(msg.take(100))
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
     // streaming rows/s probe rides the SAME single JSON line (the driver
     // parses one line; a second line would break it)
@@ -587,7 +591,7 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
       case (k, v, _, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedNames,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedCompact,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would

@@ -7,7 +7,10 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
   // driver's json.load fail and silently zero the round's correctness.
-  private def q(s: String): String = "\"" + s.flatMap {
+  // private[graft]: the one SQL-faithful escaper (CCAttestation reuses
+  // it; Bench's compact-line escaper deliberately flattens control
+  // chars to spaces instead — tail-capture robustness over fidelity).
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

@@ -2639,15 +2639,25 @@ object Dedup extends QueryModule {
     // d13: CDC chunks are a pure function of the text, so the chunk
     // pipeline runs once per DISTINCT text; nd (docs sharing a fp)
     // re-weights by group size, and the per-rep stats row replicates
-    // to every member
+    // to every member. The source swap is GUARDED like the comp-
+    // prologue swaps (round-19 review): a chunksSql refactor that
+    // stops matching must fail loudly, not silently revert the replay
+    // to doc-level cost.
+    val repChunksSql = {
+      val swapped = TextAnalytics.chunksSql
+        .replace("FROM documents", "FROM repdocs")
+      require(swapped != TextAnalytics.chunksSql,
+        "d13 replay: chunksSql no longer reads 'FROM documents' — " +
+          "update the contracted source swap")
+      swapped
+    }
     val d13 =
       s"""WITH tgrp AS (
          |  SELECT text, min(doc_id) AS trep, count(*)::BIGINT AS k,
          |         list_sort(list(doc_id)) AS ids
          |  FROM documents GROUP BY text),
          |repdocs AS (SELECT trep AS doc_id, text FROM tgrp),
-         |chunks AS (${TextAnalytics.chunksSql
-                        .replace("FROM documents", "FROM repdocs")}),
+         |chunks AS ($repChunksSql),
          |f AS (SELECT doc_id AS trep, fp FROM chunks WHERE chunk_len = 64),
          |fpdocs AS (
          |  SELECT fp, sum(k)::BIGINT AS nd

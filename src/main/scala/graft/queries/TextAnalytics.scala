@@ -443,6 +443,16 @@ object TextAnalytics extends QueryModule {
   private val bigramStatsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Counted x16 head sizes, keyed (session, corpus plan, minDf): the
+    * broadcast-gate count is a pure function of the pinned stats frame
+    * and minDf, so repeated invocations (Bench reps, the reps=2 canary)
+    * must not re-pay the count job (round-19 review). Entries are a
+    * handful of longs — no unpersist needed on eviction, but the map
+    * clears with the stats pins so a re-derived corpus recounts.
+    */
+  private val headCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), java.lang.Long]()
+
   /** Pinned (w, n_w) term totals + the collected (n_c, V) corpus
     * totals, folded ONCE per (session, corpus plan) from
     * [[sharedPostings]] by two-phase partial aggregation.
@@ -542,6 +552,11 @@ object TextAnalytics extends QueryModule {
     val st = skewProbeCache.entrySet().iterator()
     while (st.hasNext) {
       if (st.next().getKey._1 eq session) st.remove()
+    }
+    // the x16 head-count gate values ride the stats pins' lifecycle
+    val hc = headCountCache.entrySet().iterator()
+    while (hc.hasNext) {
+      if (hc.next().getKey._1 eq session) hc.remove()
     }
   }
 
@@ -719,8 +734,10 @@ object TextAnalytics extends QueryModule {
         // skew absorbed by the same salting the exact path uses.
         val maxHead = sess.conf.getOption("graft.x16.broadcastMaxRows")
           .map(_.toLong).getOrElse(2000000L)
+        val headRows: Long = headCountCache.computeIfAbsent(
+          (sess, planDigest(docs), minDf), _ => head.count())
         val withHead =
-          if (head.count() <= maxHead)
+          if (headRows <= maxHead)
             db.join(broadcast(head), Seq("w1", "w2"), "left")
           else if (salted)
             graft.operators.KeyedOps.saltedStatsJoin(db, head,

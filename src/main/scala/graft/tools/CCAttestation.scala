@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   *     doc-pair edge set (d26/d27/d34/d35's component edges)
   *   - `comp_exact` / `comp_lsh` — the engine's pinned (id, component)
   *     label frames behind d7/d21 and d26/d27/d32/d33/d35
-  *   - `comp_incremental` — d34's incremental CC output (contracted
-  *     incremental fixpoint; must equal a full rebuild, i.e. the
+  *   - every pair-quadratic / CC-recursive REGISTRY output (the 23
+  *     oracles the 20× gate used to carry, d19 included), dumped under
+  *     its registry name — d34's frame doubles as the incremental-CC
+  *     check (incremental must equal a full rebuild, i.e. the
   *     union-find over `pairs_lsh`)
-  *   - `d7_sizes` / `d26_sizes` — the registry queries' component-size
-  *     outputs
   *   - `cc_oracle_sql.json` — the DuckDB replay SQL for both pair
   *     frames.
   * `tools/cc_check.py` then (1) replays both pair frames in DuckDB
@@ -81,17 +81,10 @@ object CCAttestation {
     dump("comp_exact", Dedup.dupComponents(spark, sfDir))
     dump("comp_lsh", Dedup.lshDupComponents(spark, sfDir))
 
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "cc_oracle_sql.json"),
       (Dedup.ccReplaySql ++ graft.queries.Similarity.ccReplaySql)
-        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+        .map { case (k, v) => s"${graft.Verify.q(k)}: ${graft.Verify.q(v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

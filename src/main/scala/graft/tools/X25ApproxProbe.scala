@@ -60,13 +60,22 @@ object X25ApproxProbe {
       .select(col("doc_id"), col("shard").as("shard_a"))
     val diff = e.join(a, "doc_id")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("shard_e") =!= col("shard_a"), 1L).otherwise(0L))
-          .as("moved"),
-        max(abs(col("shard_e") - col("shard_a"))).as("max_jump"))
+        // coalesce: an empty fixture aggregates sum/max to NULL — the
+        // probe must still print its line (round-19 review)
+        coalesce(sum(when(col("shard_e") =!= col("shard_a"), 1L)
+          .otherwise(0L)), lit(0L)).as("moved"),
+        coalesce(max(abs(col("shard_e") - col("shard_a"))), lit(0L))
+          .as("max_jump"))
       .head()
     val (n, moved, maxJump) =
       (diff.getLong(0), diff.getLong(1), diff.getLong(2))
-    val bound = 7.0 * (n.toDouble / 10000.0 + 1.0)
+    // the spec bound is rank error <= n/accuracy per boundary, 7
+    // boundaries — read the SAME accuracy the measured query used
+    // (round-19 review: a hardwired 10000 printed a wrong verdict
+    // whenever spark.graft.export.approxAccuracy was set)
+    val accuracy = spark.conf
+      .get(TextAnalytics.ApproxAccuracyKey, "10000").toDouble
+    val bound = 7.0 * (n.toDouble / accuracy + 1.0)
     println(f"X25APPROX exact_sec=$exactSec%.1f approx_sec=$approxSec%.1f " +
       f"n=$n%d moved=$moved%d bound=$bound%.0f max_jump=$maxJump%d " +
       s"within_bound=${moved <= bound} adjacent_only=${maxJump <= 1}")

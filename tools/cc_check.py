@@ -15,8 +15,8 @@ the other side:
      engine's pair dump (plus the corpus node list) re-derives the
      min-id component labels, compared exactly against every engine
      component frame: comp_exact (d7/d21's pin), comp_lsh (d26+ pin),
-     comp_incremental (d34 — incremental must equal full rebuild), and
-     the d7/d26 size outputs.
+     d34_incremental_components (incremental must equal full rebuild),
+     and the d7/d26 size outputs.
 
 Usage: cc_check.py <fixtureDir> <dumpDir> [jsonOut]
   fixtureDir — parquet tables (documents.parquet is read)
@@ -53,15 +53,19 @@ def check(name, ok, detail=""):
 
 
 def pair_parity(con, dump, name, sql):
+    # EXCEPT ALL: multiset semantics. Plain EXCEPT dedups, so an engine
+    # frame duplicating one row while dropping another would pass all
+    # three checks; EXCEPT ALL + equal counts pins exact row-multiset
+    # equality (round-19 review finding).
     eng = f"read_parquet('{dump}/{name}/*.parquet')"
     n_eng = con.execute(f"SELECT count(*) FROM {eng}").fetchone()[0]
     con.execute(f"CREATE OR REPLACE TEMP VIEW oracle_pairs AS {sql}")
     n_ora = con.execute("SELECT count(*) FROM oracle_pairs").fetchone()[0]
     e_minus_o = con.execute(
-        f"SELECT count(*) FROM (SELECT * FROM {eng} EXCEPT "
+        f"SELECT count(*) FROM (SELECT * FROM {eng} EXCEPT ALL "
         f"SELECT * FROM oracle_pairs)").fetchone()[0]
     o_minus_e = con.execute(
-        f"SELECT count(*) FROM (SELECT * FROM oracle_pairs EXCEPT "
+        f"SELECT count(*) FROM (SELECT * FROM oracle_pairs EXCEPT ALL "
         f"SELECT * FROM {eng})").fetchone()[0]
     check(f"{name} parity",
           n_eng == n_ora and e_minus_o == 0 and o_minus_e == 0,
