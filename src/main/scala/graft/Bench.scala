@@ -2,7 +2,89 @@ package graft
 import java.util.Locale
 import org.apache.spark.sql.SparkSession
 
+/** Per-query task-metrics collector (round 20, r19 verdict item 3):
+  * seconds were recorded everywhere, bytes nowhere — yet bytes are what
+  * price the 100 TB contract (which pins fit executor memory, which
+  * queries spill). Attribution: the bench loop sets [[current]] before
+  * a query and clears it after draining the listener bus, so every
+  * TaskEnd lands on the query that scheduled it. Collected per query:
+  * max task `peakExecutionMemory` (the largest single-task unsafe-memory
+  * watermark — the number that must fit an executor core's share) and
+  * summed `memoryBytesSpilled` / `diskBytesSpilled` (any non-zero value
+  * means the in-memory operator state exceeded its budget at this SF).
+  * The listener is defensive per event (null metrics on lost/failed
+  * tasks are skipped) so one failed query cannot unhook telemetry for
+  * the rest of the suite — spec-pinned in BenchAttributionSpec.
+  */
+private[graft] final class QueryMetricsListener
+    extends org.apache.spark.scheduler.SparkListener {
+  @volatile var current: String = ""
+  val peakMem = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  val spillMem = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  val spillDisk = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // summed shuffle-write bytes: the EXCHANGE volume a query ships — the
+  // per-query number that scales with a 100 TB input where
+  // peakExecutionMemory (per-task watermark) often does not; it is also
+  // the only task-metric that sees an ImperativeAggregate's buffer size
+  // (the buffer serializes through the partial-agg exchange while its
+  // on-heap map is invisible to the execution-memory accounting)
+  val shuffleWrite = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def merge(m: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
+      k: String, v: Long, op: (Long, Long) => Long): Unit =
+    m.merge(k, java.lang.Long.valueOf(v),
+      (a, b) => java.lang.Long.valueOf(op(a.longValue(), b.longValue())))
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val q = current
+    val m = t.taskMetrics
+    if (q.nonEmpty && m != null) {
+      merge(peakMem, q, m.peakExecutionMemory, math.max)
+      merge(spillMem, q, m.memoryBytesSpilled, _ + _)
+      merge(spillDisk, q, m.diskBytesSpilled, _ + _)
+      merge(shuffleWrite, q, m.shuffleWriteMetrics.bytesWritten, _ + _)
+    }
+  }
+}
+
 object Bench {
+
+  /** Blocks until the listener bus has delivered all posted events —
+    * without this, TaskEnd events from query N can land after query
+    * N+1 started and be misattributed. `LiveListenerBus.waitUntilEmpty`
+    * is `private[spark]` (Scala-level only; public in bytecode), so
+    * this reaches it reflectively; if the method ever moves, fall back
+    * to a short sleep rather than fail the bench.
+    */
+  private[graft] def drainListenerBus(
+      sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .fold(Thread.sleep(100L))(m => { m.invoke(bus); () })
+    } catch { case _: Throwable => Thread.sleep(100L) }
+
+  /** Host CPU count for normalizing /proc/loadavg (round 20, r19
+    * ADVICE): the load average is HOST-wide, but
+    * `Runtime.availableProcessors()` is cgroup/JVM-scoped — in a
+    * CPU-limited container it undercounts the cores loadavg is
+    * measured over, reintroducing the false-positive rejection the
+    * normalization was built to fix (and masking real contention in
+    * the opposite direction). Counts `processor` entries in
+    * /proc/cpuinfo, which reports the host view even under cgroup
+    * quotas; falls back to the JVM count when unreadable (non-Linux).
+    * Both counts ride the JSON line so a reader can spot the container
+    * case.
+    */
+  private[graft] def hostCpus(): Int =
+    try {
+      val n = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/cpuinfo")).stream()
+        .filter(l => l.startsWith("processor")).count().toInt
+      if (n > 0) n else Runtime.getRuntime.availableProcessors()
+    } catch {
+      case _: Throwable => Runtime.getRuntime.availableProcessors()
+    }
 
   /** Streaming throughput probe (round-6 verdict item 2): rows/s through
     * the three stateful streaming ops — windowed counts (W1), session
@@ -267,6 +349,16 @@ object Bench {
       "neardup_batch10x" -> (() => nearDedupRps(rows = rows10x)),
       "attribution_batch10x" -> (() => attributionRps(rows = rows10x)),
       "ivfingest_batch10x" -> (() => ivfIngestRps(rows = rows10x)))
+    // RocksDB batch-10x rows for the three slowest probes (round 20,
+    // r19 verdict item 4): the r19 amortization rows were default
+    // backend only, but the production state store at 100 TB is
+    // RocksDB, whose default-batch numbers are the record's WORST
+    // (attribution 6.5k, ivfingest 4.7k rows/s) — a capacity planner
+    // needs the amortized RocksDB number, not an HDFS-backend proxy.
+    val batch10xRocks: Seq[(String, () => Double)] = Seq(
+      "neardup_batch10x" -> (() => nearDedupRps(rows = rows10x)),
+      "attribution_batch10x" -> (() => attributionRps(rows = rows10x)),
+      "ivfingest_batch10x" -> (() => ivfIngestRps(rows = rows10x)))
 
     val allProbes =
       (for ((bName, cls) <- backends; (oName, run) <- ops)
@@ -276,6 +368,9 @@ object Bench {
       // if the backends Seq were ever reordered)
       batch10x.map { case (nm, run) =>
         (s"${nm}_${backends.head._1}", backends.head._2, run)
+      } ++
+      batch10xRocks.map { case (nm, run) =>
+        (s"${nm}_${backends(1)._1}", backends(1)._2, run)
       }
 
     for ((name, cls, run) <- allProbes) yield {
@@ -417,9 +512,17 @@ object Bench {
     }
     var family = ' '
     val startMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // per-query task metrics (r19 verdict item 3): peakExecutionMemory
+    // prices which pins/operators fit an executor's memory at the next
+    // scale-up; spill bytes catch a pin quietly exceeding its budget.
+    // `metricsKey` scopes attribution: suite queries record under their
+    // name, the cold pass under "cold:<name>", canary re-times under
+    // nothing (they would double-count their query's spill sums).
+    val qml = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(qml)
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        reps: Int): (Double, Boolean, Option[String]) = {
+        reps: Int, metricsKey: String = ""): (Double, Boolean, Option[String]) = {
       // report the LAST rep's time (steady-state) but AND the ok flags
       // across ALL reps (round-16 ADVICE): with reps=2 canary calls, a
       // rep-1 failure must not be masked by a passing rep 2, and a
@@ -434,7 +537,8 @@ object Bench {
       var lastSec = 0.0
       var allOk = true
       var refused: Option[String] = None
-      (1 to reps).foreach { _ =>
+      if (metricsKey.nonEmpty) qml.current = metricsKey
+      try (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch {
@@ -444,6 +548,12 @@ object Bench {
                  }
         lastSec = (System.nanoTime() - t0) / 1e9
         allOk &&= ok
+      } finally if (metricsKey.nonEmpty) {
+        // deliver this query's TaskEnd events before the next query
+        // claims the attribution key (the bus is async; without the
+        // drain a straggler event lands on the wrong query)
+        drainListenerBus(spark.sparkContext)
+        qml.current = ""
       }
       (lastSec, allOk, refused)
     }
@@ -482,7 +592,7 @@ object Bench {
         evictAll(); familyCanary(family); family = name.head
       }
       startMs(name) = System.currentTimeMillis()
-      val (sec, ok, refusal) = timeQuery(name, fn, repeat)
+      val (sec, ok, refusal) = timeQuery(name, fn, repeat, metricsKey = name)
       (name, sec, ok, refusal)
     }
     evictAll() // release the last family's pins before the streaming probes
@@ -506,6 +616,38 @@ object Bench {
     val canaryRatio =
       if (canary.isEmpty) -1.0
       else canary.map { case (_, s, r) => r / s }.max
+    // COLD-PIN attribution pass (round 20, r19 verdict item 1): the
+    // suite's per-query numbers embed shared-pin amortization by suite
+    // order — d10 fronts the Jaccard-pair pin for the whole exact-dedup
+    // family, d11 the LSH pin, d4_group_stats the SimHash pin — which
+    // SCALE.md documents but nothing measured. With SPARK_GRAFT_COLD=1
+    // every query re-runs with ALL module pins evicted first, so
+    // "cold_queries" is the STANDALONE cost (pin build + consume) a
+    // capacity planner can price a single query at, while "queries"
+    // stays the amortized suite vector (one pin build, N consumers —
+    // the shape a real multi-query session runs). Cold runs after the
+    // amortized canary so it cannot perturb the primary vector; its own
+    // contamination signal is cold_canary_ratio (p12_upper re-timed
+    // after the pass against the same post-warmup baseline). Off by
+    // default: it roughly doubles suite wall, which the driver's
+    // fixed-budget round run must not pay.
+    val coldEnabled =
+      only.isEmpty && sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    val coldResults: Seq[(String, Double, Boolean)] =
+      if (!coldEnabled) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        evictAll()
+        val (sec, ok, _) = timeQuery(name, fn, 1, metricsKey = "cold:" + name)
+        (name, sec, ok)
+      }
+    val coldCanaryRatio =
+      if (coldEnabled && canaryBase > 0) {
+        evictAll()
+        val (sec, ok, _) =
+          timeQuery("p12_upper", SparkEntry.queries("p12_upper"), 1)
+        if (ok) sec / canaryBase else -1.0
+      } else -1.0
+    if (coldEnabled) evictAll() // release the cold pass's last pins
     val loadEnd = loadavg()
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val qs = results.map { case (k, v, ok, _) =>
@@ -554,6 +696,44 @@ object Bench {
     }.mkString("{", ",", "}")
     val famCanaryMax =
       if (famCanary.isEmpty) -1.0 else famCanary.values.max
+    // per-query task-metric maps (r19 verdict item 3); the cold pass's
+    // entries carry the STANDALONE peak (pin build included) — the
+    // number that must fit executor memory when a query runs alone
+    def memMap(m: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
+        cold: Boolean): String =
+      m.asScala.toSeq
+        .collect {
+          case (k, v) if k.startsWith("cold:") == cold =>
+            (if (cold) k.stripPrefix("cold:") else k) -> v
+        }
+        .sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val peakMemJson = memMap(qml.peakMem, cold = false)
+    val spillMemJson = memMap(qml.spillMem, cold = false)
+    val spillDiskJson = memMap(qml.spillDisk, cold = false)
+    val shuffleWriteJson = memMap(qml.shuffleWrite, cold = false)
+    val peakMemMax: Long =
+      qml.peakMem.asScala.collect {
+        case (k, v) if !k.startsWith("cold:") => v.longValue()
+      }.foldLeft(0L)(math.max)
+    val spillTotal: Long =
+      (qml.spillMem.asScala.toSeq ++ qml.spillDisk.asScala.toSeq).collect {
+        case (k, v) if !k.startsWith("cold:") => v.longValue()
+      }.sum
+    val coldJson = coldResults.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f3(v) else "-1")
+    }.mkString("{", ",", "}")
+    val coldTotal = coldResults.collect { case (_, v, true) => v }.sum
+    // cold fields ride the record only when the pass ran — an absent
+    // field, not an empty map, is "not measured"
+    val coldFields =
+      if (coldEnabled)
+        s""""cold_queries":$coldJson,"cold_total_s":${f3(coldTotal)},""" +
+          s""""cold_canary_ratio":${f3(coldCanaryRatio)},""" +
+          s""""cold_peak_exec_mem_bytes":${memMap(qml.peakMem, cold = true)},""" +
+          s""""cold_spill_mem_bytes":${memMap(qml.spillMem, cold = true)},"""
+      else ""
     // FULL self-diagnosing record — file only. Round-15 verdict item 1:
     // the driver captures just the LAST 2,000 bytes of stdout, and the
     // full record grew to ~10 KB, so BENCH_r12..r15.json were all mid-line
@@ -579,19 +759,33 @@ object Bench {
     // a stale full-suite record it didn't produce (r16 ADVICE)
     val selfField = if (willWriteSelf) "\"" + selfName + "\"" else "null"
     // machine-readable rejection flag (r17 verdict item 4): true means
-    // the timings are load-poisoned and tooling must not compare them
-    val contamination = contaminationOf(canaryRatio, famCanaryMax, loadStart,
-      Runtime.getRuntime.availableProcessors())
+    // the timings are load-poisoned and tooling must not compare them.
+    // The loadavg divisor is the HOST core count (r19 ADVICE): loadavg
+    // is host-wide, availableProcessors() cgroup-scoped — both counts
+    // ride the record so a container-quota mismatch is visible.
+    val cpusHost = hostCpus()
+    val cpusJvm = Runtime.getRuntime.availableProcessors()
+    val contamination =
+      contaminationOf(canaryRatio, famCanaryMax, loadStart, cpusHost)
     val contaminatedField =
       s""""contaminated":${contamination.nonEmpty},"contamination_reasons":${
-        contamination.map(r => "\"" + r + "\"").mkString("[", ",", "]")}"""
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,$contaminatedField,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
+        contamination.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+      },"cpus_host":$cpusHost,"cpus_jvm":$cpusJvm"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
     // compact line: totals + the 5 slowest queries (the per-query signal a
     // reader needs first) + the rejection signals (canary ratios, loadavg)
     val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
       case (k, v, _, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedCompact,"queries":$slowest,"queries_truncated_to_slowest":5,"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
+    // compact cold summary: total only (the per-query cold vector lives
+    // in the full record; the compact line must stay under the driver's
+    // ~1 KB tail-capture budget)
+    val coldCompact =
+      if (coldEnabled)
+        s""""cold_total_s":${f3(coldTotal)},"cold_canary_ratio":${
+          f3(coldCanaryRatio)},"""
+      else ""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedCompact,"queries":$slowest,"queries_truncated_to_slowest":5,${coldCompact}"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"peak_exec_mem_max_bytes":$peakMemMax,"spill_bytes_total":$spillTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would

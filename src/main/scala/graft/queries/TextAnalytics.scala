@@ -734,8 +734,22 @@ object TextAnalytics extends QueryModule {
         // skew absorbed by the same salting the exact path uses.
         val maxHead = sess.conf.getOption("graft.x16.broadcastMaxRows")
           .map(_.toLong).getOrElse(2000000L)
-        val headRows: Long = headCountCache.computeIfAbsent(
-          (sess, planDigest(docs), minDf), _ => head.count())
+        // NOTE: on a cache miss this runs a Spark job (head.count())
+        // EAGERLY, during DataFrame construction — the gate needs the
+        // number before the plan can be chosen. The count runs OUTSIDE
+        // the map's bin lock (round-20, r19 ADVICE: computeIfAbsent
+        // held the ConcurrentHashMap bin lock for the whole job,
+        // blocking any concurrent caller hashing to the same bin); a
+        // racing duplicate count is idempotent and putIfAbsent keeps
+        // the first value, so the gate stays deterministic.
+        val hcKey = (sess, planDigest(docs), minDf)
+        val headRows: Long = headCountCache.get(hcKey) match {
+          case cached: java.lang.Long => cached.longValue()
+          case null =>
+            val n = java.lang.Long.valueOf(head.count())
+            val prev = headCountCache.putIfAbsent(hcKey, n)
+            (if (prev != null) prev else n).longValue()
+        }
         val withHead =
           if (headRows <= maxHead)
             db.join(broadcast(head), Seq("w1", "w2"), "left")

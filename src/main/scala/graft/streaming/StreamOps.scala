@@ -289,6 +289,138 @@ object StreamOps {
   }
 
   // ---------------------------------------------------------------------
+  // W10 (exact per-pane cadence — round 20, r19 verdict item 7, closing
+  // SURVEY §7.4 risk 1's last documented relaxation): the reference
+  // LeaderBoard trigger (`LeaderBoard.scala:186-196`):
+  //   AfterWatermark.pastEndOfWindow()
+  //     .withEarlyFirings(AfterProcessingTime.pastFirstElementInPane()
+  //       .plusDelayOf(FIVE_MINUTES))
+  //     .withLateFirings(AfterProcessingTime.pastFirstElementInPane()
+  //       .plusDelayOf(TEN_MINUTES))
+  //   with accumulatingFiredPanes + withAllowedLateness.
+  // Exact Beam cadence: an EARLY pane fires `earlyDelayMs` of
+  // PROCESSING time after the FIRST element of that pane arrived —
+  // elements landing during the delay ride the same pane (the W13/W14
+  // `panedCounts` shape, which fires once per trigger-with-data, cannot
+  // express this coalescing); exactly one ON_TIME pane fires when the
+  // watermark crosses window end (delta 0 allowed); LATE panes fire
+  // `lateDelayMs` after the first late element of each late pane; at
+  // window expiry (end + lateness) a final pane fires iff data is
+  // pending (Beam's FIRE_IF_NON_EMPTY closing behavior, timed ON_TIME
+  // if the watermark jumped the on-time firing entirely), then state is
+  // GC'd and later stragglers are discarded.
+  //
+  // Mechanics. ProcessingTimeTimeout supplies the per-pane cadence
+  // timer (armed at firstElementProcTime + delay — fires even when no
+  // further data arrives for the key). Watermark crossings (ON_TIME,
+  // expiry) are checked on every invocation against
+  // `state.getCurrentWatermarkMs()`: with ProcessingTimeTimeout Spark
+  // does NOT pre-filter late input rows (that filter is
+  // EventTimeTimeout-only — see the W12 notes above), so a 0 ms stream
+  // watermark IS the Beam watermark and within-lateness rows reach the
+  // function with no W12-style delayed-watermark contortion. Between
+  // cadence targets a `pollMs` timer bounds crossing-detection lag —
+  // the bundle-boundary granularity a Beam runner has. Scale contract:
+  // one shuffle on (key, window), one state row + one timer per live
+  // window, state GC'd at expiry.
+
+  /** (pane_first_proc_ms, fired_proc_ms) ride the pane so tests and
+    * audits can verify the cadence arithmetic (fired - first >= delay
+    * for EARLY/LATE panes) — the exactness W10 previously documented
+    * away.
+    */
+  case class CadencePane(key: String, windowStart: Timestamp, delta: Long,
+                         cumulative: Long, paneIndex: Int, timing: String,
+                         paneFirstProcMs: Long, firedProcMs: Long)
+
+  case class CadenceState(total: Long, pending: Long, paneIndex: Int,
+                          onTimeFired: Boolean, paneFirstProcMs: Long)
+
+  /** W10 exact early/late firing cadence over tumbling windows. Input
+    * df needs `key` and timestamp `ts`.
+    */
+  def cadencedPanes(df: DataFrame, windowMs: Long, latenessMs: Long,
+                    earlyDelayMs: Long, lateDelayMs: Long,
+                    pollMs: Long = 500L)
+                   (implicit spark: org.apache.spark.sql.SparkSession)
+      : Dataset[CadencePane] = {
+    import spark.implicits._
+    implicit val stateEnc: Encoder[CadenceState] =
+      Encoders.product[CadenceState]
+    df.withWatermark("ts", "0 milliseconds")
+      .select(col("key"),
+        (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(windowMs)))
+          .as("win_start_ms"),
+        col("ts"))
+      .as[(String, Long, Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[CadenceState, CadencePane](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (kw: (String, Long), rows: Iterator[(String, Long, Timestamp)],
+         state: GroupState[CadenceState]) =>
+          val winStart = kw._2
+          val windowEnd = winStart + windowMs
+          val expiry = windowEnd + latenessMs
+          val wm = state.getCurrentWatermarkMs() // == Beam watermark
+          val now = state.getCurrentProcessingTimeMs()
+          val newRows = if (state.hasTimedOut) 0L else rows.size.toLong
+          if (wm >= expiry) {
+            // window expired: flush a pending pane (FIRE_IF_NON_EMPTY;
+            // ON_TIME if the watermark jumped end and end+lateness in
+            // one advance), GC, and discard any straggler rows
+            if (state.exists) {
+              val prev = state.get
+              state.remove()
+              if (prev.pending > 0 || !prev.onTimeFired)
+                Iterator.single(CadencePane(kw._1, new Timestamp(winStart),
+                  prev.pending, prev.total + prev.pending, prev.paneIndex,
+                  if (prev.onTimeFired) "LATE" else "ON_TIME",
+                  prev.paneFirstProcMs, now))
+              else Iterator.empty
+            } else Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              CadenceState(0L, 0L, 0, onTimeFired = false, -1L))
+            // the pane's first-element clock starts at the arrival of
+            // the first element since the last firing
+            val pending = prev.pending + newRows
+            val paneFirst =
+              if (prev.paneFirstProcMs >= 0L) prev.paneFirstProcMs
+              else if (newRows > 0) now
+              else -1L
+            val delay = if (prev.onTimeFired) lateDelayMs else earlyDelayMs
+            val (fired, timing): (Boolean, String) =
+              if (!prev.onTimeFired && wm >= windowEnd) (true, "ON_TIME")
+              else if (paneFirst >= 0L && now >= paneFirst + delay)
+                (true, if (prev.onTimeFired) "LATE" else "EARLY")
+              else (false, "")
+            val next =
+              if (fired)
+                CadenceState(prev.total + pending, 0L, prev.paneIndex + 1,
+                  prev.onTimeFired || timing != "EARLY", -1L)
+              else CadenceState(prev.total, pending, prev.paneIndex,
+                prev.onTimeFired, paneFirst)
+            state.update(next)
+            // next wake-up: the open pane's cadence target if one is
+            // pending, bounded by the poll tick that detects ON_TIME /
+            // expiry crossings without data
+            val cadenceAt =
+              if (next.paneFirstProcMs >= 0L)
+                next.paneFirstProcMs +
+                  (if (next.onTimeFired) lateDelayMs else earlyDelayMs)
+              else Long.MaxValue
+            val wake = math.min(cadenceAt, now + pollMs)
+            state.setTimeoutDuration(math.max(1L, wake - now))
+            if (fired)
+              Iterator.single(CadencePane(kw._1, new Timestamp(winStart),
+                pending, prev.total + pending, prev.paneIndex, timing,
+                paneFirst, now))
+            else Iterator.empty
+          }
+      }
+  }
+
+  // ---------------------------------------------------------------------
   // W16/J6: window-aligned spam filter (reference GameStats,
   // `GameStats.scala:102-130,184-192`): per fixed window, users whose
   // total score exceeds `mult` × the window's mean user-total are

@@ -132,6 +132,41 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** The x25 HIGH-CARDINALITY quality corpus (round 20, r19 verdict
+    * item 2): the standard fixture's ~40-60 token docs over a closed
+    * vocab collapse to only ~5k distinct quality doubles at 100× — the
+    * regime where exact `percentile`'s value map CANNOT hurt, so the
+    * r19 measurement (exact vs approx wall-neutral) never exercised the
+    * approx swap's motivation. Here every doc gets a doc-unique
+    * punctuation+pad tail — `1 + id%499` punct chars and `id%997` pad
+    * chars riding one extra token — so qualityCol's punctuation ratio
+    * (punct/len over a doc-unique (punct, len) pair) makes the quality
+    * double essentially unique per doc: distinct values grow ∝ docs,
+    * which is exactly the state the exact percentile buffers and the
+    * approx sketch bounds. X25ApproxProbe prints the measured distinct
+    * count so the regime claim is a number, not an intention.
+    */
+  def genDocumentsHighCard(spark: SparkSession, outDir: String,
+      mult: Int): Unit = {
+    import spark.implicits._
+    val n = 5000L * mult
+    spark.range(n).map { id =>
+      val rng = new scala.util.Random(id * 2654435761L + 23)
+      val nTok = 40 + rng.nextInt(21)
+      val toks = Array.tabulate(nTok) { _ =>
+        val u = rng.nextDouble()
+        val k = (math.exp(u * math.log(2000.0 + 10) +
+          (1 - u) * math.log(10.0)) - 10).toInt
+        s"w${math.max(0, math.min(1999, k))}"
+      }
+      val punct = 1 + (id % 499).toInt
+      val pad = (id % 997).toInt
+      val text = toks.mkString(" ") + " " + ("x" * pad) + ("." * punct)
+      Doc(id, text, "en", "synthetic", text.length.toLong)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def genEmbeddings(spark: SparkSession, outDir: String, mult: Int): Unit = {
     import spark.implicits._
     val n = 2000L * mult
@@ -181,6 +216,13 @@ object ScaleFixture {
     if (mode == "all" || mode == "events") runEvents(spark, root, time)
     if (mode == "all" || mode == "skew") runSkew(spark, root, time)
     if (mode == "all" || mode == "x25") runX25(spark, root, time)
+    // generation-only: X25ApproxProbe measures these dirs (wall, peak
+    // task memory, distinct-quality count, shard disagreement vs bound)
+    if (mode == "x25hc") {
+      genDocumentsHighCard(spark, s"$root/hc10", 10)
+      genDocumentsHighCard(spark, s"$root/hc100", 100)
+      println("x25hc fixtures written: hc10 (50k docs), hc100 (500k docs)")
+    }
     if (mode == "decade2") runDecade2(spark, root, time)
     if (mode == "edecade2") runEventsDecade2(spark, root, time)
     // "q:<name>,<name>…" — slope just the named document-family queries

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * frames, the spec's rank-error bound 7·(n/accuracy + 1) for that n,
   * and whether every mover landed in an adjacent shard.
   *
+  * Round 20 (r19 verdict item 2): the probe also reports the measured
+  * DISTINCT-quality count (the exact path's value-map cardinality — on
+  * the standard fixture ~5k at 100×, on ScaleFixture's `x25hc` corpora
+  * ∝ docs, the swap's motivating regime) and, per path, the max task
+  * `peakExecutionMemory` over the timed reps — the state-size evidence
+  * that distinguishes the two aggregates where wall-clock alone cannot.
+  *
   * Usage: runMain graft.tools.X25ApproxProbe <sfDir> [reps]
   */
 object X25ApproxProbe {
@@ -30,6 +37,8 @@ object X25ApproxProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.queries.TextAnalytics
 
+    val qml = new graft.QueryMetricsListener
+    spark.sparkContext.addSparkListener(qml)
     def best(flag: Option[String]): Double = {
       flag match {
         case Some(v) => spark.conf.set(TextAnalytics.ApproxBoundariesKey, v)
@@ -43,15 +52,30 @@ object X25ApproxProbe {
         p.contains("approx_percentile") || p.contains("percentile_approx")
       println(s"X25PLAN flag=${flag.getOrElse("unset")} " +
         s"approx_in_plan=$approxPlanned")
-      (1 to reps).map { _ =>
+      qml.current = flag.fold("exact")(_ => "approx")
+      val sec = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries("x25_shard_manifest")(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      graft.Bench.drainListenerBus(spark.sparkContext)
+      qml.current = ""
+      sec
     }
     val exactSec = best(None)
     val approxSec = best(Some("true"))
     spark.conf.unset(TextAnalytics.ApproxBoundariesKey)
+    def peakOf(k: String): Long =
+      Option(qml.peakMem.get(k)).map(_.longValue()).getOrElse(-1L)
+    // exchange volume ∝ aggregate state: exact percentile's partial
+    // buffer serializes EVERY distinct quality double through the
+    // boundary agg's exchange (peakExecutionMemory cannot see the
+    // ImperativeAggregate's on-heap map; the shuffle bytes can);
+    // percentile_approx ships a bounded sketch
+    // summed across the timed reps -> report the per-run mean
+    def shufOf(k: String): Long =
+      Option(qml.shuffleWrite.get(k))
+        .map(_.longValue() / math.max(1, reps)).getOrElse(-1L)
 
     val docs = graft.core.Tables.documents(spark, sfDir)
     val e = TextAnalytics.curriculumFrameOf(docs, approx = false)
@@ -76,8 +100,19 @@ object X25ApproxProbe {
     val accuracy = spark.conf
       .get(TextAnalytics.ApproxAccuracyKey, "10000").toDouble
     val bound = 7.0 * (n.toDouble / accuracy + 1.0)
+    // the value-map cardinality: exact percentile's per-partition state
+    // buffers every distinct quality double; n_distinct ≈ n is the
+    // motivating regime, n_distinct << n the harmless one
+    val nDistinct = docs
+      .select(TextAnalytics.qualityCol(col("text")).as("q"))
+      .agg(countDistinct(col("q"))).head().getLong(0)
     println(f"X25APPROX exact_sec=$exactSec%.1f approx_sec=$approxSec%.1f " +
-      f"n=$n%d moved=$moved%d bound=$bound%.0f max_jump=$maxJump%d " +
+      f"n=$n%d n_distinct_quality=$nDistinct%d " +
+      f"exact_peak_task_mem=${peakOf("exact")}%d " +
+      f"approx_peak_task_mem=${peakOf("approx")}%d " +
+      f"exact_shuffle_bytes=${shufOf("exact")}%d " +
+      f"approx_shuffle_bytes=${shufOf("approx")}%d " +
+      f"moved=$moved%d bound=$bound%.0f max_jump=$maxJump%d " +
       s"within_bound=${moved <= bound} adjacent_only=${maxJump <= 1}")
     spark.stop()
   }
