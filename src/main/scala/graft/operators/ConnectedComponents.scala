@@ -209,6 +209,63 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Max edge count for the driver-local fixpoint finish (round 20,
+    * optimization guide §1.2 "the distributed algorithm" + §5 driver
+    * rules): once the rewired edge frame is this small, the remaining
+    * rounds are pure fixed overhead — each large/small-star round costs
+    * 4 exchanges + a count job + AQE replans regardless of data volume,
+    * and the closing rounds of ANY run operate on a frame of roughly
+    * one edge per duplicated doc. Below the bound the loop collects the
+    * edges (≤ ~3 MB at the default — bounded by the GUARD, not by the
+    * corpus, the d23/j5 bounded-frame doctrine; the count that gates it
+    * is computed every round anyway) and finishes with an exact
+    * union-find, entering the result as a literal (id, component) frame
+    * that the final node join broadcasts. Labels are bit-identical to
+    * the distributed fixpoint (min reachable id — OperatorsSpec proves
+    * the differential on random graphs). At 100 TB the bound never
+    * fires while the graph is large: runs stay on the O(log n)
+    * distributed path until the live edge frame genuinely shrinks
+    * below the cap, at which point one task's worth of work is exactly
+    * what remains. 0 disables.
+    */
+  private[graft] def localEdgeMax(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localEdgeMax")
+      .map(_.toLong).getOrElse(200000L)
+
+  /** Exact min-label union-find over a collected edge list: returns
+    * (id -> component) for every id present in `edges`, component = min
+    * reachable id. Roots at the minimum id by construction (union
+    * attaches the larger root under the smaller), path-halving keeps it
+    * near-linear.
+    */
+  private[graft] def unionFind(
+      edges: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (a, b) =>
+      out.put(a, find(a)); out.put(b, find(b))
+    }
+    out
+  }
+
   /** Alternating large-star/small-star connected components — same
     * contract as [[run]] (labels = min reachable id, fixpoint-guaranteed,
     * `maxIter` throws), but edge REWIRING instead of label propagation:
@@ -216,6 +273,9 @@ object ConnectedComponents {
     * diameter-d chain converges in O(log d) rounds where label
     * propagation needs d. Per round: 2 aggs + 2 joins keyed on node id
     * plus one set-equality check (anti-join count) for the fixpoint.
+    * Once the live edge frame drops under [[localEdgeMax]], the run
+    * finishes with the exact driver-local union-find instead of paying
+    * per-round distributed overhead for a frame one task could close.
     */
   /** @param edgesDistinct caller-asserted contract that `edges` is
     *   already duplicate-free with src ≠ dst (true for the dedup pair
@@ -237,6 +297,26 @@ object ConnectedComponents {
     // (Reliable mode materializes via the round-file write; its count
     // is metadata-only.)
     val pins = new RoundPins(nodes.sparkSession)
+    // Driver-local finish (see [[localEdgeMax]]): the star rounds
+    // preserve connectivity (Kiveris et al. §3), so an exact union-find
+    // over ANY round's live edge frame — including round 0 — yields the
+    // same min-id components as running the rewiring to its fixpoint.
+    // Labels enter the plan as a literal frame the node join broadcasts.
+    def localFinish(edgesDf: DataFrame): DataFrame = {
+      val rows = edgesDf.select(col("a"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      pins.release(edgesDf)
+      val lblMap = unionFind(rows)
+      import scala.jdk.CollectionConverters._
+      val sess = nodes.sparkSession
+      import sess.implicits._
+      val lbl = lblMap.entrySet().asScala.toSeq
+        .map(en => (en.getKey.longValue(), en.getValue.longValue()))
+        .sortBy(_._1).toDF("nid", "cmp")
+      nodes.join(lbl, nodes("id") === col("nid"), "left_outer")
+        .select(nodes("id"),
+          coalesce(col("cmp"), nodes("id")).as("component"))
+    }
     // initial pin + count inside the try (round-16 review): the first
     // materialization evaluates the upstream pair-gen plan and must not
     // orphan its round file on failure
@@ -246,6 +326,12 @@ object ConnectedComponents {
       else norm.where(col("a") =!= col("b")).distinct(), eager = false)
     var eCount = e.count()
     var converged = eCount == 0
+    val localCap = localEdgeMax(nodes.sparkSession)
+    val localOk = localCap > 0 &&
+      e.schema.fields.take(2).forall(
+        _.dataType == org.apache.spark.sql.types.LongType)
+    if (!converged && localOk && eCount <= localCap)
+      return localFinish(e)
     var iter = 0
     while (!converged) {
       if (iter >= maxIter)
@@ -265,6 +351,8 @@ object ConnectedComponents {
       eCount = nextCount
       iter += 1
       log.info(s"ConnectedComponents.runStar: round $iter done ($eCount edges)")
+      if (!converged && localOk && eCount <= localCap)
+        return localFinish(e)
     }
     // At the fixpoint every non-root points directly at its component
     // minimum; roots have no outgoing big→small edge and label themselves.

@@ -154,6 +154,29 @@ object Dedup extends QueryModule {
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
   }
 
+  private val contentGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The ONE pinned non-empty content-group frame per (session, dir):
+    * (arr, ids) — round 20, guide §2.4/§5. SIX consumers each rebuilt
+    * this identical corpus pass + groupBy(arr) exchange per session
+    * (repPairStats, the multi-group pin, both LSH rep pins, d11's rep
+    * scoring frame, d18's ingest split) — the single most-repeated
+    * subplan in the dedup family after the pair-gen itself. Pinning it
+    * is the sharedPostings documented trade: O(corpus) rows (the arr
+    * column ≈ the tokenized corpus) in MEMORY_AND_DISK, lineage
+    * preserved so lost blocks recompute (PinRecoverySpec doctrine),
+    * released by [[evictCaches]]. Empty-shingle docs are excluded here
+    * once — every consumer filtered them anyway (they share no shingle,
+    * so they never pair, band, or group).
+    */
+  private def sharedContentGroups(s: SparkSession, dir: String): DataFrame =
+    contentGroupsCache.computeIfAbsent((s, dir), { key =>
+      contentGroups(key._1, key._2)
+        .filter(size(col("arr")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Multi-member content groups with a non-empty shingle set:
     * (ids, n_sh). Empty-shingle docs never share a shingle, so their
     * "group" is excluded from all pairing/membership — they stay
@@ -191,7 +214,7 @@ object Dedup extends QueryModule {
     */
   private def repPairStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val groups = contentGroups(s, dir).filter(size($"arr") > 0)
+    val groups = sharedContentGroups(s, dir)
     val repSh = groups.select(
       $"ids".getItem(0).as("doc_id"),
       size($"arr").cast("long").as("n_sh"),
@@ -319,7 +342,7 @@ object Dedup extends QueryModule {
     */
   private def sharedMultiGroups(s: SparkSession, dir: String): DataFrame =
     groupsCache.computeIfAbsent((s, dir), { key =>
-      multiGroupsOf(contentGroups(key._1, key._2))
+      multiGroupsOf(sharedContentGroups(key._1, key._2))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -489,6 +512,7 @@ object Dedup extends QueryModule {
     drop[(SparkSession, String)](statsCache, _._1, _._2)
     drop[(SparkSession, String)](pairsCache, _._1, _._2)
     drop[(SparkSession, String)](groupsCache, _._1, _._2)
+    drop[(SparkSession, String)](contentGroupsCache, _._1, _._2)
     drop[(SparkSession, String)](simhashGroupCache, _._1, _._2)
     drop[(SparkSession, String)](componentsCache, _._1, _._2)
     drop[(SparkSession, String)](lshComponentsCache, _._1, _._2)
@@ -577,7 +601,7 @@ object Dedup extends QueryModule {
     lshCandsCache.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       import sess.implicits._
-      val reps = contentGroups(sess, d).filter(size($"arr") > 0)
+      val reps = sharedContentGroups(sess, d)
         .select($"ids".getItem(0).as("doc_id"), $"arr", $"ids")
       val sigs = minhashSigsOf(
         reps.select($"doc_id", explode($"arr").as("shingle")))
@@ -618,7 +642,7 @@ object Dedup extends QueryModule {
     lshPairsCache.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       import sess.implicits._
-      val reps = contentGroups(sess, d).filter(size($"arr") > 0)
+      val reps = sharedContentGroups(sess, d)
         .select($"ids".getItem(0).as("doc_id"), $"arr")
       // candidates from the UNVERIFIED pin (ids already ride the rows);
       // this build adds only the arr joins + the exact-Jaccard filter
@@ -1135,7 +1159,7 @@ object Dedup extends QueryModule {
     // union), never evaluated.
     "d11_lsh_verify" -> { (s, dir) =>
       import s.implicits._
-      val reps = contentGroups(s, dir).filter(size($"arr") > 0)
+      val reps = sharedContentGroups(s, dir)
         .select($"ids".getItem(0).as("doc_id"), $"arr", $"ids")
       val sigs = minhashSigsOf(
         reps.select($"doc_id", explode($"arr").as("shingle")))
@@ -1500,7 +1524,7 @@ object Dedup extends QueryModule {
       // of doc_id, so each group's sorted ids partition rowwise into
       // ref/fresh member arrays via a filter HOF (sort order survives a
       // filter, so ids[0] stays each side's min = its rep).
-      val g = contentGroups(s, dir).filter(size($"arr") > 0)
+      val g = sharedContentGroups(s, dir)
         .select($"arr",
           filter($"ids", i => HashFunctions.hashSample(i, 0.5)).as("rids"),
           filter($"ids", i => !HashFunctions.hashSample(i, 0.5)).as("fids"))

@@ -123,11 +123,16 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(viaStar == viaProp, s"star disagrees with label-prop on $es")
     }
-    // maxIter contract matches run(): throws instead of wrong labels
+    // maxIter contract matches run(): throws instead of wrong labels.
+    // Force the distributed path (round 20): the driver-local finish
+    // closes this 39-edge graph EXACTLY at round 0, so under the default
+    // cap there is nothing for maxIter to interrupt.
     val nodes = (1L to 40L).toDF("id")
     val path = (1L to 39L).map(i => (i, i + 1)).toDF("src", "dst")
-    intercept[IllegalStateException](
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try intercept[IllegalStateException](
       ConnectedComponents.runStar(nodes, path, maxIter = 1))
+    finally spark.conf.unset("spark.graft.cc.localEdgeMax")
   }
 
   test("connectedComponents == plain JVM union-find on random graphs " +
@@ -163,6 +168,43 @@ class OperatorsSpec extends SparkSpec {
         (1L to n).toDF("id"), es.toDF("src", "dst"))
         .as[(Long, Long)].collect().toMap
       assert(got == want, s"seed=$seed: star disagrees with union-find")
+    }
+  }
+
+  test("runStar driver-local finish == forced-distributed fixpoint, " +
+      "incl. a mid-run threshold crossing (round 20 differential)") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // the local finish (spark.graft.cc.localEdgeMax) collects the live
+    // edge frame and closes with an exact union-find; labels must be
+    // bit-identical to running the star rewiring to its fixpoint
+    def labels(nodes: org.apache.spark.sql.DataFrame,
+        edges: org.apache.spark.sql.DataFrame, cap: String) = {
+      spark.conf.set("spark.graft.cc.localEdgeMax", cap)
+      try ConnectedComponents.runStar(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+    }
+    val rnd = new scala.util.Random(1234)
+    val cases = Seq(
+      (1L to 40L).map(i => (i, i + 1)).dropRight(1),             // path
+      (1L to 6L).flatMap(i => (i + 1 to 6L).map((i, _))),        // clique
+      Seq.empty[(Long, Long)],                                   // isolated
+      Seq.fill(80)((rnd.nextInt(40) + 1L, rnd.nextInt(40) + 1L)) // random
+        .filter { case (a, b) => a != b })
+    cases.foreach { es =>
+      val n = (es.flatMap(e => Seq(e._1, e._2)) :+ 1L).max
+      val nodes = (1L to n).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val distributed = labels(nodes, edges, "0")     // never collects
+      val localRound0 = labels(nodes, edges, "200000") // collects round 0
+      // cap below the initial edge count but above the rewired frame:
+      // the run does distributed rounds FIRST, then crosses the
+      // threshold and finishes locally mid-run
+      val crossing = labels(nodes, edges,
+        math.max(1, es.size / 2).toString)
+      assert(localRound0 == distributed, s"round-0 local finish on $es")
+      assert(crossing == distributed, s"mid-run local finish on $es")
     }
   }
 

@@ -146,16 +146,33 @@ class PinRecoverySpec extends SparkSpec {
       val nodes = spark.range(0, n).select($"id")
       val edges = spark.range(0, n - 1)
         .select($"id".as("src"), ($"id" + 1).as("dst"))
-      val labels = graft.operators.ConnectedComponents
-        .runStar(nodes, edges, edgesDistinct = true)
-      assert(labels.agg(max($"component")).head().getLong(0) == 0L,
-        "one chain component labeled by its min id")
       import scala.jdk.CollectionConverters._
-      val roundDirs = java.nio.file.Files.walk(ckDir).iterator().asScala
+      def roundDirs() = java.nio.file.Files.walk(ckDir).iterator().asScala
         .filter(p => java.nio.file.Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("round-")).toSeq
-      assert(roundDirs.size == 1,
-        s"superseded round files must delete; found: $roundDirs")
+      // force the DISTRIBUTED fixpoint (round 20): under the default
+      // cap the driver-local finish closes this 63-edge chain at round
+      // 0 and releases every round file — asserted separately below
+      spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+      val labels =
+        try graft.operators.ConnectedComponents
+          .runStar(nodes, edges, edgesDistinct = true)
+        finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+      assert(labels.agg(max($"component")).head().getLong(0) == 0L,
+        "one chain component labeled by its min id")
+      assert(roundDirs().size == 1,
+        s"superseded round files must delete; found: ${roundDirs()}")
+      // the local finish's labels are a self-contained literal frame —
+      // it must release ALL round files, its own included
+      java.nio.file.Files.walk(ckDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).filter(_ != ckDir)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val local = graft.operators.ConnectedComponents
+        .runStar(nodes, edges, edgesDistinct = true)
+      assert(local.agg(max($"component")).head().getLong(0) == 0L,
+        "local finish labels the chain by its min id")
+      assert(roundDirs().isEmpty,
+        s"the local finish must release every round file; found: ${roundDirs()}")
     } finally {
       spark.sparkContext.setCheckpointDir(null)
       import scala.jdk.CollectionConverters._

@@ -86,23 +86,38 @@ class PlanSpec extends SparkSpec {
       s"the counts exchange must be reused across the diamond:\n$p")
   }
 
-  test("d18_incremental_dedup: one content agg reused across the rep join's sides") {
-    // Round-16 collapse shape: the query consumes the content aggregate
-    // three times (fresh side, ref side — with the ref group size riding
-    // the shingle rows — and the final fresh-membership expansion). The
-    // two shingle-join sides canonicalize identically, so AQE must
-    // collapse them to one exchange: ≥1 ReusedExchange and at most 2
-    // executed corpus scans (the membership broadcast build is the one
-    // residual re-aggregation; a regression to per-consumer aggs would
-    // read 3+ scans and zero reuse).
+  test("d18_incremental_dedup: every consumption reads the ONE pinned " +
+      "content-group frame") {
+    // Round-20 pin shape (supersedes the round-16 exchange-reuse
+    // assertion): the query consumes the content aggregate three times
+    // (fresh side, ref side — with the ref group size riding the
+    // shingle rows — and the final fresh-membership expansion), and all
+    // three now read the session-pinned sharedContentGroups frame — the
+    // corpus scan + groupBy(arr) exchange runs ONCE PER SESSION for the
+    // whole dedup family, not once per query. The executed plan must
+    // therefore consume InMemoryTableScan on every side and plan no
+    // content re-aggregation of its own: the only collect_list agg is
+    // the one inside the printed cached-relation subtree.
+    graft.queries.Dedup.evictCaches(spark)
     val df = SparkEntry.queries("d18_incremental_dedup")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(p.contains("ReusedExchange"),
-      s"the content agg's exchange must be reused across the join sides:\n$p")
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans <= 2, s"expected <=2 executed corpus scans, got $scans:\n$p")
+    // ≥1 pin read; the other consumptions may print as ReusedExchange /
+    // reused query stages over the same cached relation (AQE collapses
+    // identical pin-rooted subtrees), so the count is a floor, not 3
+    val pinReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(pinReads >= 1,
+      s"the content consumptions must read the pin, got $pinReads:\n$p")
+    // no top-level corpus scan: each InMemoryRelation's printed child
+    // subtree contains exactly one FileScan (the pin's own build), so a
+    // FileScan count above the relation count means a consumption
+    // bypassed the pin and re-scanned the corpus
+    val fileScans = "FileScan parquet".r.findAllIn(p).length
+    val relations = "InMemoryRelation".r.findAllIn(p).length
+    assert(fileScans <= relations,
+      s"a consumption re-scanned the corpus past the pin " +
+        s"($fileScans FileScans vs $relations cached subtrees):\n$p")
   }
 
   test("d23_source_overlap: corpus chain runs once, result is a local frame") {
