@@ -428,10 +428,24 @@ object Bench {
   private[graft] def contaminationOf(canaryRatio: Double,
                                      canaryFamilyMax: Double,
                                      loadavgStart: String,
-                                     cpus: Int): Seq[String] = {
-    val load1 = loadavgStart.split(" ").headOption
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+                                     cpus: Int,
+                                     loadavgByFamily: Seq[(Char, String)] = Seq.empty): Seq[String] = {
+    def load1Of(s: String): Option[Double] = s.split(" ").headOption
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+    val load1 = load1Of(loadavgStart)
     val nCpu = math.max(1, cpus)
+    // Round 21 (r20 root cause): the r20 c32 record's d22-d26 stretch ran
+    // 4-9x slow under ambient load that arrived MID-RUN — loadavg_start
+    // read 1.90 (clean) and the per-family canary peaked at 1.63 (under
+    // its 2.5 bar), so the flag stayed false and the driver compared a
+    // poisoned sample. The start-only gate cannot see it; these per-
+    // family-boundary samples can. Same 0.5-normalized bar as the start
+    // sample; the family letter rides the reason so a reader knows WHICH
+    // stretch to reject.
+    val midFlags = loadavgByFamily.flatMap { case (fam, s) =>
+      load1Of(s).filter(_ / nCpu >= 0.5).map(l =>
+        f"loadavg_family_$fam $l%.2f / $nCpu cpus = ${l / nCpu}%.2f >= 0.5")
+    }
     Seq(
       if (canaryRatio >= 2.5)
         Some(f"canary_ratio $canaryRatio%.2f >= 2.5") else None,
@@ -439,7 +453,7 @@ object Bench {
         Some(f"canary_family_max $canaryFamilyMax%.2f >= 2.5") else None,
       load1.filter(_ / nCpu >= 0.5).map(l =>
         f"loadavg_start $l%.2f / $nCpu cpus = ${l / nCpu}%.2f >= 0.5"),
-    ).flatten
+    ).flatten ++ midFlags
   }
 
   def main(args: Array[String]): Unit = {
@@ -574,6 +588,14 @@ object Bench {
     // so a spike during f surfaced under f+1 and the last family had no
     // sample at all).
     val famCanary = scala.collection.mutable.LinkedHashMap[Char, Double]()
+    // per-family-boundary /proc/loadavg samples (round 21, r20 root
+    // cause): mid-run ambient load poisoned the r20 c32 d-family 4-9x
+    // while loadavg_start read clean — each sample closes the family
+    // that just COMPLETED (the famCanary labeling convention) and feeds
+    // the contamination verdict
+    val famLoad = scala.collection.mutable.LinkedHashMap[Char, String]()
+    def familyLoad(fam: Char): Unit =
+      if (fam != ' ') famLoad(fam) = loadavg()
     val canaryBase: Double =
       if (only.isEmpty) {
         val (sec, ok, _) =
@@ -589,7 +611,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
       if (name.head != family) {
-        evictAll(); familyCanary(family); family = name.head
+        evictAll(); familyCanary(family); familyLoad(family)
+        family = name.head
       }
       startMs(name) = System.currentTimeMillis()
       val (sec, ok, refusal) = timeQuery(name, fn, repeat, metricsKey = name)
@@ -597,6 +620,7 @@ object Bench {
     }
     evictAll() // release the last family's pins before the streaming probes
     familyCanary(family) // close the LAST family's window
+    familyLoad(family)
     // end-of-suite canary: re-time two trivial map-shape queries whose
     // in-suite times are stage floor; a busy machine late in the run
     // inflates the recheck, so canary_ratio flags a poisoned tail in-band
@@ -694,6 +718,9 @@ object Bench {
     val famCanaryJson = famCanary.map { case (f, r) =>
       "\"" + f + "\":" + f3(r)
     }.mkString("{", ",", "}")
+    val famLoadJson = famLoad.map { case (f, s) =>
+      "\"" + f + "\":\"" + s + "\""
+    }.mkString("{", ",", "}")
     val famCanaryMax =
       if (famCanary.isEmpty) -1.0 else famCanary.values.max
     // per-query task-metric maps (r19 verdict item 3); the cold pass's
@@ -766,15 +793,22 @@ object Bench {
     val cpusHost = hostCpus()
     val cpusJvm = Runtime.getRuntime.availableProcessors()
     val contamination =
-      contaminationOf(canaryRatio, famCanaryMax, loadStart, cpusHost)
+      contaminationOf(canaryRatio, famCanaryMax, loadStart, cpusHost,
+        famLoad.toSeq)
     val contaminatedField =
       s""""contaminated":${contamination.nonEmpty},"contamination_reasons":${
         contamination.map(r => "\"" + r + "\"").mkString("[", ",", "]")
       },"cpus_host":$cpusHost,"cpus_jvm":$cpusJvm"""
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
-    // compact line: totals + the 5 slowest queries (the per-query signal a
-    // reader needs first) + the rejection signals (canary ratios, loadavg)
-    val slowest = results.filter(_._3).sortBy(-_._2).take(5).map {
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"loadavg_by_family":$famLoadJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
+    // compact line: totals + the 10 slowest queries (the per-query signal
+    // a reader needs first) + the rejection signals (canary ratios,
+    // loadavg). Round 21 (r20 verdict item 8): 5 → 10 — top-5 truncation
+    // left PERF's round-over-round compare with n_common = 3; the 5 extra
+    // entries cost ~160 bytes of the tail budget and double the
+    // cross-round visibility. Additions-only: same field names, the
+    // truncation marker carries the new count.
+    val slowestN = 10
+    val slowest = results.filter(_._3).sortBy(-_._2).take(slowestN).map {
       case (k, v, _, _) => "\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
     // compact cold summary: total only (the per-query cold vector lives
@@ -785,7 +819,7 @@ object Bench {
         s""""cold_total_s":${f3(coldTotal)},"cold_canary_ratio":${
           f3(coldCanaryRatio)},"""
       else ""
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedCompact,"queries":$slowest,"queries_truncated_to_slowest":5,${coldCompact}"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"peak_exec_mem_max_bytes":$peakMemMax,"spill_bytes_total":$spillTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"refused":$refusedCompact,"queries":$slowest,"queries_truncated_to_slowest":$slowestN,${coldCompact}"warmup_s":${f3(warmupS)},"canary_ratio":${f3(canaryRatio)},"canary_family_max":${f3(famCanaryMax)},$contaminatedField,"peak_exec_mem_max_bytes":$peakMemMax,"spill_bytes_total":$spillTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"${jpath(sfDir)}","self":$selfField}"""
     // durable copy FIRST, then the compact line as the very last stdout
     // bytes (the driver keeps only the tail). Arg-filtered runs skip the
     // default-path write (round-13 ADVICE): a partial subset would

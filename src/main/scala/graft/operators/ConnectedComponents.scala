@@ -98,6 +98,25 @@ object ConnectedComponents {
         }
       }
 
+    /** Remove the run's `graft-cc-<uuid>` base dir once NO round file is
+      * pinned (round-21, r20 ADVICE): the driver-local finish releases
+      * every round file — its labels re-enter the plan as a literal
+      * frame, nothing recomputes through files — so keeping the empty
+      * uuid dir would leak one directory per CC run in a long-lived
+      * cluster session. No-op while any round file survives (the
+      * distributed fixpoint's final round stays, and so does its dir).
+      */
+    def releaseBaseIfEmpty(): Unit =
+      if (pathOf.isEmpty) base.foreach { b =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(b)
+          path.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(path, true)
+        } catch { case e: Throwable =>
+          log.warn(s"ConnectedComponents: could not delete run dir $b: $e")
+        }
+      }
+
     /** Error-path cleanup (round-15 ADVICE): the maxIter throw would
       * otherwise orphan every still-pinned round file — nothing consumes
       * a failed run's frames, so the whole `graft-cc-<uuid>` dir goes.
@@ -230,8 +249,16 @@ object ConnectedComponents {
     */
   private[graft] def localEdgeMax(
       spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption("spark.graft.cc.localEdgeMax")
-      .map(_.toLong).getOrElse(200000L)
+    spark.conf.getOption("spark.graft.cc.localEdgeMax").map { v =>
+      // name the config key on a malformed value (round-21, r20 ADVICE):
+      // a bare NumberFormatException deep inside a query run is
+      // undiagnosable without this context
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"spark.graft.cc.localEdgeMax must be a long, got '$v'")
+      }
+    }.getOrElse(200000L)
 
   /** Exact min-label union-find over a collected edge list: returns
     * (id -> component) for every id present in `edges`, component = min
@@ -306,6 +333,9 @@ object ConnectedComponents {
       val rows = edgesDf.select(col("a"), col("b"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       pins.release(edgesDf)
+      // nothing recomputes through files after the collect — drop the
+      // run's now-empty base dir too (r20 ADVICE round-file lifecycle)
+      pins.releaseBaseIfEmpty()
       val lblMap = unionFind(rows)
       import scala.jdk.CollectionConverters._
       val sess = nodes.sparkSession

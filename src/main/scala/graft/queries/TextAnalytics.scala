@@ -375,14 +375,19 @@ object TextAnalytics extends QueryModule {
         .filter(size($"ts") > 0)
         .select($"doc_id", $"source", size($"ts").cast("long").as("len_d"),
           explode($"ts").as("w"))
+        // pin PARTITIONED BY doc_id (the bucketing-alongside-the-data
+        // trade): doc_id is a subset of every per-doc group key, so each
+        // LM consumer's final groupBy(doc_id) reads the cached
+        // partitioning and plans NO exchange of its own. Round 21
+        // (guide §2.4): repartition BEFORE the aggregate — hash(doc_id)
+        // satisfies the agg's clustered distribution on
+        // (doc_id, source, len_d, w), so the (doc, term) fold rides the
+        // SAME exchange and the build pays ONE corpus exchange, not two
+        // (the former agg-then-repartition shipped the aggregated frame
+        // through a second full exchange just to change its key).
+        .repartition($"doc_id")
         .groupBy($"doc_id", $"source", $"len_d", $"w")
         .agg(count(lit(1)).as("n_dw"))
-        // pin PARTITIONED BY doc_id (one extra posting-sized exchange,
-        // once per corpus — the bucketing-alongside-the-data trade):
-        // doc_id is a subset of every per-doc group key, so each LM
-        // consumer's final groupBy(doc_id) reads the cached
-        // partitioning and plans NO exchange of its own
-        .repartition($"doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -401,9 +406,12 @@ object TextAnalytics extends QueryModule {
           transform(sequence(lit(1), size($"ts") - 1),
             i => struct(element_at($"ts", i).as("w1"),
               element_at($"ts", i + 1).as("w2")))).as("b"))
-        .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        // the sharedPostings bucketing trade, round-21 one-exchange form:
+        // repartition(doc_id) first, the (doc, w1, w2) fold rides it
+        .repartition($"doc_id")
+        .groupBy($"doc_id", $"w1", $"w2")
         .agg(count(lit(1)).as("n_dw"))
-        .repartition($"doc_id") // the sharedPostings bucketing trade
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

@@ -57,8 +57,13 @@ object Profile {
                 val dur = for {
                   s <- i.submissionTime; e <- i.completionTime
                 } yield e - s
+                // first graft frame in the callsite stack (the stage's
+                // semantic owner); falls back to the stage name
+                val where = i.details.linesIterator
+                  .find(l => l.contains("graft.") && !l.contains("tools.Profile"))
+                  .map(_.trim).getOrElse(i.name)
                 stages.add(f"stage,$q,${i.stageId}%3d,tasks=${i.numTasks}%3d," +
-                  f"wall=${dur.getOrElse(-1L)}%5dms")
+                  f"wall=${dur.getOrElse(-1L)}%5dms,$where")
               }
             }
             spark.sparkContext.addSparkListener(l)

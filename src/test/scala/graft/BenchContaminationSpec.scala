@@ -60,4 +60,21 @@ class BenchContaminationSpec extends AnyFunSuite {
     assert(Bench.contaminationOf(1.0, 1.0, "unavailable", 32).isEmpty)
     assert(Bench.contaminationOf(1.0, 1.0, "", 32).isEmpty)
   }
+
+  test("mid-run family-boundary load flags what the start sample missed " +
+      "(the r20 c32 signature)") {
+    // r20 root cause: loadavg_start 1.90 (clean), per-family canary max
+    // 1.63 (under its 2.5 bar), yet the d22-d26 stretch ran 4-9x slow —
+    // ambient load arrived mid-run. A family-boundary sample at d's close
+    // showing >= 0.5 normalized load must flag the record, naming the
+    // family whose window it closes.
+    val reasons = Bench.contaminationOf(0.63, 1.63, "1.90 2.44 1.53", 32,
+      Seq('a' -> "2.10 2.00 1.60", 'd' -> "18.40 9.10 4.20",
+        'j' -> "3.00 6.00 4.00"))
+    assert(reasons == Seq("loadavg_family_d 18.40 / 32 cpus = 0.58 >= 0.5"),
+      reasons)
+    // quiet family samples add nothing; unreadable samples never flag
+    assert(Bench.contaminationOf(1.0, 1.0, "1.0 1.0 1.0", 32,
+      Seq('a' -> "2.0 1.0 1.0", 'd' -> "unavailable")).isEmpty)
+  }
 }

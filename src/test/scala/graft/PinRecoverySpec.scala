@@ -173,6 +173,14 @@ class PinRecoverySpec extends SparkSpec {
         "local finish labels the chain by its min id")
       assert(roundDirs().isEmpty,
         s"the local finish must release every round file; found: ${roundDirs()}")
+      // round 21 (r20 ADVICE): the local finish must also remove the
+      // run's now-empty graft-cc-<uuid> base dir — a long-lived cluster
+      // session otherwise leaks one empty dir per CC run
+      val baseDirs = java.nio.file.Files.walk(ckDir).iterator().asScala
+        .filter(p => p != ckDir && java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("graft-cc-")).toSeq
+      assert(baseDirs.isEmpty,
+        s"the local finish must remove the empty run dir; found: $baseDirs")
     } finally {
       spark.sparkContext.setCheckpointDir(null)
       import scala.jdk.CollectionConverters._

@@ -115,6 +115,10 @@ class PlanSpec extends SparkSpec {
     // bypassed the pin and re-scanned the corpus
     val fileScans = "FileScan parquet".r.findAllIn(p).length
     val relations = "InMemoryRelation".r.findAllIn(p).length
+    // r20 ADVICE: fileScans <= relations passes vacuously at 0 <= 0 if a
+    // Spark version stops printing either marker — the pin must APPEAR
+    assert(relations >= 1,
+      s"the pinned content-group relation must print in the plan:\n$p")
     assert(fileScans <= relations,
       s"a consumption re-scanned the corpus past the pin " +
         s"($fileScans FileScans vs $relations cached subtrees):\n$p")
@@ -204,6 +208,34 @@ class PlanSpec extends SparkSpec {
       // doc agg plans NO exchange: warm = one stage + broadcast build
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: the doc agg must ride the pin's doc_id partitioning:\n$p")
+    }
+  }
+
+  test("LM pin builds: postings/bigrams pay ONE corpus exchange each") {
+    // Round 21 (guide §2.4): the pins are doc_id-partitioned for their
+    // consumers, and hash(doc_id) satisfies the (doc, term…) fold's
+    // clustered distribution — so the build must plan the repartition
+    // FIRST and let the aggregate ride it. The former agg-then-
+    // repartition shape shipped the aggregated frame through a second
+    // full exchange; a regression back to it doubles the build's
+    // shuffle volume at 100 TB.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    graft.queries.TextAnalytics.evictCaches(spark)
+    val docs = graft.core.Tables.documents(spark, dir)
+    for ((name, pin) <- Seq(
+        "postings" -> graft.queries.TextAnalytics.sharedPostings(docs),
+        "bigrams" -> graft.queries.TextAnalytics.sharedBigrams(docs))) {
+      pin.count() // materialize the pin
+      val scan = graft.core.PlanWalk.nodes(pin).collectFirst {
+        case s: InMemoryTableScanExec => s
+      }
+      assert(scan.isDefined, s"$name pin must plan as a cached scan")
+      val build = scan.get.relation.cachedPlan.toString
+        .split("== Initial Plan ==").head // AQE prints the plan twice
+      assert("Exchange hashpartitioning".r.findAllIn(build).size == 1,
+        s"$name pin build must pay exactly ONE corpus exchange:\n$build")
+      assert(build.contains("REPARTITION_BY_COL"),
+        s"$name pin must be doc_id-partitioned by the one exchange:\n$build")
     }
   }
 
