@@ -596,6 +596,22 @@ object Bench {
     val famLoad = scala.collection.mutable.LinkedHashMap[Char, String]()
     def familyLoad(fam: Char): Unit =
       if (fam != ' ') famLoad(fam) = loadavg()
+    // per-family PIN STORAGE snapshot (round 21, r20 verdict item 6):
+    // peakExecutionMemory prices task buffers, not cached blocks — the
+    // resident pinned frames (content groups, postings, CC labels …)
+    // were unpriced. Sampled at family close BEFORE eviction, i.e. the
+    // family's peak resident pin footprint: summed in-memory + on-disk
+    // cached bytes and the largest single cached RDD (the frame that
+    // must fit the storage pool at the next scale-up).
+    val famPins =
+      scala.collection.mutable.LinkedHashMap[Char, (Long, Long, Long, Int)]()
+    def familyPins(fam: Char): Unit =
+      if (fam != ' ') {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        famPins(fam) = (infos.map(_.memSize).sum, infos.map(_.diskSize).sum,
+          infos.map(i => i.memSize + i.diskSize).foldLeft(0L)(math.max),
+          infos.length)
+      }
     val canaryBase: Double =
       if (only.isEmpty) {
         val (sec, ok, _) =
@@ -611,6 +627,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
       if (name.head != family) {
+        familyPins(family) // sample BEFORE eviction — the resident peak
         evictAll(); familyCanary(family); familyLoad(family)
         family = name.head
       }
@@ -618,6 +635,7 @@ object Bench {
       val (sec, ok, refusal) = timeQuery(name, fn, repeat, metricsKey = name)
       (name, sec, ok, refusal)
     }
+    familyPins(family) // the last family's resident peak, pre-eviction
     evictAll() // release the last family's pins before the streaming probes
     familyCanary(family) // close the LAST family's window
     familyLoad(family)
@@ -721,6 +739,9 @@ object Bench {
     val famLoadJson = famLoad.map { case (f, s) =>
       "\"" + f + "\":\"" + s + "\""
     }.mkString("{", ",", "}")
+    val famPinsJson = famPins.map { case (f, (m, d, mx, n)) =>
+      "\"" + f + s"""":{"mem":$m,"disk":$d,"max_rdd":$mx,"n_rdds":$n}"""
+    }.mkString("{", ",", "}")
     val famCanaryMax =
       if (famCanary.isEmpty) -1.0 else famCanary.values.max
     // per-query task-metric maps (r19 verdict item 3); the cold pass's
@@ -799,7 +820,7 @@ object Bench {
       s""""contaminated":${contamination.nonEmpty},"contamination_reasons":${
         contamination.map(r => "\"" + r + "\"").mkString("[", ",", "]")
       },"cpus_host":$cpusHost,"cpus_jvm":$cpusJvm"""
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"loadavg_by_family":$famLoadJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"loadavg_by_family":$famLoadJson,"pin_bytes_by_family":$famPinsJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
     // compact line: totals + the 10 slowest queries (the per-query signal
     // a reader needs first) + the rejection signals (canary ratios,
     // loadavg). Round 21 (r20 verdict item 8): 5 → 10 — top-5 truncation

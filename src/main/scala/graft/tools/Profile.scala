@@ -80,6 +80,16 @@ object Profile {
           stages.forEach(println)
         }
         if (rep == repeat &&
+            sys.env.get("GRAFT_PROFILE_STORAGE").contains("true")) {
+          // per-RDD cached-block sizes — the per-pin storage attribution
+          // (Bench's pin_bytes_by_family reports only the family total)
+          spark.sparkContext.getRDDStorageInfo.foreach { i =>
+            println(f"storage,$q,mem=${i.memSize}%12d,disk=${i.diskSize}%12d," +
+              f"parts=${i.numCachedPartitions}%3d," +
+              i.name.linesIterator.nextOption().getOrElse("?").take(120))
+          }
+        }
+        if (rep == repeat &&
             sys.env.get("GRAFT_PROFILE_PLAN").contains("true")) {
           df.collect() // finalize AQE on the full result plan
           println(s"===== $q executed plan =====")
