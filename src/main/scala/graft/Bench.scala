@@ -407,6 +407,31 @@ object Bench {
       .mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  /** (steal ticks, total ticks) from /proc/stat's aggregate cpu line —
+    * hypervisor steal starves the JVM WITHOUT raising this guest's
+    * runnable count, so a steal burst is invisible to every loadavg
+    * sample (round 21: the machine's cumulative steal is ~10% of user
+    * time, in bursts). Percentages between two samples ride the record
+    * so a reader can reject a starved window the canaries undersampled.
+    */
+  private[graft] def stealTicks(): Option[(Long, Long)] =
+    try {
+      val cols = java.nio.file.Files.lines(
+        java.nio.file.Paths.get("/proc/stat")).findFirst().orElse("")
+        .split("\\s+")
+      if (cols.length < 9 || cols(0) != "cpu") None
+      else {
+        val vals = cols.drop(1).flatMap(v =>
+          scala.util.Try(v.toLong).toOption)
+        Some((vals(7), vals.sum)) // steal is field 8 (0-based 7)
+      }
+    } catch { case _: Throwable => None }
+
+  private[graft] def stealPct(a: Option[(Long, Long)],
+                              b: Option[(Long, Long)]): Double =
+    (for ((s0, t0) <- a; (s1, t1) <- b if t1 > t0)
+      yield (s1 - s0).toDouble * 100.0 / (t1 - t0)).getOrElse(-1.0)
+
   /** MACHINE-READABLE contamination verdict (round 18, r17 verdict item
     * 4): the r17 driver record (117.1 s at loadavg 3.8-7.0 vs 85-88 s
     * quiet) carried every rejection signal but required a human to read
@@ -492,6 +517,7 @@ object Bench {
     // Reading the record: canary_ratio ≳ 3 means the machine degraded
     // during the run — reject the tail, rerun. SCALE.md documents this.
     val loadStart = loadavg()
+    val stealStart = stealTicks()
     // warmup, measured (not folded into the first family's queries):
     // JVM/codegen + parquet footers for every table family
     val warmupT0 = System.nanoTime()
@@ -594,8 +620,17 @@ object Bench {
     // that just COMPLETED (the famCanary labeling convention) and feeds
     // the contamination verdict
     val famLoad = scala.collection.mutable.LinkedHashMap[Char, String]()
+    // per-family hypervisor-steal percentage (see [[stealTicks]]): the
+    // window opens at the previous family's close
+    val famSteal = scala.collection.mutable.LinkedHashMap[Char, Double]()
+    var stealPrev = stealTicks()
     def familyLoad(fam: Char): Unit =
-      if (fam != ' ') famLoad(fam) = loadavg()
+      if (fam != ' ') {
+        famLoad(fam) = loadavg()
+        val now = stealTicks()
+        famSteal(fam) = stealPct(stealPrev, now)
+        stealPrev = now
+      }
     // per-family PIN STORAGE snapshot (round 21, r20 verdict item 6):
     // peakExecutionMemory prices task buffers, not cached blocks — the
     // resident pinned frames (content groups, postings, CC labels …)
@@ -691,6 +726,9 @@ object Bench {
       } else -1.0
     if (coldEnabled) evictAll() // release the cold pass's last pins
     val loadEnd = loadavg()
+    // whole-run steal window (warmup → here): the starvation signal no
+    // loadavg sample can carry (see stealTicks)
+    val stealRunPct = stealPct(stealStart, stealTicks())
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1")
@@ -741,6 +779,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val famPinsJson = famPins.map { case (f, (m, d, mx, n)) =>
       "\"" + f + s"""":{"mem":$m,"disk":$d,"max_rdd":$mx,"n_rdds":$n}"""
+    }.mkString("{", ",", "}")
+    val famStealJson = famSteal.map { case (f, p) =>
+      "\"" + f + "\":" + f3(p)
     }.mkString("{", ",", "}")
     val famCanaryMax =
       if (famCanary.isEmpty) -1.0 else famCanary.values.max
@@ -819,8 +860,8 @@ object Bench {
     val contaminatedField =
       s""""contaminated":${contamination.nonEmpty},"contamination_reasons":${
         contamination.map(r => "\"" + r + "\"").mkString("[", ",", "]")
-      },"cpus_host":$cpusHost,"cpus_jvm":$cpusJvm"""
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"loadavg_by_family":$famLoadJson,"pin_bytes_by_family":$famPinsJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
+      },"cpus_host":$cpusHost,"cpus_jvm":$cpusJvm,"steal_pct":${f3(stealRunPct)}"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"refused":$refused,$coldFields"streaming_rows_per_sec":$streaming,"streaming_errors":$streamErrs,"warmup_s":${f3(warmupS)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","canary":$canaryJson,"canary_ratio":${f3(canaryRatio)},"canary_by_family":$famCanaryJson,"loadavg_by_family":$famLoadJson,"steal_pct_by_family":$famStealJson,"pin_bytes_by_family":$famPinsJson,$contaminatedField,"peak_exec_mem_bytes":$peakMemJson,"spill_mem_bytes":$spillMemJson,"spill_disk_bytes":$spillDiskJson,"shuffle_write_bytes":$shuffleWriteJson,"query_start_ms":$starts,"sf":"${jpath(sfDir)}"}"""
     // compact line: totals + the 10 slowest queries (the per-query signal
     // a reader needs first) + the rejection signals (canary ratios,
     // loadavg). Round 21 (r20 verdict item 8): 5 → 10 — top-5 truncation

@@ -61,6 +61,20 @@ class BenchContaminationSpec extends AnyFunSuite {
     assert(Bench.contaminationOf(1.0, 1.0, "", 32).isEmpty)
   }
 
+  test("steal percentage: pure window arithmetic, absent-safe") {
+    // 50 steal ticks over a 1000-tick window = 5%
+    assert(Bench.stealPct(Some((100L, 10000L)), Some((150L, 11000L))) == 5.0)
+    // absent samples or a non-advancing clock read -1 (signal missing)
+    assert(Bench.stealPct(None, Some((1L, 2L))) == -1.0)
+    assert(Bench.stealPct(Some((1L, 2L)), None) == -1.0)
+    assert(Bench.stealPct(Some((1L, 100L)), Some((1L, 100L))) == -1.0)
+    // the live reader parses /proc/stat on this platform (or is None,
+    // never a throw)
+    Bench.stealTicks().foreach { case (s, t) =>
+      assert(s >= 0 && t > 0 && s <= t)
+    }
+  }
+
   test("mid-run family-boundary load flags what the start sample missed " +
       "(the r20 c32 signature)") {
     // r20 root cause: loadavg_start 1.90 (clean), per-family canary max
