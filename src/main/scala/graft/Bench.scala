@@ -416,9 +416,10 @@ object Bench {
     */
   private[graft] def stealTicks(): Option[(Long, Long)] =
     try {
-      val cols = java.nio.file.Files.lines(
-        java.nio.file.Paths.get("/proc/stat")).findFirst().orElse("")
-        .split("\\s+")
+      val stream = java.nio.file.Files.lines(
+        java.nio.file.Paths.get("/proc/stat"))
+      val first = try stream.findFirst().orElse("") finally stream.close()
+      val cols = first.split("\\s+")
       if (cols.length < 9 || cols(0) != "cpu") None
       else {
         val vals = cols.drop(1).flatMap(v =>
